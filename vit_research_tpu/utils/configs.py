@@ -1,0 +1,266 @@
+"""Structured, serializable experiment configuration.
+
+The reference uses one Python constant-module per experiment
+(reference: nba_proj/config.py, config_stage2.py:1-102, ...) plus a RUN_ID
+string that encodes every hyperparameter into the weight filename
+(reference: nba_proj/config_stage2.py:65-81). We keep the ergonomics —
+one named preset per experiment line, a run-ID stamped into artifact
+names — but make configs dataclasses that serialize to/from JSON so runs
+are reproducible from their artifacts alone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {k: _asdict(v) for k, v in dataclasses.asdict(obj).items()}
+    if isinstance(obj, (list, tuple)):
+        return [_asdict(v) for v in obj]
+    return obj
+
+
+class _Serializable:
+    def to_dict(self) -> dict:
+        return _asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_dict(cls, d: dict):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            ftype = fields[k].type
+            # Nested dataclass reconstruction.
+            sub = _CONFIG_TYPES.get(str(ftype).split(".")[-1].strip("'\" "))
+            if sub is not None and isinstance(v, dict):
+                v = sub.from_dict(v)
+            if isinstance(v, list):
+                v = tuple(v) if _is_tuple_field(fields[k]) else v
+            kwargs[k] = v
+        return cls(**kwargs)
+
+    @classmethod
+    def from_json(cls, s: str):
+        return cls.from_dict(json.loads(s))
+
+
+def _is_tuple_field(f: dataclasses.Field) -> bool:
+    t = str(f.type)
+    return "tuple" in t or "Tuple" in t
+
+
+@dataclass(frozen=True)
+class ViTConfig(_Serializable):
+    """Vision Transformer backbone hyperparameters.
+
+    Covers both reference backbones with one module:
+    - random-init patch-32 at 432x768 input
+      (reference: nba_proj/generate_clips_hmm.py:48-56)
+    - pretrained-import patch-16 at 224x224 (google/vit-base-patch16-224)
+      (reference: nba_proj/train/training.py:37-39)
+    """
+
+    image_size: tuple = (224, 224)  # (H, W)
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    dropout_rate: float = 0.0
+    attention_dropout_rate: float = 0.0
+    pooler: str = "token"  # 'token' | 'gap' | 'none'
+    representation_size: int | None = None  # pre_logits dense, None = identity
+    layer_norm_eps: float = 1e-6
+    # 'exact' matches HF ViT (erf GELU); 'tanh' is the cheaper approximation.
+    gelu_approximate: bool = False
+    dtype: str = "float32"  # compute dtype: 'float32' | 'bfloat16'
+    use_flash_attention: bool = True  # Pallas kernel on TPU, XLA fallback off-TPU
+    output_attention_scores: bool = False
+
+    @property
+    def grid(self) -> tuple:
+        return (self.image_size[0] // self.patch_size,
+                self.image_size[1] // self.patch_size)
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid
+        return gh * gw
+
+
+# Preset mirroring the reference's two backbones.
+VIT_B16_224 = ViTConfig(image_size=(224, 224), patch_size=16)
+VIT_P32_432x768 = ViTConfig(image_size=(432, 768), patch_size=32)
+
+
+@dataclass(frozen=True)
+class ChunkEncoderConfig(_Serializable):
+    """Stage-1 temporal chunk encoder (reference: nba_proj/models/chunk_encoder.py:9-97)."""
+
+    embed_dim: int = 768
+    num_layers: int = 3
+    num_heads: int = 4
+    mlp_dim: int = 1024
+    max_len: int = 16  # >= chunk_size
+    dropout_rate: float = 0.0
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class HeadConfig(_Serializable):
+    """RAG/RATT head family (reference: nba_proj/models/rag_head.py, ratt_head.py, ratt_v2.py)."""
+
+    embed_dim: int = 768
+    num_layers: int = 2
+    num_heads: int = 4
+    mlp_dim: int = 1024
+    num_queries: int = 4  # RetrievalMultiQueryPooler learned queries
+    max_tokens: int = 128  # RATTHead pos-emb budget (reference: ratt_head.py:71-77)
+    hidden_dim: int = 256  # classifier hidden (Dense 256 -> 1)
+    dropout_rate: float = 0.0
+    dtype: str = "float32"
+    # RATTHeadV2 branch sizes (reference: config_stage2.py K_SIM/K_CONTRAST/K_TEMPORAL)
+    k_sim: int = 6
+    k_contrast: int = 6
+    k_temporal: int = 4
+
+
+@dataclass(frozen=True)
+class RetrievalConfig(_Serializable):
+    """Retriever + cache knobs (reference: nba_proj/config_stage2.py, config_chunks_cached.py)."""
+
+    collection: str = "ragdb"
+    top_k: int = 5
+    search_k: int = 50
+    search_k_content: int = 64
+    search_k_temporal: int = 32
+    future_chunk_step: int = 2  # reference: training_stage2.py:78-96
+    hard_negative_ratio: float = 0.30  # reference: training_chunk_cached.py:341-343
+    candidates_per_bin: int = 48
+    query_mult: int = 4
+    per_video_cap: int = 8
+    global_cap: int = 24
+    min_time_gap: float = 0.02
+    lambda_global: float = 0.35
+    time_window: float = 0.2  # t_norm window half-width fallback
+
+
+@dataclass(frozen=True)
+class TrainConfig(_Serializable):
+    """Optimization knobs shared by the training loops
+    (reference: nba_proj/train/training.py:125-141,453-458; config*.py)."""
+
+    batch_size: int = 8
+    num_epochs: int = 24
+    lr_phase1: float = 1e-4
+    lr_phase2: float = 1e-5
+    phase_split: float = 0.5  # fraction of epochs on phase-1 LR
+    accum_steps: int = 4  # gradient accumulation (reference Accumulator)
+    weight_decay: float = 0.0
+    grad_clip_norm: float = 1.0
+    label_smoothing: float = 0.0
+    contrastive_weight: float = 0.1
+    margin: float = 0.2
+    pos_weight: str = "sqrt"  # 'sqrt' => sqrt(neg/pos) (reference: training_stage2.py:943-953)
+    rebuild_every: int = 4  # epochs between vector-DB rebuilds
+    seed: int = 1234
+    chunk_size: int = 12
+    chunk_stride: int = 4
+    mesh_shape: tuple = (1,)  # data-parallel axis sizes
+    mesh_axes: tuple = ("data",)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig(_Serializable):
+    """One named experiment line == one reference config module."""
+
+    name: str = "rag"
+    vit: ViTConfig = field(default_factory=lambda: VIT_B16_224)
+    chunk_encoder: ChunkEncoderConfig = field(default_factory=ChunkEncoderConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    train_vids: tuple = (1, 2, 3, 4, 5, 6)
+    test_vids: tuple = (7, 8)
+
+    def run_id(self) -> str:
+        return make_run_id(self)
+
+
+_CONFIG_TYPES = {
+    "ViTConfig": ViTConfig,
+    "ChunkEncoderConfig": ChunkEncoderConfig,
+    "HeadConfig": HeadConfig,
+    "RetrievalConfig": RetrievalConfig,
+    "TrainConfig": TrainConfig,
+    "ExperimentConfig": ExperimentConfig,
+}
+
+
+def make_run_id(cfg: ExperimentConfig, now: float | None = None) -> str:
+    """Hyperparameter-encoding run id, mirroring the reference's RUN_ID
+    (reference: nba_proj/config_stage2.py:65-81)."""
+    ts = time.strftime("%Y%m%d-%H%M%S", time.gmtime(now))
+    short = uuid.uuid4().hex[:6]
+    t = cfg.train
+    h = cfg.head
+    r = cfg.retrieval
+    return (
+        f"{cfg.name}_{ts}_{short}"
+        f"_tv{'-'.join(map(str, cfg.test_vids))}"
+        f"_col-{r.collection}_k{r.top_k}"
+        f"_cs{t.chunk_size}x{t.chunk_stride}"
+        f"_L{h.num_layers}H{h.num_heads}"
+        f"_b{t.batch_size}_lr{t.lr_phase1:g}-{t.lr_phase2:g}"
+        f"_rb{t.rebuild_every}"
+    )
+
+
+def save_config(cfg: ExperimentConfig, path: str) -> None:
+    with open(path, "w") as f:
+        f.write(cfg.to_json())
+
+
+def load_config(path: str) -> ExperimentConfig:
+    with open(path) as f:
+        return ExperimentConfig.from_json(f.read())
+
+
+def preset(name: str) -> ExperimentConfig:
+    """Named presets mirroring the reference's config modules."""
+    presets: dict[str, ExperimentConfig] = {
+        # reference: nba_proj/config.py (RAG stage)
+        "rag": ExperimentConfig(name="rag"),
+        # reference: nba_proj/configs_cls_only.py
+        "cls_only": ExperimentConfig(name="cls_only"),
+        # reference: nba_proj/config_ratt.py
+        "ratt": ExperimentConfig(
+            name="ratt",
+            retrieval=RetrievalConfig(collection="ratt_db", top_k=8),
+        ),
+        # reference: nba_proj/config_chunks_cached.py:1-80
+        "chunks_cached": ExperimentConfig(
+            name="chunks_cached",
+            train=TrainConfig(chunk_size=8, chunk_stride=2),
+            retrieval=RetrievalConfig(collection="ratt_db_chunks", top_k=8),
+        ),
+        # reference: nba_proj/config_stage2.py:1-102
+        "stage2": ExperimentConfig(
+            name="stage2",
+            train=TrainConfig(chunk_size=8, chunk_stride=2, num_epochs=30),
+            retrieval=RetrievalConfig(collection="ratt_db_s2", top_k=6),
+        ),
+    }
+    return presets[name]
