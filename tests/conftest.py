@@ -13,8 +13,13 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# CPU oneDNN matmuls default to bf16-like precision in this jax build;
+# pin full precision so numeric tests compare against numpy references.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

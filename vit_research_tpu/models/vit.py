@@ -1,0 +1,226 @@
+"""Vision Transformer backbone in Flax, TPU-first.
+
+One module covers both reference backbones:
+- the vendored TF-Model-Garden ViT used with *random* weights at
+  patch 32 / 432x768 input (reference: nba_proj/models/vit_backbone.py:220-366,
+  instantiated at nba_proj/generate_clips_hmm.py:48-56), and
+- the frozen pretrained ``google/vit-base-patch16-224`` embedder
+  (reference: nba_proj/train/training.py:37-60) via HF weight import
+  (models/hf_import.py).
+
+Endpoint parity with the reference's ``VisionTransformer`` endpoints dict
+(reference: nba_proj/models/vit_backbone.py:255-349):
+``tokens_before_encoder``, ``encoded_tokens``, ``pooled``, ``pre_logits``,
+and optional ``attention_scores``.
+
+TPU-first choices:
+- attention runs through the fused Pallas kernel (ops/attention.py) unless
+  attention scores are requested (diagnostics path) or we're off-TPU;
+- the patch embedding is a reshape+matmul (MXU) — optionally the fully
+  fused normalize+patchify+project kernel (ops/patch_embed.py) via
+  ``embed_images`` in parallel/embed.py;
+- learned position embeddings bilinearly interpolate when the input grid
+  differs from the trained grid (reference: nba_proj/models/vit_backbone.py:70-78).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vit_research_tpu.ops import attention as attn_ops
+from vit_research_tpu.utils.configs import ViTConfig
+
+
+def interpolate_pos_embedding(pos: jax.Array, grid_from: tuple,
+                              grid_to: tuple, *, has_cls: bool = True) -> jax.Array:
+    """Bilinearly resample a learned (1, N[+1], D) position table to a new
+    patch grid (reference semantics: nba_proj/models/vit_backbone.py:70-78)."""
+    if grid_from == grid_to:
+        return pos
+    cls_part = pos[:, :1] if has_cls else None
+    grid_part = pos[:, 1:] if has_cls else pos
+    d = grid_part.shape[-1]
+    grid_part = grid_part.reshape(1, grid_from[0], grid_from[1], d)
+    grid_part = jax.image.resize(
+        grid_part, (1, grid_to[0], grid_to[1], d), method="bilinear")
+    grid_part = grid_part.reshape(1, grid_to[0] * grid_to[1], d)
+    if cls_part is not None:
+        return jnp.concatenate([cls_part, grid_part], axis=1)
+    return grid_part
+
+
+class MlpBlock(nn.Module):
+    mlp_dim: int
+    dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
+    gelu_approximate: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        d = x.shape[-1]
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=self.gelu_approximate)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return x
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """MHA with separate q/k/v projections (eases HF weight transplant)."""
+
+    num_heads: int
+    dtype: Any = jnp.float32
+    dropout_rate: float = 0.0
+    use_pallas: bool = True
+    interpret_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, output_scores: bool = False):
+        d = x.shape[-1]
+        h = self.num_heads
+        dh = d // h
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (h, dh), axis=-1, dtype=self.dtype, name=name)
+        q = dense("query")(x).transpose(0, 2, 1, 3)  # (B, H, T, dh)
+        k = dense("key")(x).transpose(0, 2, 1, 3)
+        v = dense("value")(x).transpose(0, 2, 1, 3)
+
+        scores = None
+        if output_scores or not self.use_pallas:
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh ** -0.5)
+            probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+            if output_scores:
+                scores = probs
+            probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
+            o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
+        else:
+            o = attn_ops.multi_head_attention(
+                q, k, v, use_pallas=True, interpret=self.interpret_pallas)
+        o = o.transpose(0, 2, 1, 3)  # (B, T, H, dh)
+        out = nn.DenseGeneral(d, axis=(-2, -1), dtype=self.dtype, name="out")(o)
+        return out, scores
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm transformer block (reference: TransformerEncoderBlock usage,
+    nba_proj/models/vit_backbone.py:159-175)."""
+
+    num_heads: int
+    mlp_dim: int
+    dropout_rate: float = 0.0
+    attention_dropout_rate: float = 0.0
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
+    gelu_approximate: bool = False
+    use_pallas: bool = True
+    interpret_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, output_scores: bool = False):
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, name="ln1")(x)
+        y, scores = MultiHeadSelfAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.attention_dropout_rate,
+            use_pallas=self.use_pallas,
+            interpret_pallas=self.interpret_pallas,
+            name="attn",
+        )(y, train=train, output_scores=output_scores)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        x = x + y
+        z = nn.LayerNorm(epsilon=self.layer_norm_eps, name="ln2")(x)
+        z = MlpBlock(
+            mlp_dim=self.mlp_dim, dropout_rate=self.dropout_rate,
+            dtype=self.dtype, gelu_approximate=self.gelu_approximate,
+            name="mlp",
+        )(z, train=train)
+        return x + z, scores
+
+
+class VisionTransformer(nn.Module):
+    config: ViTConfig
+    interpret_pallas: bool = False  # CPU testing of the Pallas paths
+
+    @nn.compact
+    def __call__(self, images, *, train: bool = False):
+        c = self.config
+        dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        p = c.patch_size
+        b, h, w, _ = images.shape
+        grid = (h // p, w // p)
+
+        x = nn.Conv(
+            features=c.hidden_size, kernel_size=(p, p), strides=(p, p),
+            padding="VALID", dtype=dtype, name="patch_embed",
+        )(images.astype(dtype))
+        x = x.reshape(b, grid[0] * grid[1], c.hidden_size)
+
+        cls = self.param(
+            "cls", nn.initializers.zeros, (1, 1, c.hidden_size), jnp.float32)
+        x = jnp.concatenate([jnp.tile(cls.astype(dtype), (b, 1, 1)), x], axis=1)
+
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, c.num_patches + 1, c.hidden_size), jnp.float32)
+        pos = interpolate_pos_embedding(pos, c.grid, grid, has_cls=True)
+        x = x + pos.astype(dtype)
+        x = nn.Dropout(c.dropout_rate, deterministic=not train)(x)
+
+        endpoints = {"tokens_before_encoder": x}
+        all_scores = []
+        for i in range(c.num_layers):
+            x, scores = EncoderBlock(
+                num_heads=c.num_heads, mlp_dim=c.mlp_dim,
+                dropout_rate=c.dropout_rate,
+                attention_dropout_rate=c.attention_dropout_rate,
+                layer_norm_eps=c.layer_norm_eps, dtype=dtype,
+                gelu_approximate=c.gelu_approximate,
+                use_pallas=c.use_flash_attention,
+                interpret_pallas=self.interpret_pallas,
+                name=f"block_{i}",
+            )(x, train=train, output_scores=c.output_attention_scores)
+            if scores is not None:
+                all_scores.append(scores)
+
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="encoder_norm")(x)
+        endpoints["encoded_tokens"] = x
+
+        if c.pooler == "token":
+            pooled = x[:, 0]
+        elif c.pooler == "gap":
+            pooled = jnp.mean(x[:, 1:], axis=1)
+        elif c.pooler == "none":
+            pooled = x
+        else:
+            raise ValueError(f"unknown pooler {c.pooler!r}")
+        endpoints["pooled"] = pooled
+
+        if c.representation_size is not None and c.pooler != "none":
+            pre_logits = nn.tanh(nn.Dense(
+                c.representation_size, dtype=dtype, name="pre_logits")(pooled))
+        else:
+            pre_logits = pooled
+        endpoints["pre_logits"] = pre_logits
+
+        if all_scores:
+            endpoints["attention_scores"] = jnp.stack(all_scores, axis=1)
+        return endpoints
+
+
+def init_vit(config: ViTConfig, seed: int = 0, interpret_pallas: bool = False):
+    """Seeded-init contract for the random-feature backbone.
+
+    The reference's whole kNN/HMM stack is calibrated to one specific
+    random init saved as ``vit_random_weights.h5``
+    (reference: nba_proj/write_embeddings.py:243). Here the contract is
+    (config, seed) -> deterministic params; thresholds recalibrate against
+    this space (SURVEY.md section 7, hard parts)."""
+    model = VisionTransformer(config, interpret_pallas=interpret_pallas)
+    dummy = jnp.zeros((1, *config.image_size, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), dummy)
+    return model, params
