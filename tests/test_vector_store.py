@@ -1,0 +1,139 @@
+"""Vector store: upsert/query/get/delete, where filters, persistence,
+distance semantics, and device/numpy path agreement."""
+
+import numpy as np
+import pytest
+
+from vit_research_tpu.ops.topk import masked_topk
+from vit_research_tpu.store.vector_store import Collection, PersistentClient
+
+
+def make_col(n=50, d=16, space="l2", seed=0, path=None):
+    rng = np.random.default_rng(seed)
+    col = Collection("test", space=space, path=path)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    metas = [{"vid_num": f"vid{i % 3}", "side": "left" if i % 2 else "right",
+              "t_norm": i / n, "clip_num": i % 5} for i in range(n)]
+    col.upsert([f"id{i}" for i in range(n)], emb, metas)
+    return col, emb, metas
+
+
+def test_upsert_query_roundtrip():
+    col, emb, _ = make_col(space="l2")
+    res = col.query(emb[7], n_results=1, include=("distances",))
+    assert res["ids"][0][0] == "id7"
+    assert res["distances"][0][0] == pytest.approx(0.0, abs=1e-4)
+
+
+def test_upsert_overwrites_existing():
+    col, emb, _ = make_col()
+    new = np.zeros((1, emb.shape[1]), np.float32)
+    col.upsert(["id3"], new, [{"side": "none"}])
+    assert col.count() == 50
+    got = col.get(ids=["id3"], include=("embeddings", "metadatas"))
+    np.testing.assert_array_equal(got["embeddings"][0], new[0])
+    assert got["metadatas"][0]["side"] == "none"
+
+
+def test_l2_distance_is_squared():
+    col = Collection("t", space="l2")
+    col.upsert(["a", "b"], np.array([[0.0, 0.0], [3.0, 4.0]], np.float32))
+    res = col.query(np.array([0.0, 0.0], np.float32), n_results=2,
+                    include=("distances",))
+    assert res["ids"][0] == ["a", "b"]
+    assert res["distances"][0][1] == pytest.approx(25.0, abs=1e-4)
+
+
+def test_cosine_distance():
+    col = Collection("t", space="cosine")
+    col.upsert(["a", "b"],
+               np.array([[1.0, 0.0], [0.0, 2.0]], np.float32))
+    res = col.query(np.array([2.0, 0.0], np.float32), n_results=2,
+                    include=("distances",))
+    assert res["ids"][0][0] == "a"
+    assert res["distances"][0][0] == pytest.approx(0.0, abs=1e-5)
+    assert res["distances"][0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_where_filters():
+    col, emb, metas = make_col()
+    res = col.query(emb[0], n_results=50,
+                    where={"side": "left", "vid_num": {"$ne": "vid0"}})
+    for metas_row in res["metadatas"]:
+        for m in metas_row:
+            assert m["side"] == "left" and m["vid_num"] != "vid0"
+    # Range + $and/$or composition (frame_retriever pattern:
+    # vid != x AND side == s AND t_norm in window).
+    res = col.get(where={"$and": [{"t_norm": {"$gte": 0.2}},
+                                  {"t_norm": {"$lt": 0.4}}]},
+                  include=("metadatas",))
+    assert res["ids"]
+    for m in res["metadatas"]:
+        assert 0.2 <= m["t_norm"] < 0.4
+    res = col.get(where={"$or": [{"clip_num": 0}, {"clip_num": 4}]})
+    assert all(int(i[2:]) % 5 in (0, 4) for i in res["ids"])
+    res = col.get(where={"clip_num": {"$in": [1, 2]}})
+    assert all(int(i[2:]) % 5 in (1, 2) for i in res["ids"])
+
+
+def test_get_with_limit_offset():
+    col, _, _ = make_col()
+    a = col.get(limit=10)
+    b = col.get(limit=10, offset=10)
+    assert len(a["ids"]) == 10 and len(b["ids"]) == 10
+    assert set(a["ids"]).isdisjoint(b["ids"])
+
+
+def test_delete_by_ids_and_where():
+    col, _, _ = make_col()
+    col.delete(ids=["id0", "id1"])
+    assert col.count() == 48
+    col.delete(where={"vid_num": "vid2"})
+    assert all(m["vid_num"] != "vid2" for m in col.get()["metadatas"])
+
+
+def test_persistence_roundtrip(tmp_path):
+    client = PersistentClient(str(tmp_path), autoflush=False)
+    col = client.get_or_create_collection(
+        "frames", metadata={"hnsw:space": "cosine"})
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(10, 8)).astype(np.float32)
+    col.upsert([f"f{i}" for i in range(10)], emb,
+               [{"t_norm": i / 10} for i in range(10)])
+    client.flush()
+
+    client2 = PersistentClient(str(tmp_path), autoflush=False)
+    assert client2.list_collections() == ["frames"]
+    col2 = client2.get_or_create_collection("frames")
+    assert col2.space == "cosine"
+    assert col2.count() == 10
+    res = col2.query(emb[4], n_results=1)
+    assert res["ids"][0][0] == "f4"
+
+
+def test_device_and_numpy_paths_agree():
+    col, emb, _ = make_col(n=300, d=32, space="cosine")
+    q = emb[:4] + 0.01
+    mask = col._where_mask({"side": "left"})
+    s_np, i_np = col._query_numpy(q, mask, 5)
+    s_dev, i_dev = col._query_device(q, mask, 5)
+    np.testing.assert_array_equal(i_np, i_dev)
+    np.testing.assert_allclose(s_np, s_dev, atol=1e-4)
+
+
+def test_masked_topk_respects_mask():
+    rng = np.random.default_rng(1)
+    corpus = rng.normal(size=(64, 8)).astype(np.float32)
+    q = corpus[:2]
+    mask = np.zeros((2, 64), dtype=bool)
+    mask[0, 10:20] = True
+    mask[1, 30:40] = True
+    scores, idx = masked_topk(q, corpus, mask, k=5, metric="l2")
+    assert all(10 <= j < 20 for j in np.asarray(idx)[0])
+    assert all(30 <= j < 40 for j in np.asarray(idx)[1])
+
+
+def test_empty_collection_query():
+    col = Collection("t", space="l2")
+    res = col.query(np.zeros((2, 4), np.float32), n_results=3)
+    assert res["ids"] == [[], []]

@@ -1,0 +1,61 @@
+"""Exact masked top-k similarity search on device.
+
+The reference's retrieval is ChromaDB's HNSW (approximate, host-side,
+one query at a time — reference: nba_proj/retrieval/frame_retriever.py:41-53)
+or an in-process numpy cosine scan (reference:
+nba_proj/retrieval/ratt_chunk_retriever.py:123-151). At the corpus sizes
+this pipeline sees (<=1M vectors), an exact batched matmul + `lax.top_k`
+on the MXU is both faster and exact, and metadata filters become boolean
+masks fused into the score matrix. This op is the device query path of
+store/vector_store.py and the retrievers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _scores(queries, corpus, metric: str):
+    if metric in ("cosine", "ip"):
+        # For 'cosine' the caller pre-normalizes the corpus/queries.
+        return queries @ corpus.T
+    if metric == "l2":
+        # Negated squared L2 so that "higher is better" uniformly.
+        q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
+        c2 = jnp.sum(corpus * corpus, axis=-1)
+        return -(q2 - 2.0 * (queries @ corpus.T) + c2[None, :])
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def masked_topk(queries: jax.Array, corpus: jax.Array, mask: jax.Array | None,
+                *, k: int, metric: str = "cosine"):
+    """Top-k most similar corpus rows per query, honoring a boolean mask.
+
+    Args:
+      queries: (Q, D).
+      corpus: (N, D).
+      mask: broadcastable to (Q, N); True = candidate allowed. None = all.
+      k: number of neighbors.
+      metric: 'cosine' | 'ip' (dot) | 'l2'.
+
+    Returns:
+      (scores, indices): (Q, k) each. Scores are similarities (cosine/dot)
+      or negated squared L2. Masked-out entries score NEG_INF.
+    """
+    s = _scores(queries.astype(jnp.float32), corpus.astype(jnp.float32), metric)
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    k = min(k, corpus.shape[0])
+    scores, idx = jax.lax.top_k(s, k)
+    return scores, idx
+
+
+def l2_normalize(x, axis=-1, eps: float = 1e-12):
+    n = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(n, eps)

@@ -1,0 +1,377 @@
+"""Persistent vector store with a Chroma-compatible API and a TPU query path.
+
+The reference stores every embedding in ChromaDB collections —
+``PersistentClient(path="./chroma_store")`` with per-video frame
+collections (``hnsw:space=l2``) and chunk collections (``cosine``)
+(reference: nba_proj/chroma.py:143-145, nba_proj/generate_clips_hmm.py:32,
+nba_proj/train/training.py:400-405, nba_proj/write_clips_to_ragdb.py:278-290)
+and queries them with metadata ``where`` filters
+(reference: nba_proj/retrieval/frame_retriever.py:41-53).
+
+This re-design keeps the API surface (PersistentClient /
+get_or_create_collection / upsert / query / get / delete with the same
+``where`` mini-language) so every pipeline stage ports over, but replaces
+approximate host-side HNSW with **exact** batched top-k on the TPU MXU
+(ops/topk.py): at this pipeline's corpus sizes (<=1M vectors) one masked
+matmul is faster than sequential per-query HNSW walks, returns exact
+neighbors, and metadata filters compile to boolean masks instead of
+index-time constraints. Falls back to numpy scoring when the corpus is
+tiny or JAX is unavailable.
+
+Durability: append-oriented snapshots under ``{path}/{collection}/``
+(embeddings.npy + ids.npy + metadatas.json + config.json), flushed on
+mutation batches and on interpreter exit; ``upsert`` is idempotent like
+the reference's (SURVEY.md section 5.3).
+"""
+
+from __future__ import annotations
+
+import atexit
+import json
+import os
+import shutil
+import threading
+from typing import Any, Sequence
+
+import numpy as np
+
+_OPS = ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin")
+
+
+def _match_clause(values: np.ndarray, clause: Any) -> np.ndarray:
+    """Evaluate one field clause against an object column."""
+    if not isinstance(clause, dict):
+        clause = {"$eq": clause}
+    mask = np.ones(len(values), dtype=bool)
+    for op, ref in clause.items():
+        if op == "$eq":
+            m = values == ref
+        elif op == "$ne":
+            m = values != ref
+        elif op == "$gt":
+            m = _numeric(values) > ref
+        elif op == "$gte":
+            m = _numeric(values) >= ref
+        elif op == "$lt":
+            m = _numeric(values) < ref
+        elif op == "$lte":
+            m = _numeric(values) <= ref
+        elif op == "$in":
+            m = np.isin(values, np.asarray(list(ref), dtype=object))
+        elif op == "$nin":
+            m = ~np.isin(values, np.asarray(list(ref), dtype=object))
+        else:
+            raise ValueError(f"unsupported where op {op!r} (supported: {_OPS})")
+        mask &= np.asarray(m, dtype=bool)
+    return mask
+
+
+def _numeric(values: np.ndarray) -> np.ndarray:
+    out = np.full(len(values), np.nan, dtype=np.float64)
+    for i, v in enumerate(values):
+        if isinstance(v, (int, float, np.integer, np.floating)):
+            out[i] = float(v)
+    return out
+
+
+class Collection:
+    def __init__(self, name: str, space: str = "l2", dim: int | None = None,
+                 path: str | None = None):
+        if space not in ("l2", "cosine", "ip"):
+            raise ValueError(f"unknown space {space!r}")
+        self.name = name
+        self.space = space
+        self._path = path
+        self._dim = dim
+        self._ids: list[str] = []
+        self._id_to_idx: dict[str, int] = {}
+        self._embeddings = np.zeros((0, dim or 0), dtype=np.float32)
+        self._metadatas: list[dict] = []
+        self._columns: dict[str, np.ndarray] = {}  # lazily-built filter cache
+        self._device_cache = None  # (embeddings jnp, normalized jnp or None)
+        self._dirty = False
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------------ io
+
+    @classmethod
+    def _load(cls, name: str, path: str) -> "Collection":
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        col = cls(name, space=cfg["space"], dim=cfg.get("dim"), path=path)
+        emb_path = os.path.join(path, "embeddings.npy")
+        if os.path.exists(emb_path):
+            col._embeddings = np.load(emb_path).astype(np.float32)
+            with open(os.path.join(path, "ids.json")) as f:
+                col._ids = json.load(f)
+            with open(os.path.join(path, "metadatas.json")) as f:
+                col._metadatas = json.load(f)
+            col._id_to_idx = {i: n for n, i in enumerate(col._ids)}
+            col._dim = col._embeddings.shape[1]
+        return col
+
+    def flush(self) -> None:
+        with self._lock:
+            if not self._dirty or self._path is None:
+                return
+            os.makedirs(self._path, exist_ok=True)
+            with open(os.path.join(self._path, "config.json"), "w") as f:
+                json.dump({"space": self.space, "dim": self._dim}, f)
+            np.save(os.path.join(self._path, "embeddings.npy"),
+                    self._embeddings)
+            with open(os.path.join(self._path, "ids.json"), "w") as f:
+                json.dump(self._ids, f)
+            with open(os.path.join(self._path, "metadatas.json"), "w") as f:
+                json.dump(self._metadatas, f)
+            self._dirty = False
+
+    # ------------------------------------------------------------ mutation
+
+    def upsert(self, ids: Sequence[str], embeddings, metadatas=None) -> None:
+        with self._lock:
+            embeddings = np.asarray(embeddings, dtype=np.float32)
+            if embeddings.ndim == 1:
+                embeddings = embeddings[None]
+            if self._dim is None or self._embeddings.shape[1] == 0:
+                self._dim = embeddings.shape[1]
+                self._embeddings = np.zeros((0, self._dim), np.float32)
+            if metadatas is None:
+                metadatas = [{} for _ in ids]
+            new_rows, new_ids, new_metas = [], [], []
+            for i, _id in enumerate(ids):
+                _id = str(_id)
+                idx = self._id_to_idx.get(_id)
+                if idx is None:
+                    new_ids.append(_id)
+                    new_rows.append(embeddings[i])
+                    new_metas.append(dict(metadatas[i] or {}))
+                else:
+                    self._embeddings[idx] = embeddings[i]
+                    self._metadatas[idx] = dict(metadatas[i] or {})
+            if new_ids:
+                base = len(self._ids)
+                self._ids.extend(new_ids)
+                for n, _id in enumerate(new_ids):
+                    self._id_to_idx[_id] = base + n
+                self._embeddings = np.concatenate(
+                    [self._embeddings, np.stack(new_rows)], axis=0)
+                self._metadatas.extend(new_metas)
+            self._invalidate()
+
+    add = upsert  # the reference only uses idempotent upserts
+
+    def delete(self, ids: Sequence[str] | None = None, where: dict | None = None):
+        with self._lock:
+            if ids is not None:
+                drop = {str(i) for i in ids}
+                keep = np.array([i not in drop for i in self._ids], dtype=bool)
+            elif where is not None:
+                keep = ~self._where_mask(where)
+            else:
+                keep = np.zeros(len(self._ids), dtype=bool)
+            self._ids = [i for i, k in zip(self._ids, keep) if k]
+            self._metadatas = [m for m, k in zip(self._metadatas, keep) if k]
+            self._embeddings = self._embeddings[keep]
+            self._id_to_idx = {i: n for n, i in enumerate(self._ids)}
+            self._invalidate()
+
+    def _invalidate(self):
+        self._columns = {}
+        self._device_cache = None
+        self._dirty = True
+
+    # --------------------------------------------------------------- reads
+
+    def count(self) -> int:
+        return len(self._ids)
+
+    def _column(self, field: str) -> np.ndarray:
+        col = self._columns.get(field)
+        if col is None:
+            col = np.array([m.get(field) for m in self._metadatas],
+                           dtype=object)
+            self._columns[field] = col
+        return col
+
+    def _where_mask(self, where: dict | None) -> np.ndarray:
+        n = len(self._ids)
+        if not where:
+            return np.ones(n, dtype=bool)
+        mask = np.ones(n, dtype=bool)
+        for key, clause in where.items():
+            if key == "$and":
+                for sub in clause:
+                    mask &= self._where_mask(sub)
+            elif key == "$or":
+                sub_mask = np.zeros(n, dtype=bool)
+                for sub in clause:
+                    sub_mask |= self._where_mask(sub)
+                mask &= sub_mask
+            else:
+                mask &= _match_clause(self._column(key), clause)
+        return mask
+
+    def get(self, ids=None, where=None, include=("metadatas",), limit=None,
+            offset: int = 0) -> dict:
+        with self._lock:
+            if ids is not None:
+                sel = [self._id_to_idx[str(i)] for i in ids
+                       if str(i) in self._id_to_idx]
+                sel = np.asarray(sel, dtype=np.int64)
+                if where:
+                    m = self._where_mask(where)
+                    sel = sel[[m[i] for i in sel]]
+            else:
+                sel = np.nonzero(self._where_mask(where))[0]
+            if offset:
+                sel = sel[offset:]
+            if limit is not None:
+                sel = sel[:limit]
+            out = {"ids": [self._ids[i] for i in sel]}
+            if "embeddings" in include:
+                out["embeddings"] = self._embeddings[sel]
+            if "metadatas" in include:
+                out["metadatas"] = [self._metadatas[i] for i in sel]
+            return out
+
+    def _device_corpus(self):
+        import jax.numpy as jnp
+
+        if self._device_cache is None:
+            emb = jnp.asarray(self._embeddings)
+            if self.space == "cosine":
+                from vit_research_tpu.ops.topk import l2_normalize
+
+                emb = l2_normalize(emb)
+            self._device_cache = emb
+        return self._device_cache
+
+    def query(self, query_embeddings, n_results: int = 10, where=None,
+              include=("metadatas", "distances")) -> dict:
+        """Exact top-k. Returns Chroma-shaped dict of per-query lists."""
+        with self._lock:
+            q = np.asarray(query_embeddings, dtype=np.float32)
+            if q.ndim == 1:
+                q = q[None]
+            n = len(self._ids)
+            if n == 0:
+                empty = [[] for _ in range(q.shape[0])]
+                out = {"ids": empty}
+                for k in ("distances", "metadatas", "embeddings"):
+                    if k in include:
+                        out[k] = [[] for _ in range(q.shape[0])]
+                return out
+            k = min(n_results, n)
+            mask = self._where_mask(where)
+
+            use_device = n * q.shape[0] >= 1 << 14
+            if use_device:
+                try:
+                    scores, idx = self._query_device(q, mask, k)
+                except Exception:
+                    use_device = False
+            if not use_device:
+                scores, idx = self._query_numpy(q, mask, k)
+
+            # Similarity -> Chroma distance convention.
+            if self.space == "l2":
+                dist = -scores  # squared L2
+            else:
+                dist = 1.0 - scores
+            valid = scores > -1e29
+            out = {"ids": [[self._ids[j] for j, ok in zip(row, vrow) if ok]
+                           for row, vrow in zip(idx, valid)]}
+            if "distances" in include:
+                out["distances"] = [[float(d) for d, ok in zip(drow, vrow) if ok]
+                                    for drow, vrow in zip(dist, valid)]
+            if "metadatas" in include:
+                out["metadatas"] = [[self._metadatas[j]
+                                     for j, ok in zip(row, vrow) if ok]
+                                    for row, vrow in zip(idx, valid)]
+            if "embeddings" in include:
+                out["embeddings"] = [self._embeddings[row[vrow]]
+                                     for row, vrow in zip(idx, valid)]
+            return out
+
+    def _query_device(self, q, mask, k):
+        import jax.numpy as jnp
+
+        from vit_research_tpu.ops.topk import l2_normalize, masked_topk
+
+        corpus = self._device_corpus()
+        qd = jnp.asarray(q)
+        if self.space == "cosine":
+            qd = l2_normalize(qd)
+        metric = "ip" if self.space == "cosine" else self.space
+        scores, idx = masked_topk(
+            qd, corpus, jnp.asarray(mask)[None, :], k=k, metric=metric)
+        return np.asarray(scores), np.asarray(idx)
+
+    def _query_numpy(self, q, mask, k):
+        emb = self._embeddings
+        if self.space == "cosine":
+            qe = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            ce = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True),
+                                  1e-12)
+            s = qe @ ce.T
+        elif self.space == "ip":
+            s = q @ emb.T
+        else:
+            q2 = (q * q).sum(-1, keepdims=True)
+            c2 = (emb * emb).sum(-1)
+            s = -(q2 - 2.0 * (q @ emb.T) + c2[None, :])
+        s = np.where(mask[None, :], s, -1e30)
+        k = min(k, s.shape[1])
+        idx = np.argpartition(-s, kth=k - 1, axis=1)[:, :k]
+        part = np.take_along_axis(s, idx, axis=1)
+        order = np.argsort(-part, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, order, axis=1)
+        return np.take_along_axis(s, idx, axis=1), idx
+
+
+class PersistentClient:
+    """Chroma-compatible client over a directory of collection snapshots."""
+
+    def __init__(self, path: str = "./vector_store", autoflush: bool = True):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._collections: dict[str, Collection] = {}
+        if autoflush:
+            atexit.register(self.flush)
+
+    def _col_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def get_or_create_collection(self, name: str,
+                                 metadata: dict | None = None) -> Collection:
+        if name in self._collections:
+            return self._collections[name]
+        path = self._col_path(name)
+        if os.path.exists(os.path.join(path, "config.json")):
+            col = Collection._load(name, path)
+        else:
+            space = (metadata or {}).get("hnsw:space", "l2")
+            col = Collection(name, space=space, path=path)
+            col._dirty = True
+        self._collections[name] = col
+        return col
+
+    def get_collection(self, name: str) -> Collection:
+        col = self.get_or_create_collection(name)
+        return col
+
+    def delete_collection(self, name: str) -> None:
+        self._collections.pop(name, None)
+        shutil.rmtree(self._col_path(name), ignore_errors=True)
+
+    def list_collections(self) -> list[str]:
+        names = set(self._collections)
+        if os.path.isdir(self.path):
+            for entry in os.listdir(self.path):
+                if os.path.exists(os.path.join(self.path, entry, "config.json")):
+                    names.add(entry)
+        return sorted(names)
+
+    def flush(self) -> None:
+        for col in self._collections.values():
+            col.flush()
