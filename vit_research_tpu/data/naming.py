@@ -1,0 +1,59 @@
+"""Frame / clip naming conventions shared by the whole pipeline.
+
+The reference names frames ``vid{N}_frame_{M}.jpg``
+(reference: nba_proj/preprocess_frames.py:87) and clip directories
+``vid{N}_clip_{K}_{left|right|none}``
+(reference: nba_proj/generate_clips_hmm.py:68-86), and sorts both with a
+split-on-underscore comparator (reference: nba_proj/dataset.py:20-24).
+"""
+
+from __future__ import annotations
+
+import re
+
+_FRAME_RE = re.compile(r"^vid(\d+)_frame_(\d+)\.(jpg|jpeg|png)$")
+_CLIP_RE = re.compile(r"^vid(\d+)_clip_(\d+)_(left|right|none)$")
+
+
+def frame_name(vid: int, frame: int, ext: str = "jpg") -> str:
+    return f"vid{vid}_frame_{frame}.{ext}"
+
+
+def clip_dir_name(vid: int, clip: int, side: str) -> str:
+    return f"vid{vid}_clip_{clip}_{side}"
+
+
+def parse_frame_name(name: str) -> tuple[int, int]:
+    """'vid3_frame_120.jpg' -> (3, 120)."""
+    m = _FRAME_RE.match(name)
+    if not m:
+        # Tolerant fallback mirroring the reference's split-based parser.
+        parts = name.split("_")
+        return int(parts[0][3:]), int(parts[2].split(".")[0])
+    return int(m.group(1)), int(m.group(2))
+
+
+def parse_clip_dir(name: str) -> tuple[int, int, str]:
+    """'vid3_clip_7_left' -> (3, 7, 'left')."""
+    m = _CLIP_RE.match(name)
+    if not m:
+        parts = name.split("_")
+        return int(parts[0][3:]), int(parts[2]), parts[3]
+    return int(m.group(1)), int(m.group(2)), m.group(3)
+
+
+def frame_sort_key(name: str) -> tuple[int, int]:
+    return parse_frame_name(name)
+
+
+def clip_sort_key(name: str) -> tuple[int, int]:
+    vid, clip, _ = parse_clip_dir(name)
+    return vid, clip
+
+
+def frame_num(name: str) -> int:
+    return parse_frame_name(name)[1]
+
+
+def vid_num(name: str) -> int:
+    return parse_frame_name(name)[0]

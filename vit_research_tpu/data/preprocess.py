@@ -1,0 +1,129 @@
+"""Frame preprocessing: decode, resize, normalize — host parity paths and
+device-friendly batched variants.
+
+The reference has two preprocessing regimes that the rest of the system is
+calibrated to:
+
+1. **Random-ViT regime** (p32 @ 432x768): cv2 imread -> BGR->RGB -> resize
+   to (768, 432) INTER_AREA (reference: nba_proj/loader.py:4-8), fed to the
+   model as 0..255 floats in the writer scripts, and as 0..1 floats in the
+   tf.data path (reference: nba_proj/dataset.py:262-271). Both variants are
+   exposed here (``rescale`` flag) — callers pick one and stay consistent.
+2. **HF-ViT regime** (p16 @ 224): ViTImageProcessor semantics — resize to
+   224x224 bilinear, rescale 1/255 (toggled off in some reference training
+   paths: nba_proj/train/training.py:38 vs on in
+   nba_proj/db_maintainence/db_rebuild.py:26-27), normalize mean=std=0.5
+   (reference: nba_proj/train/training.py:47-60).
+
+Host decode uses PIL (parity with HF's PIL-based processor); cv2 is used
+when INTER_AREA semantics are requested. On device, the affine normalize
+is folded into the fused patch-embed kernel (ops/patch_embed.py), so the
+batched pipelines ship uint8 to HBM and never materialize normalized f32
+frames in host memory.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+HF_SIZE = (224, 224)
+FRAME_SIZE = (432, 768)  # (H, W) random-ViT regime
+IMAGENET_HF_MEAN = (0.5, 0.5, 0.5)
+IMAGENET_HF_STD = (0.5, 0.5, 0.5)
+
+
+@dataclass(frozen=True)
+class PreprocessSpec:
+    """Everything the device kernel needs to finish preprocessing."""
+
+    size: tuple = HF_SIZE  # (H, W) after host resize
+    rescale: float = 1.0 / 255.0
+    mean: tuple = IMAGENET_HF_MEAN
+    std: tuple = IMAGENET_HF_STD
+    interpolation: str = "bilinear"  # 'bilinear' | 'area'
+
+
+HF_VIT_SPEC = PreprocessSpec()
+# do_rescale=False variant (reference: nba_proj/train/training.py:38 feeds
+# 0..1 floats and disables the processor's own rescale).
+HF_VIT_SPEC_NO_RESCALE = PreprocessSpec(rescale=1.0)
+# Random-ViT regime: no normalization; raw 0..255 (writer scripts) or 0..1
+# (tf.data path).
+RANDOM_VIT_SPEC_RAW = PreprocessSpec(
+    size=FRAME_SIZE, rescale=1.0, mean=(0, 0, 0), std=(1, 1, 1),
+    interpolation="area")
+RANDOM_VIT_SPEC_UNIT = PreprocessSpec(
+    size=FRAME_SIZE, rescale=1.0 / 255.0, mean=(0, 0, 0), std=(1, 1, 1),
+    interpolation="area")
+
+
+def decode_image(path: str) -> np.ndarray:
+    """JPEG/PNG -> RGB uint8 (H, W, 3)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def resize_frame(img: np.ndarray, size: tuple,
+                 interpolation: str = "bilinear") -> np.ndarray:
+    """Resize RGB uint8 to (H, W). 'area' matches cv2 INTER_AREA
+    (reference: nba_proj/loader.py:7); 'bilinear' matches PIL/HF."""
+    h, w = size
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    if interpolation == "area":
+        try:
+            import cv2
+
+            return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+        except ImportError:
+            pass  # PIL's reducing-gap resize approximates INTER_AREA
+    from PIL import Image
+
+    resample = Image.BILINEAR
+    return np.asarray(Image.fromarray(img).resize((w, h), resample))
+
+
+def preprocess_frame(path_or_img, size: tuple = FRAME_SIZE,
+                     interpolation: str = "area") -> np.ndarray:
+    """Single-frame host preprocess -> RGB uint8 (H, W, 3)
+    (reference behavior: nba_proj/loader.py:4-8)."""
+    img = (decode_image(path_or_img) if isinstance(path_or_img, (str, os.PathLike))
+           else np.asarray(path_or_img))
+    return resize_frame(img, size, interpolation)
+
+
+def load_frames(paths, spec: PreprocessSpec = HF_VIT_SPEC,
+                num_workers: int = 8) -> np.ndarray:
+    """Parallel decode+resize -> (N, H, W, 3) uint8 batch.
+
+    Host-side parallelism replaces the reference's fork Pools
+    (reference: nba_proj/db_maintainence/db_rebuild.py:119,
+    nba_proj/write_clips_to_ragdb.py:300) with a thread pool — decode
+    releases the GIL in PIL, and the output feeds straight to HBM."""
+    out = np.empty((len(paths), spec.size[0], spec.size[1], 3), np.uint8)
+
+    def work(i_path):
+        i, path = i_path
+        out[i] = preprocess_frame(path, spec.size, spec.interpolation)
+
+    if num_workers <= 1 or len(paths) <= 1:
+        for item in enumerate(paths):
+            work(item)
+    else:
+        with _fut.ThreadPoolExecutor(num_workers) as pool:
+            list(pool.map(work, enumerate(paths)))
+    return out
+
+
+def normalize_host(batch_u8: np.ndarray, spec: PreprocessSpec) -> np.ndarray:
+    """Reference-exact host normalization (parity/testing path; the
+    production path folds this into ops/patch_embed.fused_patch_embed)."""
+    x = batch_u8.astype(np.float32) * spec.rescale
+    return (x - np.asarray(spec.mean, np.float32)) / np.asarray(
+        spec.std, np.float32)
