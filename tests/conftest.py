@@ -2,11 +2,14 @@
 
 TPU hardware is single-chip in CI; multi-chip sharding is validated on
 XLA's host platform with 8 virtual devices (the TPU analog of a fake
-backend — see SURVEY.md section 4)."""
+backend — see SURVEY.md section 4).
+
+Note: the image's sitecustomize pre-imports jax and pins
+JAX_PLATFORMS=axon, so the platform must be overridden through
+jax.config (backends initialize lazily), not env vars."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,12 +17,14 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # CPU oneDNN matmuls default to bf16-like precision in this jax build;
 # pin full precision so numeric tests compare against numpy references.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
 
 
 @pytest.fixture

@@ -1,0 +1,94 @@
+"""Embedding engine: fused vs. conv parity, sharded-mesh parity, padding."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from vit_research_tpu.data.preprocess import PreprocessSpec
+from vit_research_tpu.models.vit import init_vit
+from vit_research_tpu.parallel.embed import EmbeddingEngine
+from vit_research_tpu.parallel.mesh import make_mesh
+from vit_research_tpu.utils.configs import ViTConfig
+
+TINY = ViTConfig(
+    image_size=(32, 32), patch_size=8, hidden_size=64, num_layers=2,
+    num_heads=2, mlp_dim=128, use_flash_attention=False,
+)
+SPEC = PreprocessSpec(size=(32, 32), rescale=1 / 255.0,
+                      mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    return init_vit(TINY, seed=0)
+
+
+def rand_batch(n, rng=None):
+    rng = rng or np.random.default_rng(0)
+    return rng.integers(0, 256, size=(n, 32, 32, 3)).astype(np.uint8)
+
+
+def test_fused_matches_conv_path(model_params):
+    model, params = model_params
+    imgs = rand_batch(4)
+    fused = EmbeddingEngine(model, params, SPEC, batch_size=4,
+                            use_fused_patch_embed=True, interpret_pallas=True)
+    conv = EmbeddingEngine(model, params, SPEC, batch_size=4,
+                           use_fused_patch_embed=False)
+    a = fused.embed_batch(imgs)
+    b = conv.embed_batch(imgs)
+    assert a.shape == (4, 64)
+    cos = (a * b).sum(-1)
+    assert (1 - cos).max() < 1e-4  # both outputs are L2-normalized
+
+
+def test_l2_normalized(model_params):
+    model, params = model_params
+    eng = EmbeddingEngine(model, params, SPEC, batch_size=4,
+                          use_fused_patch_embed=False)
+    out = eng.embed_batch(rand_batch(4))
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, atol=1e-5)
+
+
+def test_padding_and_multi_dispatch(model_params):
+    model, params = model_params
+    eng = EmbeddingEngine(model, params, SPEC, batch_size=4,
+                          use_fused_patch_embed=False)
+    imgs = rand_batch(10)  # 3 dispatches: 4 + 4 + 2(padded)
+    out = eng.embed_batch(imgs)
+    assert out.shape == (10, 64)
+    ref = eng.embed_batch(imgs[:4])
+    np.testing.assert_allclose(out[:4], ref, atol=1e-5)
+
+
+def test_sharded_mesh_matches_single_device(model_params):
+    model, params = model_params
+    assert len(jax.devices()) == 8, "conftest should give 8 virtual devices"
+    mesh = make_mesh((8,), ("data",))
+    sharded = EmbeddingEngine(model, params, SPEC, mesh=mesh, batch_size=16,
+                              use_fused_patch_embed=False)
+    single = EmbeddingEngine(model, params, SPEC, batch_size=16,
+                             use_fused_patch_embed=False)
+    imgs = rand_batch(16)
+    a = sharded.embed_batch(imgs)
+    b = single.embed_batch(imgs)
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_embed_paths_pipeline(tmp_path, model_params):
+    from vit_research_tpu.data import synthetic
+
+    model, params = model_params
+    paths = synthetic.write_video_frames(
+        str(tmp_path / "f"), 1, [("left", 5), ("right", 5)], size=(32, 32))
+    eng = EmbeddingEngine(model, params, SPEC, batch_size=4,
+                          use_fused_patch_embed=False)
+    out = eng.embed_paths(paths, num_workers=2)
+    assert out.shape == (10, 64)
+    # Batch path and path path agree.
+    from vit_research_tpu.data.preprocess import load_frames
+
+    batch = load_frames(paths, SPEC, num_workers=2)
+    np.testing.assert_allclose(out, eng.embed_batch(batch), atol=1e-5)

@@ -145,36 +145,21 @@ class VisionTransformer(nn.Module):
     config: ViTConfig
     interpret_pallas: bool = False  # CPU testing of the Pallas paths
 
-    @nn.compact
-    def __call__(self, images, *, train: bool = False):
+    def setup(self):
         c = self.config
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
-        p = c.patch_size
-        b, h, w, _ = images.shape
-        grid = (h // p, w // p)
-
-        x = nn.Conv(
-            features=c.hidden_size, kernel_size=(p, p), strides=(p, p),
-            padding="VALID", dtype=dtype, name="patch_embed",
-        )(images.astype(dtype))
-        x = x.reshape(b, grid[0] * grid[1], c.hidden_size)
-
-        cls = self.param(
+        self._dtype = dtype
+        self.patch_embed = nn.Conv(
+            features=c.hidden_size, kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size), padding="VALID",
+            dtype=dtype, name="patch_embed")
+        self.cls = self.param(
             "cls", nn.initializers.zeros, (1, 1, c.hidden_size), jnp.float32)
-        x = jnp.concatenate([jnp.tile(cls.astype(dtype), (b, 1, 1)), x], axis=1)
-
-        pos = self.param(
-            "pos_embedding",
-            nn.initializers.truncated_normal(stddev=0.02),
+        self.pos_embedding = self.param(
+            "pos_embedding", nn.initializers.truncated_normal(stddev=0.02),
             (1, c.num_patches + 1, c.hidden_size), jnp.float32)
-        pos = interpolate_pos_embedding(pos, c.grid, grid, has_cls=True)
-        x = x + pos.astype(dtype)
-        x = nn.Dropout(c.dropout_rate, deterministic=not train)(x)
-
-        endpoints = {"tokens_before_encoder": x}
-        all_scores = []
-        for i in range(c.num_layers):
-            x, scores = EncoderBlock(
+        self.blocks = [
+            EncoderBlock(
                 num_heads=c.num_heads, mlp_dim=c.mlp_dim,
                 dropout_rate=c.dropout_rate,
                 attention_dropout_rate=c.attention_dropout_rate,
@@ -182,12 +167,50 @@ class VisionTransformer(nn.Module):
                 gelu_approximate=c.gelu_approximate,
                 use_pallas=c.use_flash_attention,
                 interpret_pallas=self.interpret_pallas,
-                name=f"block_{i}",
-            )(x, train=train, output_scores=c.output_attention_scores)
+                name=f"block_{i}")
+            for i in range(c.num_layers)
+        ]
+        self.encoder_norm = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, name="encoder_norm")
+        if c.representation_size is not None:
+            self.pre_logits_dense = nn.Dense(
+                c.representation_size, dtype=dtype, name="pre_logits")
+        self.input_dropout = nn.Dropout(c.dropout_rate)
+
+    def __call__(self, images, *, train: bool = False):
+        c = self.config
+        p = c.patch_size
+        b, h, w, _ = images.shape
+        grid = (h // p, w // p)
+        x = self.patch_embed(images.astype(self._dtype))
+        x = x.reshape(b, grid[0] * grid[1], c.hidden_size)
+        return self.encode_patch_tokens(x, grid, train=train)
+
+    def encode_patch_tokens(self, x, grid, *, train: bool = False):
+        """Everything after the patch projection. Direct entry point for
+        the fused normalize+patchify+project kernel (ops/patch_embed.py),
+        which replaces the conv in the embedding engine's hot path."""
+        c = self.config
+        dtype = self._dtype
+        b = x.shape[0]
+        x = x.astype(dtype)
+
+        x = jnp.concatenate(
+            [jnp.tile(self.cls.astype(dtype), (b, 1, 1)), x], axis=1)
+        pos = interpolate_pos_embedding(
+            self.pos_embedding, c.grid, tuple(grid), has_cls=True)
+        x = x + pos.astype(dtype)
+        x = self.input_dropout(x, deterministic=not train)
+
+        endpoints = {"tokens_before_encoder": x}
+        all_scores = []
+        for block in self.blocks:
+            x, scores = block(
+                x, train=train, output_scores=c.output_attention_scores)
             if scores is not None:
                 all_scores.append(scores)
 
-        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="encoder_norm")(x)
+        x = self.encoder_norm(x)
         endpoints["encoded_tokens"] = x
 
         if c.pooler == "token":
@@ -201,8 +224,7 @@ class VisionTransformer(nn.Module):
         endpoints["pooled"] = pooled
 
         if c.representation_size is not None and c.pooler != "none":
-            pre_logits = nn.tanh(nn.Dense(
-                c.representation_size, dtype=dtype, name="pre_logits")(pooled))
+            pre_logits = nn.tanh(self.pre_logits_dense(pooled))
         else:
             pre_logits = pooled
         endpoints["pre_logits"] = pre_logits

@@ -1,0 +1,155 @@
+"""Batched, data-parallel frame-embedding engine.
+
+Replaces the reference's per-frame / per-128-frame ``model.predict`` loops
+and the ``tf.numpy_function`` TF<->PyTorch bridge
+(reference: nba_proj/write_per_vid_embeddings_chroma.py:207-265,
+nba_proj/train/training.py:150-155, nba_proj/chroma.py:196-254,
+nba_proj/db_maintainence/build_embeddings_store.py:102-126 — the
+``hf_vit_embed_batch`` duplicated across 8 files) with one engine:
+
+- host threads decode JPEGs into pinned uint8 batches (the only host work);
+- normalize+patchify+project run fused on device (ops/patch_embed.py);
+- the ViT forward runs under ``jit`` with batch dim sharded over the mesh
+  'data' axis — XLA inserts the all-gather-free SPMD partitioning, scaling
+  embedding throughput linearly over ICI;
+- fixed batch shape => one compile; ragged tails are padded and sliced;
+- dispatch is async: batch N+1 decodes on the host while batch N runs.
+
+Output contract matches the reference embedders: the chosen endpoint
+(CLS-pooled by default), optionally L2-normalized
+(reference: nba_proj/train/training.py:57-60 normalizes; the random-ViT
+writers store raw ``pre_logits``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vit_research_tpu.data.preprocess import (
+    PreprocessSpec,
+    load_frames,
+)
+from vit_research_tpu.ops.patch_embed import fused_patch_embed
+from vit_research_tpu.parallel import mesh as mesh_lib
+
+
+class EmbeddingEngine:
+    def __init__(self, model, params, spec: PreprocessSpec, *,
+                 mesh=None, batch_size: int = 256, endpoint: str = "pooled",
+                 l2_normalize: bool = True, use_fused_patch_embed: bool = True,
+                 interpret_pallas: bool = False):
+        self.model = model
+        self.params = params
+        self.spec = spec
+        self.mesh = mesh
+        self.endpoint = endpoint
+        self.l2_normalize = l2_normalize
+        self.use_fused = use_fused_patch_embed
+        self.interpret = interpret_pallas
+        c = model.config
+        self.grid = (spec.size[0] // c.patch_size, spec.size[1] // c.patch_size)
+
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            # Keep per-device batches whole.
+            batch_size = mesh_lib.pad_to_multiple(batch_size, n_data)
+        self.batch_size = batch_size
+
+        fn = functools.partial(self._forward)
+        if mesh is not None:
+            in_sh = (mesh_lib.replicated(mesh), mesh_lib.data_sharding(mesh, 4))
+            out_sh = mesh_lib.data_sharding(mesh, 2)
+            self._jitted = jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+        else:
+            self._jitted = jax.jit(fn)
+
+    # ------------------------------------------------------------- forward
+
+    def _forward(self, params, images_u8):
+        c = self.model.config
+        spec = self.spec
+        dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        if self.use_fused:
+            p_conv = params["params"]["patch_embed"]
+            k = p_conv["kernel"]  # (P, P, C, D) HWIO
+            w = k.reshape(-1, k.shape[-1]).astype(jnp.float32)
+            tokens = fused_patch_embed(
+                images_u8, w, p_conv["bias"].astype(jnp.float32),
+                patch_size=c.patch_size, rescale=spec.rescale,
+                mean=spec.mean, std=spec.std, out_dtype=dtype,
+                use_pallas=True, interpret=self.interpret)
+            out = self.model.apply(
+                params, tokens, self.grid,
+                method=type(self.model).encode_patch_tokens)
+        else:
+            x = images_u8.astype(jnp.float32) * spec.rescale
+            x = (x - jnp.asarray(spec.mean)) / jnp.asarray(spec.std)
+            out = self.model.apply(params, x)
+        emb = out[self.endpoint].astype(jnp.float32)
+        if self.l2_normalize:
+            emb = emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb
+
+    # --------------------------------------------------------------- entry
+
+    def _dispatch(self, batch_u8: np.ndarray):
+        """Pad to the static batch size and dispatch (async)."""
+        n = batch_u8.shape[0]
+        if n < self.batch_size:
+            pad = np.zeros((self.batch_size - n, *batch_u8.shape[1:]),
+                           batch_u8.dtype)
+            batch_u8 = np.concatenate([batch_u8, pad], axis=0)
+        if self.mesh is not None:
+            batch_u8 = jax.device_put(
+                batch_u8, mesh_lib.data_sharding(self.mesh, 4))
+        return self._jitted(self.params, batch_u8), n
+
+    def embed_batch(self, batch_u8: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) uint8 -> (B, D) float32 embeddings. B can exceed the
+        engine batch size; sub-batches pipeline through the device."""
+        outs, pending = [], []
+        for start in range(0, len(batch_u8), self.batch_size):
+            pending.append(self._dispatch(batch_u8[start:start + self.batch_size]))
+        for dev_out, n in pending:
+            outs.append(np.asarray(dev_out)[:n])
+        return np.concatenate(outs, axis=0) if outs else np.zeros((0,))
+
+    def embed_paths(self, paths, num_workers: int = 8) -> np.ndarray:
+        """Decode -> embed with host/device overlap: the next batch decodes
+        while the device chews on the current one (async dispatch)."""
+        outs, pending = [], None
+        for start in range(0, len(paths), self.batch_size):
+            chunk = paths[start:start + self.batch_size]
+            batch = load_frames(chunk, self.spec, num_workers=num_workers)
+            if pending is not None:
+                dev_out, n = pending
+                outs.append(np.asarray(dev_out)[:n])
+            pending = self._dispatch(batch)
+        if pending is not None:
+            dev_out, n = pending
+            outs.append(np.asarray(dev_out)[:n])
+        return (np.concatenate(outs, axis=0) if outs
+                else np.zeros((0,), np.float32))
+
+
+def make_hf_frame_embedder(params=None, *, spec=None, mesh=None,
+                           batch_size: int = 256, seed: int = 0,
+                           interpret_pallas: bool = False) -> EmbeddingEngine:
+    """The ``hf_vit_embed_batch`` capability as one engine: ViT-B/16 @224,
+    CLS token, L2-normalized (reference: nba_proj/train/training.py:37-60).
+    Uses imported HF weights when provided, else the seeded-init contract."""
+    from vit_research_tpu.data.preprocess import HF_VIT_SPEC
+    from vit_research_tpu.models.hf_import import HF_VIT_B16_224
+    from vit_research_tpu.models.vit import init_vit
+
+    model, init_params = init_vit(HF_VIT_B16_224, seed=seed,
+                                  interpret_pallas=interpret_pallas)
+    return EmbeddingEngine(
+        model, params or init_params, spec or HF_VIT_SPEC, mesh=mesh,
+        batch_size=batch_size, endpoint="pooled", l2_normalize=True,
+        interpret_pallas=interpret_pallas)
