@@ -60,7 +60,10 @@ def fold_affine(patch_size: int, channels: int = 3, *, rescale: float = 1.0,
 
 
 def _kernel(rows_ref, w_ref, a_ref, b_ref, bias_ref, o_ref):
-    rows = rows_ref[:].astype(jnp.float32)
+    rows = rows_ref[:]
+    if rows.dtype == jnp.uint8:
+        rows = rows.astype(jnp.int32)  # Mosaic has no direct u8->f32 cast
+    rows = rows.astype(jnp.float32)
     x = rows * a_ref[:] - b_ref[:]
     o_ref[:] = (
         jax.lax.dot_general(
