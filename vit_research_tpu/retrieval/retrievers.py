@@ -1,0 +1,137 @@
+"""Batched metadata-filtered retrievers over the vector store.
+
+Re-designs of the reference retrievers with the same call contract —
+``retriever(chunk_embs (B, D), metadata{vid, side, t_center, t_width})
+-> (B, top_k, D)`` zero-padded, L2-normalized — but one device call per
+batch instead of per-sample ANN walks:
+
+- ``FrameRetriever`` (reference: nba_proj/retrieval/frame_retriever.py:9-73)
+  issued B sequential Chroma queries with
+  ``vid_num != vid AND side == side AND t_norm in [t_center +/- t_width/2]``.
+- ``RattChunkRetriever``
+  (reference: nba_proj/retrieval/ratt_chunk_retriever.py:62-159) batched
+  per side with an in-process numpy cosine scan and per-query masks.
+
+Here both build one boolean mask (B, N) from columnar metadata and run a
+single masked matmul + top-k on the MXU (ops/topk.py). Exact, batched,
+and the metadata filters are free (fused into the score matrix).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vit_research_tpu.ops.topk import masked_topk
+
+
+def _as_numpy(x):
+    if hasattr(x, "numpy"):
+        x = x.numpy()
+    return np.asarray(x)
+
+
+def _meta_arrays(metadata, b):
+    vids = np.asarray([int(v) for v in _as_numpy(metadata["vid"])[:b]])
+    sides_raw = _as_numpy(metadata["side"])[:b]
+    sides = np.asarray([
+        s.decode() if isinstance(s, bytes) else str(s) for s in sides_raw],
+        dtype=object)
+    t_center = np.asarray(_as_numpy(metadata["t_center"])[:b], np.float64)
+    t_width = np.asarray(_as_numpy(metadata["t_width"])[:b], np.float64)
+    return vids, sides, t_center, t_width
+
+
+class _StoreView:
+    """Columnar snapshot of a collection for vectorized mask building."""
+
+    def __init__(self, collection, time_field: str):
+        self.collection = collection
+        self.time_field = time_field
+        self._version = None
+
+    def refresh(self):
+        col = self.collection
+        n = col.count()
+        # Collections mutate between epochs (db_rebuild); re-snapshot when
+        # the underlying arrays changed.
+        version = (n, id(col._embeddings))
+        if version == self._version:
+            return
+        self._version = version
+        self.embeddings = col._embeddings
+        norm = np.linalg.norm(self.embeddings, axis=1, keepdims=True)
+        self.normalized = self.embeddings / (norm + 1e-8)
+        if n:
+            self.vids = np.asarray(
+                [int(v) for v in col._column("vid_num")], np.int64)
+            self.sides = col._column("side").astype(object)
+            self.times = np.asarray(
+                [float(t) for t in col._column(self.time_field)], np.float64)
+        else:
+            self.vids = np.zeros((0,), np.int64)
+            self.sides = np.zeros((0,), object)
+            self.times = np.zeros((0,), np.float64)
+
+
+class _BatchedRetriever:
+    """Shared engine: mask build + device top-k + pad/normalize."""
+
+    time_field = "t_norm"
+    normalize_query = False
+
+    def __init__(self, collection, top_k: int = 10, search_k: int = 200):
+        self.collection = collection
+        self.top_k = top_k
+        self.search_k = search_k  # kept for API parity; exact top-k needs no
+        # over-fetch (the reference over-fetched to survive HNSW recall).
+        self._view = _StoreView(collection, self.time_field)
+
+    def __call__(self, chunk_embs, metadata):
+        q = np.asarray(_as_numpy(chunk_embs), np.float32)
+        b, d = q.shape
+        if self.normalize_query:
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-8)
+
+        view = self._view
+        view.refresh()
+        n = view.embeddings.shape[0]
+        out = np.zeros((b, self.top_k, d), np.float32)
+        if n == 0:
+            return out
+
+        vids, sides, t_center, t_width = _meta_arrays(metadata, b)
+        t_min = (t_center - t_width / 2)[:, None]
+        t_max = (t_center + t_width / 2)[:, None]
+        mask = (
+            (view.vids[None, :] != vids[:, None])
+            & (view.sides[None, :] == sides[:, None])
+            & (view.times[None, :] >= t_min)
+            & (view.times[None, :] <= t_max)
+        )
+        scores, idx = masked_topk(
+            q, view.normalized, mask, k=self.top_k, metric="ip")
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        valid = scores > -1e29
+        k = idx.shape[1]
+        vecs = view.normalized[idx.reshape(-1)].reshape(b, k, d)
+        vecs = np.where(valid[:, :, None], vecs, 0.0)
+        out[:, :k] = vecs.astype(np.float32)
+        return out
+
+
+class FrameRetriever(_BatchedRetriever):
+    """Frame-level RAG retrieval: filter on ``t_norm``
+    (reference: nba_proj/retrieval/frame_retriever.py:41-53)."""
+
+    time_field = "t_norm"
+    normalize_query = False
+
+
+class RattChunkRetriever(_BatchedRetriever):
+    """Chunk-level RATT retrieval: filter on ``t_center`` and normalize
+    queries (reference: nba_proj/retrieval/ratt_chunk_retriever.py:70-71,
+    123-151)."""
+
+    time_field = "t_center"
+    normalize_query = True
