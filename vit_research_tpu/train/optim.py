@@ -1,0 +1,42 @@
+"""Optimizers, schedules, accumulation — optax equivalents of the
+reference's training machinery.
+
+- Gradient accumulation: the reference hand-rolls an ``Accumulator``
+  summing grads over N steps (reference: nba_proj/train/training.py:125-141);
+  here it's ``optax.MultiSteps``.
+- Two-phase LR: the reference swaps optimizers halfway through training
+  (reference: nba_proj/train/training.py:453-458); here it's
+  ``optax.join_schedules``.
+- Grad clipping 1.0 (reference: nba_proj/train/train_chunk_encoder.py:258-294).
+"""
+
+from __future__ import annotations
+
+import optax
+
+from vit_research_tpu.utils.configs import TrainConfig
+
+
+def two_phase_schedule(lr1: float, lr2: float, total_steps: int,
+                       split: float = 0.5):
+    boundary = max(int(total_steps * split), 1)
+    return optax.join_schedules(
+        [optax.constant_schedule(lr1), optax.constant_schedule(lr2)],
+        [boundary])
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
+    """Adam + clip + two-phase LR + accumulation, from one TrainConfig."""
+    total = max(cfg.num_epochs * steps_per_epoch, 1)
+    sched = two_phase_schedule(cfg.lr_phase1, cfg.lr_phase2, total,
+                               cfg.phase_split)
+    chain = [optax.clip_by_global_norm(cfg.grad_clip_norm)] \
+        if cfg.grad_clip_norm else []
+    if cfg.weight_decay:
+        chain.append(optax.adamw(sched, weight_decay=cfg.weight_decay))
+    else:
+        chain.append(optax.adam(sched))
+    tx = optax.chain(*chain)
+    if cfg.accum_steps and cfg.accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
+    return tx
