@@ -1,0 +1,70 @@
+"""Headline benchmark: ViT-B/16 frame-embedding throughput per chip.
+
+Measures the flagship path of the framework — the batched frame-embedding
+engine (parallel/embed.py) that replaces the reference's
+``hf_vit_embed_batch``/``model.predict`` loops — in frames/sec on one TPU
+chip, and prints ONE JSON line.
+
+Baseline context (BASELINE.md): the reference embeds with HF ViT-base at
+batch 16 per 24 GB GPU (nba_proj/db_maintainence/db_rebuild.py:176) or
+batch 1024 throughput mode (build_embeddings_store.py:20-21); the
+north-star target is 10,000 frames/sec/chip on v5e. ``vs_baseline`` is
+throughput / 10,000.
+
+Methodology: device-resident uint8 batches (decode is host work, measured
+separately by the pipeline), pipelined dispatch with a single drain, wall
+clock over >=8 steady-state batches after warmup.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import dataclasses
+
+    import jax
+
+    from vit_research_tpu.data.preprocess import HF_VIT_SPEC
+    from vit_research_tpu.models.hf_import import HF_VIT_B16_224
+    from vit_research_tpu.models.vit import init_vit
+    from vit_research_tpu.parallel.embed import EmbeddingEngine
+
+    cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
+                              use_flash_attention=False)
+    model, params = init_vit(cfg, seed=0)
+    batch = 512
+    eng = EmbeddingEngine(model, params, HF_VIT_SPEC, batch_size=batch,
+                          use_fused_patch_embed=True)
+
+    rng = np.random.default_rng(0)
+    n_buffers = 8
+    batches = [
+        jax.device_put(
+            rng.integers(0, 256, size=(batch, 224, 224, 3)).astype(np.uint8))
+        for _ in range(n_buffers)
+    ]
+    fwd = eng._jitted
+
+    # Warmup / compile.
+    _ = np.asarray(fwd(eng.params, batches[0]))
+
+    iters = 16
+    t0 = time.time()
+    outs = [fwd(eng.params, batches[i % n_buffers]) for i in range(iters)]
+    _ = [np.asarray(o) for o in outs]
+    dt = time.time() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "vit_b16_embed_throughput",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

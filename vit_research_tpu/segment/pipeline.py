@@ -1,0 +1,126 @@
+"""End-to-end possession segmentation pipelines.
+
+Two orchestrations, mirroring the reference's evolution:
+
+1. :func:`segment_with_knn_hmm` — the generate_clips_hmm path
+   (reference: nba_proj/generate_clips_hmm.py:367-490): embed every frame,
+   k-NN fused-confidence emissions against a labeled corpus, Viterbi
+   smooth, extract padded clips; confident frames are upserted back into
+   the corpus collection. The reference did 3 device/DB crossings per
+   frame (its slowest loop, SURVEY.md section 3.2); here each stage is one
+   batched pass.
+2. :func:`segment_with_temporal_head` — the "smarter" path
+   (reference: nba_proj/smarter_generate_clips.py:349-423): embed, label
+   from manual intervals, train (or reuse) the TemporalHead CNN, softmax
+   probs, Viterbi smooth, write clips.
+
+Both return the decoded sequence and the clip directories written.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from vit_research_tpu.data import naming
+from vit_research_tpu.segment import clips as clips_mod
+from vit_research_tpu.segment import knn as knn_mod
+from vit_research_tpu.segment.hmm import STATES, smooth_probabilities
+
+
+def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
+                         out_root: str | None = None,
+                         src_dir: str | None = None,
+                         k: int = 50, confidence_threshold: float = 0.7,
+                         min_len: int = 100, pad: int = 100,
+                         collection=None, vid: int | None = None,
+                         metric: str = "l2"):
+    """Args:
+      frame_names: ordered frame filenames.
+      embeddings: (N, D) frame embeddings (from parallel/embed.py).
+      corpus: dict with 'embeddings' (M, D), 'labels' (M,) int ids,
+        'probs' (M, 3) stored per-frame probabilities.
+      collection: optional vector-store collection for confident
+        write-back (reference: nba_proj/generate_clips_hmm.py:459-471).
+    Returns (decoded list[str], clip_dirs, fused dict)."""
+    nl, idx, _ = knn_mod.knn_labels(
+        embeddings, corpus["embeddings"], corpus["labels"], k, metric=metric)
+    neighbor_probs = np.asarray(corpus["probs"])[np.asarray(idx)]
+    fused = knn_mod.fused_confidence(
+        nl, neighbor_probs, top_n=k,
+        confidence_threshold=confidence_threshold)
+
+    path = smooth_probabilities(fused["emissions"])
+    decoded = [STATES[i] for i in path]
+
+    if collection is not None and fused["confident"].any():
+        sel = np.nonzero(fused["confident"])[0]
+        metas = []
+        for i in sel:
+            p = fused["upsert_probs"][i]
+            metas.append({
+                "label": STATES[fused["decision"][i]],
+                "video": vid if vid is not None
+                else naming.vid_num(frame_names[i]),
+                "left_prob": float(p[0]),
+                "right_prob": float(p[1]),
+                "none_prob": float(p[2]),
+            })
+        collection.upsert([frame_names[i] for i in sel],
+                          np.asarray(embeddings)[sel], metas)
+
+    clip_dirs = []
+    if out_root is not None and src_dir is not None:
+        clip_dirs = clips_mod.save_clips_from_sequence(
+            decoded, list(frame_names), src_dir, out_root,
+            min_len=min_len, pad=pad, vid=vid)
+    return decoded, clip_dirs, fused
+
+
+def segment_with_temporal_head(frame_names, embeddings, manual_intervals, *,
+                               out_root: str | None = None,
+                               src_dir: str | None = None,
+                               params_path: str | None = None,
+                               epochs: int = 3000, lr: float = 1e-5,
+                               min_len: int = 100, pad: int = 100,
+                               vid: int | None = None, seed: int = 0):
+    """The smarter_generate_clips pipeline. Caches trained TemporalHead
+    params at ``params_path`` (.npz) like the reference's ``.pt`` reuse
+    (reference: nba_proj/smarter_generate_clips.py:379-387)."""
+    from vit_research_tpu.models.temporal_head import TemporalHead
+    from vit_research_tpu.train.checkpoint import (
+        load_params_npz,
+        save_params_npz,
+    )
+    from vit_research_tpu.train.train_temporal import (
+        predict_probs,
+        train_temporal_head,
+    )
+
+    labels = np.asarray(manual_intervals.label_array(frame_names), np.int32)
+
+    model = TemporalHead(embed_dim=np.shape(embeddings)[-1])
+    if params_path and os.path.exists(params_path):
+        import jax
+        import jax.numpy as jnp
+
+        template = model.init(jax.random.PRNGKey(seed),
+                              jnp.zeros((1, 4, np.shape(embeddings)[-1])))
+        params = load_params_npz(template, params_path)
+    else:
+        model, params, _ = train_temporal_head(
+            embeddings, labels, epochs=epochs, lr=lr, seed=seed)
+        if params_path:
+            save_params_npz(params, params_path)
+
+    probs = predict_probs(model, params, embeddings)
+    path = smooth_probabilities(probs)
+    decoded = [STATES[i] for i in path]
+
+    clip_dirs = []
+    if out_root is not None and src_dir is not None:
+        clip_dirs = clips_mod.save_clips_from_sequence(
+            decoded, list(frame_names), src_dir, out_root,
+            min_len=min_len, pad=pad, vid=vid)
+    return decoded, clip_dirs, probs

@@ -86,7 +86,11 @@ class ViTConfig(_Serializable):
     # 'exact' matches HF ViT (erf GELU); 'tanh' is the cheaper approximation.
     gelu_approximate: bool = False
     dtype: str = "float32"  # compute dtype: 'float32' | 'bfloat16'
-    use_flash_attention: bool = True  # Pallas kernel on TPU, XLA fallback off-TPU
+    # Pallas fused attention. Default off: at ViT sequence lengths
+    # (197-325 tokens) XLA's batched attention measured faster on v5e than
+    # the current kernel (2243 vs 1744 fps on ViT-B/16 embed); the kernel
+    # stays available for longer sequences and future tuning.
+    use_flash_attention: bool = False
     output_attention_scores: bool = False
 
     @property
