@@ -1,0 +1,239 @@
+"""Stage-2 per-chunk retrieval cache: sim / contrast / temporal branches.
+
+Equivalent of the reference's stage-2 cache
+(reference: nba_proj/train/training_stage2.py:422-805,868-941):
+
+- every chunk is encoded with the frozen ChunkEncoder;
+- ``future`` chunk = the chunk ``FUTURE_CHUNK_STEP`` windows ahead within
+  the same (vid, clip) (reference: :78-96,496-507);
+- **sim**: top K_SIM same-side, same-label neighbors of the chunk's own
+  embedding; **contrast**: top K_CONTRAST same-side, different-label;
+  **temporal**: top K_TEMPORAL same-side neighbors of the *future*
+  chunk's embedding — all with self-exclusion and signature dedup, padded
+  with zero embeddings and a PAD meta template;
+- cached entries are pickled with periodic checkpoints; validation uses
+  the same logic LIVE against the current collection
+  (reference: :269-389,894-941 ``fetch_live_batch``).
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+PAD_META = {
+    "label": -1, "side": "PAD", "vid": -1, "clip": -1,
+    "t_center": -1.0, "t_width": -1.0, "start_idx": -1, "end_idx": -1,
+}
+
+
+def make_chunk_key(chunk) -> tuple:
+    return (int(chunk["vid"]), int(chunk["clip"]), int(chunk["start_idx"]))
+
+
+def dedup_signature(meta) -> tuple:
+    return (int(meta["vid_num"]), round(float(meta["t_center"]), 5))
+
+
+def same_chunk_meta(query_meta, cand_meta) -> bool:
+    return (int(query_meta["vid"]) == int(cand_meta["vid_num"])
+            and int(query_meta["clip"]) == int(cand_meta["clip_num"])
+            and int(query_meta["start_idx"]) == int(cand_meta["start_idx"]))
+
+
+def build_future_lookup(all_chunks, future_step: int) -> dict:
+    """chunk key -> key of the chunk ``future_step`` windows ahead in the
+    same clip, or None (reference: nba_proj/train/training_stage2.py:78-96)."""
+    by_clip: dict = {}
+    for ch in all_chunks:
+        by_clip.setdefault((int(ch["vid"]), int(ch["clip"])), []).append(ch)
+    lookup = {}
+    for (vid, clip), chunks in by_clip.items():
+        chunks = sorted(chunks, key=lambda c: int(c["start_idx"]))
+        keys = [make_chunk_key(c) for c in chunks]
+        for i, k in enumerate(keys):
+            j = i + future_step
+            lookup[k] = keys[j] if j < len(keys) else None
+    return lookup
+
+
+def _meta_from_chunk(ch) -> dict:
+    return {
+        "label": int(ch["label"]), "side": str(ch["side"]),
+        "vid": int(ch["vid"]), "clip": int(ch["clip"]),
+        "t_center": float(ch["t_center"]), "t_width": float(ch["t_width"]),
+        "start_idx": int(ch["start_idx"]), "end_idx": int(ch["end_idx"]),
+    }
+
+
+def _pad_or_trim(items, k, dim):
+    embs = np.zeros((k, dim), np.float32)
+    metas = [dict(PAD_META) for _ in range(k)]
+    for i, it in enumerate(items[:k]):
+        embs[i] = it["emb"]
+        metas[i] = it["meta"]
+    return embs, metas
+
+
+def _select_branch(candidates, query_meta, *, want, k, dim):
+    """want: 'same' | 'diff' | 'any' (label relation to the query)."""
+    items, seen = [], set()
+    q_label = int(query_meta["label"])
+    for cand in candidates:
+        m = cand["meta"]
+        if same_chunk_meta(query_meta, m):
+            continue
+        if str(m["side"]) != str(query_meta["side"]):
+            continue
+        sig = dedup_signature(m)
+        if sig in seen:
+            continue
+        lbl = int(m.get("label", -1))
+        if want == "same" and lbl != q_label:
+            continue
+        if want == "diff" and lbl == q_label:
+            continue
+        items.append(cand)
+        seen.add(sig)
+        if len(items) >= k:
+            break
+    return _pad_or_trim(items, k, dim)
+
+
+def _query(collection, emb, search_k):
+    res = collection.query(query_embeddings=np.asarray(emb, np.float32),
+                           n_results=search_k,
+                           include=("embeddings", "metadatas"))
+    out = []
+    for e, m in zip(res["embeddings"][0], res["metadatas"][0]):
+        out.append({"emb": np.asarray(e, np.float32), "meta": m})
+    return out
+
+
+def build_live_entry(chunk, query_emb, future_emb, collection, *,
+                     k_sim: int, k_contrast: int, k_temporal: int,
+                     search_k_content: int = 64,
+                     search_k_temporal: int = 32) -> dict:
+    """One chunk's sim/contrast/temporal branches against the *current*
+    collection (shared by the cache builder and the live validation path)."""
+    dim = int(np.shape(query_emb)[-1])
+    query_meta = _meta_from_chunk(chunk)
+
+    content = _query(collection, query_emb, search_k_content)
+    sim_embs, sim_meta = _select_branch(
+        content, query_meta, want="same", k=k_sim, dim=dim)
+    con_embs, con_meta = _select_branch(
+        content, query_meta, want="diff", k=k_contrast, dim=dim)
+
+    temporal = _query(collection, future_emb, search_k_temporal)
+    tmp_embs, tmp_meta = _select_branch(
+        temporal, query_meta, want="any", k=k_temporal, dim=dim)
+
+    return {
+        "query_emb": np.asarray(query_emb, np.float32),
+        "future_emb": np.asarray(future_emb, np.float32),
+        "query_meta": query_meta,
+        "sim_embs": sim_embs, "sim_meta": sim_meta,
+        "contrast_embs": con_embs, "contrast_meta": con_meta,
+        "temporal_embs": tmp_embs, "temporal_meta": tmp_meta,
+    }
+
+
+def build_stage2_cache(all_chunks, encode_fn, collection, *,
+                       k_sim: int, k_contrast: int, k_temporal: int,
+                       future_step: int = 2, search_k_content: int = 64,
+                       search_k_temporal: int = 32,
+                       checkpoint_path: str | None = None,
+                       checkpoint_every: int = 100,
+                       verbose: bool = False) -> dict:
+    """Full cache build.
+
+    Args:
+      encode_fn: callable(chunk dict) -> (D,) embedding (frozen
+        ChunkEncoder from the memmap store,
+        reference: nba_proj/train/training_stage2.py:391-398).
+    """
+    keys = [make_chunk_key(ch) for ch in all_chunks]
+    embs = {k: np.asarray(encode_fn(ch), np.float32)
+            for k, ch in zip(keys, all_chunks)}
+    future = build_future_lookup(all_chunks, future_step)
+
+    cache: dict = {}
+    for i, (key, chunk) in enumerate(zip(keys, all_chunks)):
+        query_emb = embs[key]
+        next_key = future.get(key)
+        future_emb = (np.zeros_like(query_emb) if next_key is None
+                      else embs[next_key])
+        cache[key] = build_live_entry(
+            chunk, query_emb, future_emb, collection,
+            k_sim=k_sim, k_contrast=k_contrast, k_temporal=k_temporal,
+            search_k_content=search_k_content,
+            search_k_temporal=search_k_temporal)
+        if verbose and (i + 1) % 10 == 0:
+            print(f"[CACHE] built {i + 1}/{len(all_chunks)}")
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            save_cache(cache, checkpoint_path)
+    if checkpoint_path:
+        save_cache(cache, checkpoint_path)
+    return cache
+
+
+def fetch_cache_batch(cache, chunks):
+    """Batch of cached entries -> dict of stacked arrays
+    (reference: nba_proj/train/training_stage2.py:868-892)."""
+    entries = [cache[make_chunk_key(ch)] for ch in chunks]
+    return _stack_entries(entries)
+
+
+def fetch_live_batch(chunks, encode_fn, collection, *, k_sim, k_contrast,
+                     k_temporal, future_step: int = 2,
+                     search_k_content: int = 64, search_k_temporal: int = 32,
+                     all_chunks=None):
+    """Live (uncached) retrieval for validation
+    (reference: nba_proj/train/training_stage2.py:894-941)."""
+    pool = all_chunks if all_chunks is not None else chunks
+    future = build_future_lookup(pool, future_step)
+    embs = {make_chunk_key(ch): np.asarray(encode_fn(ch), np.float32)
+            for ch in pool}
+    entries = []
+    for ch in chunks:
+        key = make_chunk_key(ch)
+        next_key = future.get(key)
+        future_emb = (np.zeros_like(embs[key]) if next_key is None
+                      else embs.get(next_key, np.zeros_like(embs[key])))
+        entries.append(build_live_entry(
+            ch, embs[key], future_emb, collection,
+            k_sim=k_sim, k_contrast=k_contrast, k_temporal=k_temporal,
+            search_k_content=search_k_content,
+            search_k_temporal=search_k_temporal))
+    return _stack_entries(entries)
+
+
+def _stack_entries(entries) -> dict:
+    def meta_labels(key):
+        return np.asarray([[int(m["label"]) for m in e[key]]
+                           for e in entries], np.int32)
+
+    return {
+        "query_emb": np.stack([e["query_emb"] for e in entries]),
+        "future_emb": np.stack([e["future_emb"] for e in entries]),
+        "sim_embs": np.stack([e["sim_embs"] for e in entries]),
+        "contrast_embs": np.stack([e["contrast_embs"] for e in entries]),
+        "temporal_embs": np.stack([e["temporal_embs"] for e in entries]),
+        "sim_labels": meta_labels("sim_meta"),
+        "contrast_labels": meta_labels("contrast_meta"),
+        "temporal_labels": meta_labels("temporal_meta"),
+        "labels": np.asarray([int(e["query_meta"]["label"])
+                              for e in entries], np.int32),
+    }
+
+
+def save_cache(cache: dict, path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(cache, f)
+
+
+def load_cache(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
