@@ -1,0 +1,94 @@
+"""Shared training-loop infrastructure.
+
+The reference's loops share a skeleton — chunk batches, eager retrieval
+between steps, GradientTape steps, per-epoch evaluate, weight saves
+(reference: nba_proj/train/training.py:360-480 and siblings). Here the
+skeleton is: host-side batcher (seeded shuffle, fixed shapes) ->
+host retrieval (fixed-K padded) -> ONE jitted train step (grads, optax
+update, metrics) -> per-epoch diagnostics + Orbax checkpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import numpy as np
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def chunk_metadata_batch(batch_chunks) -> dict:
+    """Chunk dicts -> columnar metadata arrays (the reference shipped
+    these as tf tensors through tf.data, nba_proj/dataset.py:427-469)."""
+    return {
+        "vid": np.asarray([c["vid"] for c in batch_chunks], np.int32),
+        "clip": np.asarray([c["clip"] for c in batch_chunks], np.int32),
+        "side": np.asarray([c["side"] for c in batch_chunks], dtype=object),
+        "t_center": np.asarray([c["t_center"] for c in batch_chunks],
+                               np.float32),
+        "t_width": np.asarray([c["t_width"] for c in batch_chunks],
+                              np.float32),
+        "label": np.asarray([c["label"] for c in batch_chunks], np.int32),
+        "status_id": np.asarray([c["status_id"] for c in batch_chunks],
+                                np.int32),
+        "start_idx": np.asarray([c["start_idx"] for c in batch_chunks],
+                                np.int32),
+    }
+
+
+def batch_iterator(items, batch_size: int, *, shuffle: bool = True,
+                   seed: int = 0, drop_remainder: bool = True):
+    """Seeded-shuffle batch iterator (reference: seeded dataset shuffle,
+    nba_proj/dataset.py:460; drop_remainder keeps shapes static for jit)."""
+    idx = np.arange(len(items))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    end = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
+    for start in range(0, end, batch_size):
+        yield [items[i] for i in idx[start:start + batch_size]]
+
+
+def num_batches(n_items: int, batch_size: int,
+                drop_remainder: bool = True) -> int:
+    return n_items // batch_size if drop_remainder else -(-n_items // batch_size)
+
+
+def tree_finite(tree) -> bool:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return all(bool(np.isfinite(np.asarray(x)).all()) for x in leaves)
+
+
+def split_train_val(items, val_frac: float = 0.2, seed: int = 0):
+    idx = np.arange(len(items))
+    np.random.default_rng(seed).shuffle(idx)
+    n_val = max(1, int(len(items) * val_frac))
+    val = [items[i] for i in idx[:n_val]]
+    train = [items[i] for i in idx[n_val:]]
+    return train, val
+
+
+class MetricAverager:
+    """Streaming scalar means (keras Mean metric analog,
+    reference: nba_proj/train/training_stage2.py:1330-1334)."""
+
+    def __init__(self):
+        self.sums: dict = {}
+        self.counts: dict = {}
+
+    def update(self, **metrics):
+        for k, v in metrics.items():
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            self.counts[k] = self.counts.get(k, 0) + 1
+
+    def result(self) -> dict:
+        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+
+    def reset(self):
+        self.sums, self.counts = {}, {}

@@ -1,0 +1,155 @@
+"""Stage 1: supervised ChunkEncoder training from the memmap frame store.
+
+Equivalent of the reference's stage-1 loop
+(reference: nba_proj/train/train_chunk_encoder.py:218-559): batches gather
+(B, T, 768) frame embeddings straight from the memmap (no image decode in
+the loop), the train step applies label smoothing (0.9 / 0.05), a 0.5x
+BCE scale, and gradient clipping 1.0 (:258-294); per-epoch validation
+tracks accuracy + confusion counts (:184-213) and the conditioned
+embedding-separation metric (:60-123); the best-by-val-acc checkpoint is
+kept. The reference's per-block weight pickles (:553-558, written against
+attributes ChunkEncoder didn't define) are unnecessary here — Orbax
+checkpoints the whole param tree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_research_tpu.db.frame_store import gather_chunk_embedding_batch
+from vit_research_tpu.models.heads import ChunkEncoder
+from vit_research_tpu.train import losses
+from vit_research_tpu.train.common import (
+    MetricAverager,
+    TrainState,
+    batch_iterator,
+)
+from vit_research_tpu.train.diagnostics import (
+    confusion_counts,
+    conditioned_separation,
+)
+from vit_research_tpu.utils.configs import ChunkEncoderConfig
+
+
+def make_step_fns(model: ChunkEncoder, tx):
+    def loss_fn(params, frame_embs, labels, rng):
+        _, logits = model.apply(params, frame_embs, train=True,
+                                rngs={"dropout": rng})
+        # Label smoothing 0.9/0.05 and 0.5x scale, reference semantics.
+        smooth = labels * 0.85 + 0.05
+        loss = 0.5 * losses.bce_with_logits(smooth, logits)
+        return loss, logits
+
+    @jax.jit
+    def train_step(state_params, opt_state, frame_embs, labels, rng):
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state_params, frame_embs, labels, rng)
+        updates, opt_state = tx.update(grads, opt_state, state_params)
+        params = optax.apply_updates(state_params, updates)
+        acc = losses.compute_accuracy(labels, logits)
+        return params, opt_state, loss, acc
+
+    @jax.jit
+    def eval_step(params, frame_embs, labels):
+        emb, logits = model.apply(params, frame_embs)
+        loss = 0.5 * losses.bce_with_logits(labels, logits)
+        acc = losses.compute_accuracy(labels, logits)
+        return emb, logits, loss, acc
+
+    return train_step, eval_step
+
+
+def train_chunk_encoder(store, chunk_index, train_ids, val_ids, *,
+                        config: ChunkEncoderConfig | None = None,
+                        num_epochs: int = 10, batch_size: int = 32,
+                        lr: float = 1e-4, grad_clip: float = 1.0,
+                        seed: int = 42, ckpt_manager=None,
+                        verbose: bool = False):
+    """Returns (model, best_params, history)."""
+    config = config or ChunkEncoderConfig()
+    model = ChunkEncoder(config)
+    t = chunk_index["frame_idx"].shape[1]
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.zeros((1, t, config.embed_dim)))
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(lr))
+    state = TrainState(params=params, opt_state=tx.init(params))
+    train_step, eval_step = make_step_fns(model, tx)
+
+    labels_all = chunk_index["label"]
+    best_acc, best_params = -1.0, params
+    history = []
+    for epoch in range(num_epochs):
+        m = MetricAverager()
+        for batch_ids in batch_iterator(list(train_ids), batch_size,
+                                        seed=seed + epoch):
+            ids = np.asarray(batch_ids)
+            frame_embs = jnp.asarray(
+                gather_chunk_embedding_batch(store, chunk_index, ids))
+            labels = jnp.asarray(labels_all[ids], jnp.float32)
+            key, sub = jax.random.split(key)
+            state.params, state.opt_state, loss, acc = train_step(
+                state.params, state.opt_state, frame_embs, labels, sub)
+            state.step += 1
+            m.update(train_loss=loss, train_acc=acc)
+
+        # Validation with confusion + conditioned separation diagnostics.
+        conf = {"tp": 0, "tn": 0, "fp": 0, "fn": 0}
+        val_embs, val_labels, val_meta = [], [], []
+        for batch_ids in batch_iterator(list(val_ids), batch_size,
+                                        shuffle=False, drop_remainder=False):
+            ids = np.asarray(batch_ids)
+            frame_embs = jnp.asarray(
+                gather_chunk_embedding_batch(store, chunk_index, ids))
+            labels = jnp.asarray(labels_all[ids], jnp.float32)
+            emb, logits, loss, acc = eval_step(state.params, frame_embs,
+                                               labels)
+            m.update(val_loss=loss, val_acc=acc)
+            for k, v in confusion_counts(labels, logits).items():
+                conf[k] += int(v)
+            val_embs.append(np.asarray(emb))
+            val_labels.append(np.asarray(labels))
+            val_meta.append(ids)
+
+        metrics = m.result()
+        metrics.update({f"val_{k}": v for k, v in conf.items()})
+        if val_embs:
+            ids = np.concatenate(val_meta)
+            sep = conditioned_separation(
+                np.concatenate(val_embs), np.concatenate(val_labels),
+                chunk_index["side"][ids], chunk_index["t_center"][ids],
+                chunk_index["vid"][ids])
+            metrics["separation_gap"] = sep["gap"]
+        history.append(metrics)
+        if verbose:
+            print(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in metrics.items()
+                if isinstance(v, float)))
+
+        val_acc = metrics.get("val_acc", 0.0)
+        if val_acc > best_acc:
+            best_acc, best_params = val_acc, state.params
+        if ckpt_manager is not None:
+            ckpt_manager.save(epoch, {"params": state.params,
+                                      "opt_state": state.opt_state,
+                                      "step": state.step},
+                              metrics={k: v for k, v in metrics.items()
+                                       if isinstance(v, (int, float))})
+            ckpt_manager.maybe_update_best(epoch, val_acc)
+    return model, best_params, history
+
+
+def make_encode_fn(model: ChunkEncoder, params):
+    """Frozen-encoder callable for the DB writers / cache builders:
+    (B, T, D) -> (chunk_embs, class_logits)."""
+    @jax.jit
+    def _encode(frame_embs):
+        return model.apply(params, frame_embs)
+
+    def encode(frame_embs):
+        emb, logit = _encode(jnp.asarray(frame_embs, jnp.float32))
+        return np.asarray(emb), np.asarray(logit)
+
+    return encode
