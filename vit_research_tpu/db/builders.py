@@ -150,7 +150,7 @@ def write_ratt_chunk_db(chunk_index, store, encode_fn, collections, *,
         frame_embs = gather_chunk_embedding_batch(store, chunk_index,
                                                   ids_range)
         chunk_embs, class_logits = encode_fn(frame_embs)
-        chunk_embs = np.asarray(chunk_embs, np.float32)
+        chunk_embs = np.array(chunk_embs, np.float32)  # writable copy
         if l2_normalize:
             chunk_embs /= (np.linalg.norm(chunk_embs, axis=1, keepdims=True)
                            + 1e-8)
