@@ -1,0 +1,92 @@
+"""Temporally-strided embedding with inter-frame reuse."""
+
+import os
+
+import numpy as np
+
+from vit_research_tpu.data import synthetic
+from vit_research_tpu.data.preprocess import PreprocessSpec
+from vit_research_tpu.models.vit import init_vit
+from vit_research_tpu.parallel.embed import EmbeddingEngine, embed_video_strided
+from vit_research_tpu.utils.configs import ViTConfig
+
+TINY = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
+                 num_layers=1, num_heads=2, mlp_dim=64,
+                 use_flash_attention=False)
+SPEC = PreprocessSpec(size=(32, 32))
+
+
+def make_engine():
+    model, params = init_vit(TINY, seed=0)
+    return EmbeddingEngine(model, params, SPEC, batch_size=8,
+                           use_fused_patch_embed=False)
+
+
+def test_strided_keyframes_and_interp(tmp_path):
+    paths = synthetic.write_video_frames(
+        str(tmp_path / "f"), 1, [("left", 7), ("right", 6)], size=(32, 32))
+    eng = make_engine()
+    full = eng.embed_paths(paths, num_workers=2)
+    strided = embed_video_strided(eng, paths, stride=3, num_workers=2)
+    assert strided.shape == full.shape
+    # Keyframes match the full embedding exactly (modulo final L2 norm).
+    for i in range(0, len(paths), 3):
+        cos = strided[i] @ full[i]
+        assert cos > 0.9999
+    # Interior frames are close to the full embedding (smooth content).
+    cos_all = np.sum(strided * full, axis=1)
+    assert cos_all.mean() > 0.9
+    # Rows L2-normalized.
+    np.testing.assert_allclose(np.linalg.norm(strided, axis=1), 1.0,
+                               atol=1e-5)
+
+
+def test_strided_hold_mode(tmp_path):
+    paths = synthetic.write_video_frames(
+        str(tmp_path / "f"), 1, [("left", 9)], size=(32, 32))
+    eng = make_engine()
+    out = embed_video_strided(eng, paths, stride=4, interpolate=False,
+                              num_workers=1)
+    np.testing.assert_allclose(out[1], out[0], atol=1e-6)
+    np.testing.assert_allclose(out[5], out[4], atol=1e-6)
+
+
+def test_strided_segmentation_matches_full(tmp_path):
+    """HMM segmentation from strided embeddings decodes the same
+    boundaries (the design justification)."""
+    from vit_research_tpu.segment import knn as knn_mod
+    from vit_research_tpu.segment.hmm import STATES, smooth_probabilities
+
+    import dataclasses
+
+    paths = synthetic.write_video_frames(
+        str(tmp_path / "f"), 1,
+        [("left", 40), ("none", 10), ("right", 40)], size=(32, 32))
+    truth = ["left"] * 40 + ["none"] * 10 + ["right"] * 40
+    # GAP pooling: a shallow random ViT's CLS is nearly content-blind,
+    # while the patch-token mean carries the side signal directly.
+    model, params = init_vit(dataclasses.replace(TINY, pooler="gap"), seed=0)
+    eng = EmbeddingEngine(model, params, SPEC, batch_size=8,
+                          use_fused_patch_embed=False)
+
+    # Seed corpus from a second synthetic video.
+    seed_paths = synthetic.write_video_frames(
+        str(tmp_path / "g"), 2,
+        [("left", 30), ("none", 30), ("right", 30)], size=(32, 32))
+    corpus = eng.embed_paths(seed_paths, num_workers=2)
+    corpus_labels = np.asarray([0] * 30 + [2] * 30 + [1] * 30)
+
+    def decode(embs):
+        nl, _, _ = knn_mod.knn_labels(embs, corpus, corpus_labels, k=15,
+                                      metric="ip")
+        counts = knn_mod.vote_counts(nl).astype(np.float64)
+        probs = counts / counts.sum(axis=1, keepdims=True)
+        return [STATES[i] for i in smooth_probabilities(probs)]
+
+    full = decode(eng.embed_paths(paths, num_workers=2))
+    strided = decode(embed_video_strided(eng, paths, stride=4,
+                                         num_workers=2))
+    agree_full = np.mean([a == b for a, b in zip(full, truth)])
+    agree_strided = np.mean([a == b for a, b in zip(strided, truth)])
+    assert agree_full > 0.9
+    assert agree_strided > agree_full - 0.05  # near-parity at 4x speed

@@ -19,16 +19,20 @@ from vit_research_tpu.data import naming
 
 def synth_frame(vid: int, fnum: int, side: str, size=(48, 64),
                 rng=None) -> np.ndarray:
-    """RGB uint8 frame whose left/right half brightness encodes the side."""
+    """RGB uint8 frame encoding the side two ways: half-image brightness
+    (spatial signal, for position-aware features) and a channel tint
+    (red=left, blue=right; survives spatially-symmetric pooling)."""
     rng = rng or np.random.default_rng(vid * 100003 + fnum)
     h, w = size
-    img = rng.integers(60, 120, size=(h, w, 3), dtype=np.uint8)
+    img = rng.integers(60, 120, size=(h, w, 3), dtype=np.uint8).astype(np.int32)
     half = w // 2
     if side == "left":
-        img[:, :half] = np.minimum(img[:, :half].astype(np.int32) + 100, 255)
+        img[:, :half] += 100
+        img[:, :, 0] += 50
     elif side == "right":
-        img[:, half:] = np.minimum(img[:, half:].astype(np.int32) + 100, 255)
-    return img.astype(np.uint8)
+        img[:, half:] += 100
+        img[:, :, 2] += 50
+    return np.minimum(img, 255).astype(np.uint8)
 
 
 def write_video_frames(root: str, vid: int, segments,

@@ -137,6 +137,50 @@ class EmbeddingEngine:
                 else np.zeros((0,), np.float32))
 
 
+def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
+                        interpolate: bool = True,
+                        num_workers: int = 8) -> np.ndarray:
+    """Temporally-strided embedding with inter-frame reuse.
+
+    Consecutive broadcast frames are nearly identical, so embedding every
+    frame wastes ViT forward passes (the insight behind inter-frame
+    computation-reuse designs such as ResidualViT and Deja Vu — see
+    PAPERS.md). This embeds every ``stride``-th frame exactly and linearly
+    interpolates the embeddings in between — downstream consumers (kNN
+    votes + HMM smoothing, chunk mean-pools) are smooth in embedding
+    space, and the HMM's transition prior absorbs the interpolation noise.
+    Effective throughput multiplies by ~``stride`` for the
+    embed+segment path (BASELINE.md: <5 s per 10-min video).
+
+    Returns (N, D) embeddings aligned with ``paths``.
+    """
+    n = len(paths)
+    if n == 0:
+        return np.zeros((0,), np.float32)
+    key_idx = list(range(0, n, stride))
+    if key_idx[-1] != n - 1:
+        key_idx.append(n - 1)
+    key_embs = engine.embed_paths([paths[i] for i in key_idx],
+                                  num_workers=num_workers)
+    d = key_embs.shape[1]
+    out = np.empty((n, d), np.float32)
+    if not interpolate:
+        # Hold each keyframe's embedding until the next (zero-order hold).
+        for j, i in enumerate(key_idx):
+            end = key_idx[j + 1] if j + 1 < len(key_idx) else n
+            out[i:end] = key_embs[j]
+        return out
+    for j in range(len(key_idx) - 1):
+        i0, i1 = key_idx[j], key_idx[j + 1]
+        span = i1 - i0
+        w = np.arange(span, dtype=np.float32)[:, None] / span
+        out[i0:i1] = (1.0 - w) * key_embs[j] + w * key_embs[j + 1]
+    out[n - 1] = key_embs[-1]
+    if engine.l2_normalize:
+        out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+    return out
+
+
 def make_hf_frame_embedder(params=None, *, spec=None, mesh=None,
                            batch_size: int = 256, seed: int = 0,
                            interpret_pallas: bool = False) -> EmbeddingEngine:
