@@ -99,13 +99,24 @@ def preprocess_frame(path_or_img, size: tuple = FRAME_SIZE,
 
 
 def load_frames(paths, spec: PreprocessSpec = HF_VIT_SPEC,
-                num_workers: int = 8) -> np.ndarray:
+                num_workers: int = 8, use_native: bool = False) -> np.ndarray:
     """Parallel decode+resize -> (N, H, W, 3) uint8 batch.
 
     Host-side parallelism replaces the reference's fork Pools
     (reference: nba_proj/db_maintainence/db_rebuild.py:119,
     nba_proj/write_clips_to_ragdb.py:300) with a thread pool — decode
-    releases the GIL in PIL, and the output feeds straight to HBM."""
+    releases the GIL in PIL, and the output feeds straight to HBM.
+
+    ``use_native=True`` routes JPEGs through the C decoder
+    (native/jpeg_fast.c): libjpeg DCT-scaled decode fused with the
+    resize, ~2x faster per core. Its bilinear sampling is not
+    antialiased, so keep the default (PIL) for HF-parity paths."""
+    if use_native:
+        from vit_research_tpu import native
+
+        if native.is_available() and all(
+                str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
+            return native.decode_batch(list(paths), spec.size)
     out = np.empty((len(paths), spec.size[0], spec.size[1], 3), np.uint8)
 
     def work(i_path):

@@ -1,0 +1,108 @@
+"""ctypes bindings for the native JPEG decoder (jpeg_fast.c).
+
+Compiles the shared library on first use (cc -O3 -ljpeg), caches it next
+to the source, and degrades gracefully (``is_available() -> False``) when
+no compiler or libjpeg is present — callers fall back to PIL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "jpeg_fast.c")
+_SO = os.path.join(_HERE, "_jpeg_fast.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _build() -> bool:
+    for cc in ("cc", "gcc", "g++"):
+        try:
+            result = subprocess.run(
+                [cc, "-O3", "-shared", "-fPIC", _SRC, "-ljpeg", "-o", _SO],
+                capture_output=True, timeout=120)
+            if result.returncode == 0:
+                return True
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+    return False
+
+
+def _get_lib():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.decode_resize.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p]
+        lib.decode_resize.restype = ctypes.c_int
+        lib.decode_files.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.decode_files.restype = ctypes.c_int
+        _lib = lib
+    return _lib
+
+
+def is_available() -> bool:
+    return _get_lib() is not None
+
+
+def decode_file(path: str, target_hw: tuple) -> np.ndarray:
+    """Decode one JPEG file to exactly (H, W, 3) uint8 RGB."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native jpeg decoder unavailable")
+    h, w = target_hw
+    with open(path, "rb") as f:
+        data = f.read()
+    out = np.empty((h, w, 3), np.uint8)
+    rc = lib.decode_resize(data, len(data), h, w,
+                           out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"jpeg decode failed ({rc}): {path}")
+    return out
+
+
+def decode_batch(paths, target_hw: tuple, out: np.ndarray | None = None
+                 ) -> np.ndarray:
+    """Decode many files to (N, H, W, 3) uint8 in one C call (GIL-free)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native jpeg decoder unavailable")
+    h, w = target_hw
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, h, w, 3), np.uint8)
+    status = np.zeros((n,), np.int32)
+    blob = b"\0".join(os.fsencode(p) for p in paths) + b"\0"
+    lib.decode_files(blob, n, h, w,
+                     out.ctypes.data_as(ctypes.c_void_p),
+                     status.ctypes.data_as(ctypes.c_void_p))
+    bad = np.nonzero(status)[0]
+    if len(bad):
+        raise ValueError(
+            f"jpeg decode failed for {len(bad)} files, first: "
+            f"{paths[bad[0]]} (status {status[bad[0]]})")
+    return out
