@@ -115,7 +115,7 @@ def test_full_pipeline(tmp_path):
 
     n = len(chunks)
     ce_cfg = ChunkEncoderConfig(embed_dim=D, num_layers=1, num_heads=2,
-                                max_len=6)
+                                mlp_dim=4 * D, max_len=6)
     ce_model, ce_params, ce_hist = train_chunk_encoder(
         store, idx, list(range(0, n, 2)), list(range(1, n, 2)),
         config=ce_cfg, num_epochs=2, batch_size=4)

@@ -26,7 +26,7 @@ D = 64
 HEAD_CFG = HeadConfig(embed_dim=D, num_layers=2, num_heads=2, mlp_dim=32,
                       num_queries=3, max_tokens=32, dtype="float32")
 CE_CFG = ChunkEncoderConfig(embed_dim=D, num_layers=2, num_heads=2,
-                            max_len=12)
+                            mlp_dim=4 * D, max_len=12)
 
 
 def rng_data(*shape, seed=0):

@@ -211,7 +211,7 @@ def test_train_chunk_encoder_loop(tmp_path):
     idx = build_chunk_index(chunks, store, str(tmp_path / "store"))
     n = len(chunks)
     cfg = ChunkEncoderConfig(embed_dim=D, num_layers=1, num_heads=2,
-                             max_len=T)
+                             mlp_dim=4 * D, max_len=T)
     model, best_params, history = train_chunk_encoder(
         store, idx, list(range(n - 4)), list(range(n - 4, n)),
         config=cfg, num_epochs=2, batch_size=4)

@@ -74,11 +74,7 @@ def wipe_collection(collection, keep_where: dict | None = None) -> None:
     """Reset a collection before rebuild. The reference deleted everything
     except a sentinel (delete where vid_num != 'vid0',
     reference: nba_proj/db_maintainence/db_rebuild.py:121)."""
-    if keep_where is None:
-        collection.delete(where={"vid_num": {"$gte": -10 ** 9}})
-        collection.delete(where={})
-    else:
-        collection.delete(where=keep_where)
+    collection.delete(where=keep_where if keep_where is not None else {})
 
 
 def rebuild_frame_db(samples, embed_fn, project_fn, collection, *,

@@ -115,7 +115,7 @@ class ChunkEncoder(nn.Module):
         scores_all = []
         for i in range(c.num_layers):
             x, scores = EncoderBlock(
-                num_heads=c.num_heads, mlp_dim=c.embed_dim * 4,
+                num_heads=c.num_heads, mlp_dim=c.mlp_dim,
                 dropout_rate=c.dropout_rate,
                 attention_dropout_rate=c.dropout_rate,
                 dtype=dtype, interpret_pallas=self.interpret_pallas,

@@ -160,15 +160,19 @@ class Collection:
 
     add = upsert  # the reference only uses idempotent upserts
 
-    def delete(self, ids: Sequence[str] | None = None, where: dict | None = None):
+    def delete(self, ids: Sequence[str] | None = None,
+               where: dict | None = None):
+        """Delete by ids or filter. ``where={}`` deletes everything;
+        calling with neither argument is an error (Chroma semantics)."""
         with self._lock:
+            if ids is None and where is None:
+                raise ValueError("delete() needs ids or where "
+                                 "(use where={} to wipe)")
             if ids is not None:
                 drop = {str(i) for i in ids}
                 keep = np.array([i not in drop for i in self._ids], dtype=bool)
-            elif where is not None:
-                keep = ~self._where_mask(where)
             else:
-                keep = np.zeros(len(self._ids), dtype=bool)
+                keep = ~self._where_mask(where)
             self._ids = [i for i, k in zip(self._ids, keep) if k]
             self._metadatas = [m for m, k in zip(self._metadatas, keep) if k]
             self._embeddings = self._embeddings[keep]

@@ -42,15 +42,15 @@ from vit_research_tpu.train.optim import make_optimizer
 from vit_research_tpu.utils.configs import ExperimentConfig
 
 
-def chunk_embed_from_store(store, chunk_index_lookup):
-    """chunk_embed_fn from the memmap frame store: mean-pool + L2."""
+def chunk_embed_from_store(store):
+    """chunk_embed_fn from the memmap frame store: mean-pool + L2
+    (reference chunk representation: nba_proj/train/training.py:158-159)."""
     def fn(batch_chunks):
         idx = np.asarray([[store.index_of(p) for p in ch["frames"]]
                           for ch in batch_chunks])
         frame_embs = store.gather(idx)
         emb = frame_embs.mean(axis=1)
         return emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
-    _ = chunk_index_lookup
     return fn
 
 

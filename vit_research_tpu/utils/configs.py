@@ -111,14 +111,15 @@ VIT_P32_432x768 = ViTConfig(image_size=(432, 768), patch_size=32)
 
 @dataclass(frozen=True)
 class ChunkEncoderConfig(_Serializable):
-    """Stage-1 temporal chunk encoder (reference: nba_proj/models/chunk_encoder.py:9-97)."""
+    """Stage-1 temporal chunk encoder (reference: nba_proj/models/chunk_encoder.py:9-97:
+    hidden 768, 3 layers, 8 heads, inner dim 4x, max_frames 24)."""
 
     embed_dim: int = 768
     num_layers: int = 3
-    num_heads: int = 4
-    mlp_dim: int = 1024
-    max_len: int = 16  # >= chunk_size
-    dropout_rate: float = 0.0
+    num_heads: int = 8
+    mlp_dim: int = 3072  # transformer inner dim (reference: hidden * 4)
+    max_len: int = 24  # >= chunk_size (reference max_frames)
+    dropout_rate: float = 0.1
     dtype: str = "float32"
 
 
@@ -129,7 +130,9 @@ class HeadConfig(_Serializable):
     embed_dim: int = 768
     num_layers: int = 2
     num_heads: int = 4
-    mlp_dim: int = 1024
+    # Classifier width for RATTHeadV2 (reference: ratt_v2.py mlp_dim=128
+    # -> Dense(2*mlp_dim)); transformer blocks always use embed_dim * 4.
+    mlp_dim: int = 128
     num_queries: int = 4  # RetrievalMultiQueryPooler learned queries
     max_tokens: int = 128  # RATTHead pos-emb budget (reference: ratt_head.py:71-77)
     hidden_dim: int = 256  # classifier hidden (Dense 256 -> 1)
