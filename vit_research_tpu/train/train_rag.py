@@ -98,11 +98,19 @@ def make_step_fns(proj: ProjectionHead, head: RAGHead, tx,
 
 def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
               cfg: ExperimentConfig | None = None, use_retrieval: bool = True,
-              rebuild_fn=None, ckpt_manager=None, seed: int = 1234,
-              verbose: bool = False):
+              rebuild_fn=None, rebuild_scheduler=None, ckpt_manager=None,
+              seed: int = 1234, verbose: bool = False):
     """Returns (params, history). ``retriever`` follows the
-    FrameRetriever call contract; ``rebuild_fn(project_fn)`` rebuilds the
-    vector DB with the current projection."""
+    FrameRetriever call contract.
+
+    DB-rebuild feedback loop, two modes:
+    - ``rebuild_fn(project_fn)``: synchronous rebuild every
+      ``rebuild_every`` epochs (reference behavior — training stalls,
+      nba_proj/train/training.py:479-480);
+    - ``rebuild_scheduler``: a train.async_rebuild.RebuildScheduler whose
+      ``rebuild_fn`` closes over ``project_fn``; rebuilds run on a host
+      thread into a shadow collection and swap in at epoch boundaries —
+      training never stalls."""
     cfg = cfg or ExperimentConfig(name="rag")
     t = cfg.train
     proj = ProjectionHead(input_dim=cfg.head.embed_dim,
@@ -176,9 +184,18 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
                                       "step": state.step},
                               metrics=metrics)
             ckpt_manager.maybe_update_best(epoch, metrics.get("val_acc", 0))
-        if rebuild_fn is not None and t.rebuild_every and \
+        if rebuild_scheduler is not None:
+            swapped = rebuild_scheduler.maybe_swap()
+            if swapped and verbose:
+                print(f"epoch {epoch}: swapped in async DB rebuild")
+            if t.rebuild_every and (epoch + 1) % t.rebuild_every == 0:
+                rebuild_scheduler.kick()
+        elif rebuild_fn is not None and t.rebuild_every and \
                 (epoch + 1) % t.rebuild_every == 0:
             rebuild_fn(project_np)
+    if rebuild_scheduler is not None:
+        rebuild_scheduler.wait()
+        rebuild_scheduler.maybe_swap()
     return state.params, history
 
 
