@@ -1,0 +1,95 @@
+"""Checkpoint/resume: optimizer state restores and training continues
+exactly where it left off (the reference restarts its optimizer on every
+resume — SURVEY.md section 5.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vit_research_tpu.models.heads import ProjectionHead
+from vit_research_tpu.train.checkpoint import CheckpointManager
+
+D = 8
+
+
+def build_step():
+    model = ProjectionHead(input_dim=D, hidden_dim=D, proj_dim=D)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, D)))
+    tx = optax.adam(1e-2)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            out = model.apply(p, x)
+            return jnp.mean((out - y) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return params, tx, step
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.normal(size=(4, D)), jnp.float32) for _ in range(6)]
+    ys = [jnp.asarray(rng.normal(size=(4, D)), jnp.float32) for _ in range(6)]
+
+    # Uninterrupted 6 steps.
+    params, tx, step = build_step()
+    opt_state = tx.init(params)
+    for x, y in zip(xs, ys):
+        params, opt_state, _ = step(params, opt_state, x, y)
+    ref = params
+
+    # 3 steps -> checkpoint -> restore -> 3 more steps.
+    params2, tx2, step2 = build_step()
+    opt_state2 = tx2.init(params2)
+    for x, y in zip(xs[:3], ys[:3]):
+        params2, opt_state2, _ = step2(params2, opt_state2, x, y)
+    mngr = CheckpointManager(str(tmp_path), "resume_test")
+    state = {"params": params2, "opt_state": opt_state2,
+             "step": jnp.asarray(3)}
+    mngr.save(3, state)
+    mngr.wait()
+
+    params3, tx3, step3 = build_step()
+    template = {"params": params3, "opt_state": tx3.init(params3),
+                "step": jnp.asarray(0)}
+    restored = mngr.restore(template=template)
+    assert int(restored["step"]) == 3
+    p, o = restored["params"], restored["opt_state"]
+    for x, y in zip(xs[3:], ys[3:]):
+        p, o, _ = step3(p, o, x, y)
+
+    # Adam moments restored => identical trajectory.
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fresh_optimizer_diverges_from_resume(tmp_path):
+    """Sanity that the test above is meaningful: restarting the optimizer
+    (the reference's behavior) gives a different trajectory."""
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.normal(size=(4, D)), jnp.float32) for _ in range(6)]
+    ys = [jnp.asarray(rng.normal(size=(4, D)), jnp.float32) for _ in range(6)]
+
+    params, tx, step = build_step()
+    opt_state = tx.init(params)
+    for x, y in zip(xs, ys):
+        params, opt_state, _ = step(params, opt_state, x, y)
+    ref = params
+
+    params2, tx2, step2 = build_step()
+    opt_state2 = tx2.init(params2)
+    for x, y in zip(xs[:3], ys[:3]):
+        params2, opt_state2, _ = step2(params2, opt_state2, x, y)
+    opt_state2 = tx2.init(params2)  # optimizer restart (reference behavior)
+    for x, y in zip(xs[3:], ys[3:]):
+        params2, opt_state2, _ = step2(params2, opt_state2, x, y)
+
+    diffs = [float(jnp.abs(a - b).max()) for a, b in
+             zip(jax.tree_util.tree_leaves(ref),
+                 jax.tree_util.tree_leaves(params2))]
+    assert max(diffs) > 1e-5
