@@ -102,6 +102,32 @@ def test_smooth_denoises_flicker():
     assert (path == 0).all()
 
 
+@pytest.mark.parametrize("T,S,seed", [(2, 3, 0), (5, 3, 1), (7, 3, 2),
+                                      (64, 4, 3), (1, 3, 4)])
+def test_viterbi_parallel_matches_sequential(T, S, seed):
+    rng = np.random.default_rng(seed)
+    log_emit = rng.normal(size=(T, S)).astype(np.float32)
+    trans = rng.uniform(0.1, 1.0, size=(S, S)).astype(np.float32)
+    trans /= trans.sum(axis=1, keepdims=True)
+    log_trans = np.log(trans)
+    log_prior = np.log(np.full((S,), 1.0 / S, dtype=np.float32))
+
+    seq_path, seq_score = V.viterbi(log_emit, log_trans, log_prior)
+    par_path, par_score = V.viterbi_parallel(log_emit, log_trans, log_prior)
+    assert abs(float(seq_score) - float(par_score)) < 1e-3
+    # Both paths achieve the optimal score (tie-breaking may differ).
+    ps = path_score(np.asarray(par_path), log_emit, log_trans, log_prior)
+    assert abs(ps - float(seq_score)) < 1e-3
+
+
+def test_smooth_parallel_long_sequence_matches():
+    rng = np.random.default_rng(9)
+    probs = rng.dirichlet(np.ones(3), size=500).astype(np.float32)
+    a = smooth_probabilities(probs, parallel=False)
+    b = smooth_probabilities(probs, parallel=True)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_default_transitions_unchanged():
     np.testing.assert_allclose(
         DEFAULT_TRANSITIONS,

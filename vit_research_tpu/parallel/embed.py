@@ -119,13 +119,16 @@ class EmbeddingEngine:
             outs.append(np.asarray(dev_out)[:n])
         return np.concatenate(outs, axis=0) if outs else np.zeros((0,))
 
-    def embed_paths(self, paths, num_workers: int = 8) -> np.ndarray:
+    def embed_paths(self, paths, num_workers: int = 8,
+                    use_native: bool = False) -> np.ndarray:
         """Decode -> embed with host/device overlap: the next batch decodes
-        while the device chews on the current one (async dispatch)."""
+        while the device chews on the current one (async dispatch).
+        ``use_native`` routes JPEG decode through native/jpeg_fast.c."""
         outs, pending = [], None
         for start in range(0, len(paths), self.batch_size):
             chunk = paths[start:start + self.batch_size]
-            batch = load_frames(chunk, self.spec, num_workers=num_workers)
+            batch = load_frames(chunk, self.spec, num_workers=num_workers,
+                                use_native=use_native)
             if pending is not None:
                 dev_out, n = pending
                 outs.append(np.asarray(dev_out)[:n])

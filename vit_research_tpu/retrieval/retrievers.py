@@ -19,9 +19,30 @@ and the metadata filters are free (fused into the score matrix).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
-from vit_research_tpu.ops.topk import masked_topk
+from vit_research_tpu.ops.topk import masked_topk  # noqa: F401 (re-export)
+
+
+@functools.partial(
+    __import__("jax").jit, static_argnames=("k",))
+def _masked_query(q, corpus, c_vids, c_sides, c_times, q_vids, q_sides,
+                  t_min, t_max, *, k: int):
+    """Metadata mask built in-graph: only the (B,) query columns upload."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    mask = (
+        (c_vids[None, :] != q_vids[:, None])
+        & (c_sides[None, :] == q_sides[:, None])
+        & (c_times[None, :] >= t_min[:, None])
+        & (c_times[None, :] <= t_max[:, None])
+    )
+    s = q.astype(jnp.float32) @ corpus.T
+    s = jnp.where(mask, s, -1e30)
+    return lax.top_k(s, k)
 
 
 def _as_numpy(x):
@@ -61,6 +82,12 @@ class _StoreView:
         self.embeddings = col._embeddings
         norm = np.linalg.norm(self.embeddings, axis=1, keepdims=True)
         self.normalized = self.embeddings / (norm + 1e-8)
+        # Device-resident snapshot: corpus AND metadata columns upload once
+        # per snapshot; per-query masks are then built in-graph (shipping a
+        # (B, N) bool mask per call dominates at 100k-vector scale).
+        import jax.numpy as jnp
+
+        self.normalized_dev = jnp.asarray(self.normalized)
         if n:
             self.vids = np.asarray(
                 [int(v) for v in col._column("vid_num")], np.int64)
@@ -71,6 +98,11 @@ class _StoreView:
             self.vids = np.zeros((0,), np.int64)
             self.sides = np.zeros((0,), object)
             self.times = np.zeros((0,), np.float64)
+        self.side_ids = {s: i for i, s in enumerate(sorted(set(self.sides)))}
+        self.vids_dev = jnp.asarray(self.vids.astype(np.int32))
+        self.sides_dev = jnp.asarray(
+            np.asarray([self.side_ids[s] for s in self.sides], np.int32))
+        self.times_dev = jnp.asarray(self.times.astype(np.float32))
 
 
 class _BatchedRetriever:
@@ -100,16 +132,15 @@ class _BatchedRetriever:
             return out
 
         vids, sides, t_center, t_width = _meta_arrays(metadata, b)
-        t_min = (t_center - t_width / 2)[:, None]
-        t_max = (t_center + t_width / 2)[:, None]
-        mask = (
-            (view.vids[None, :] != vids[:, None])
-            & (view.sides[None, :] == sides[:, None])
-            & (view.times[None, :] >= t_min)
-            & (view.times[None, :] <= t_max)
-        )
-        scores, idx = masked_topk(
-            q, view.normalized, mask, k=self.top_k, metric="ip")
+        t_min = (t_center - t_width / 2).astype(np.float32)
+        t_max = (t_center + t_width / 2).astype(np.float32)
+        # Unknown sides can never match; encode as -1.
+        side_ids = np.asarray([view.side_ids.get(s, -1) for s in sides],
+                              np.int32)
+        scores, idx = _masked_query(
+            q, view.normalized_dev, view.vids_dev, view.sides_dev,
+            view.times_dev, vids.astype(np.int32), side_ids, t_min, t_max,
+            k=min(self.top_k, n))
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         valid = scores > -1e29

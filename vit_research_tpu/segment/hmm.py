@@ -111,12 +111,18 @@ class HMM:
         return self.decoded_sequence
 
 
-def smooth_probabilities(probs, transition_matrix=None, prior=None) -> np.ndarray:
+_PARALLEL_THRESHOLD = 8192  # beyond this, log-depth decode wins on TPU
+
+
+def smooth_probabilities(probs, transition_matrix=None, prior=None,
+                         parallel: bool | None = None) -> np.ndarray:
     """One-shot decode: (T, 3) or (B, T, 3) probs -> int state path(s).
 
     This is the vectorized entry the segmentation pipelines use
     (reference pattern: nba_proj/smarter_generate_clips.py:399-411 feeds
-    softmax probs column-by-column; here one device call does the game)."""
+    softmax probs column-by-column; here one device call does the game).
+    Long sequences automatically use the log-depth associative-scan
+    decoder (ops/viterbi.viterbi_parallel); force with ``parallel``."""
     probs = np.maximum(np.asarray(probs, dtype=np.float32), _PROB_FLOOR)
     trans = (DEFAULT_TRANSITIONS if transition_matrix is None
              else np.asarray(transition_matrix, np.float32))
@@ -124,8 +130,19 @@ def smooth_probabilities(probs, transition_matrix=None, prior=None) -> np.ndarra
     log_trans = viterbi_ops.log_transition_matrix(trans)
     log_prior = np.log(prior)
     log_emit = np.log(probs)
+    t = probs.shape[-2]
+    use_parallel = (t >= _PARALLEL_THRESHOLD) if parallel is None else parallel
     if probs.ndim == 2:
-        path, _ = viterbi_ops.viterbi(log_emit, log_trans, log_prior)
+        fn = (viterbi_ops.viterbi_parallel if use_parallel
+              else viterbi_ops.viterbi)
+        path, _ = fn(log_emit, log_trans, log_prior)
         return np.asarray(path)
-    paths, _ = viterbi_ops.viterbi_batch(log_emit, log_trans, log_prior)
+    if use_parallel:
+        import jax
+
+        paths, _ = jax.vmap(viterbi_ops.viterbi_parallel,
+                            in_axes=(0, None, None))(
+            log_emit, log_trans, log_prior)
+    else:
+        paths, _ = viterbi_ops.viterbi_batch(log_emit, log_trans, log_prior)
     return np.asarray(paths)
