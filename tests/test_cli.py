@@ -1,0 +1,84 @@
+"""CLI smoke: the pipeline subcommands run end-to-end with VRT_TINY."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vit_research_tpu import cli
+from vit_research_tpu.data import labels as labels_mod
+from vit_research_tpu.data import synthetic
+
+
+@pytest.fixture(autouse=True)
+def tiny_engine(monkeypatch):
+    monkeypatch.setenv("VRT_TINY", "1")
+
+
+def test_segment_build_store_train_write(tmp_path, capsys):
+    # frames + manual intervals
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("none", 4), ("left", 30), ("none", 4),
+                        ("right", 30), ("none", 4)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    mi.intervals["none"].append((1, 1, 4))
+    mi.intervals["left"].append((1, 5, 34))
+    mi.intervals["none"].append((1, 35, 38))
+    mi.intervals["right"].append((1, 39, 68))
+    mi.intervals["none"].append((1, 69, 72))
+    csv_path = str(tmp_path / "manual_intervals.csv")
+    mi.to_csv(csv_path)
+
+    # segment
+    clips_root = str(tmp_path / "clips_hmm_smooth_1_smart")
+    cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+              "--out", clips_root, "--vid", "1", "--epochs", "150",
+              "--batch-size", "16", "--min-len", "20", "--pad", "2"])
+    out = capsys.readouterr().out
+    assert "clips" in out
+    clip_dirs = os.listdir(clips_root)
+    assert any(d.startswith("vid1_clip") for d in clip_dirs)
+
+    # labels for the produced clips
+    clip_labels = {}
+    for d in sorted(clip_dirs):
+        if not d.startswith("vid1_clip"):
+            continue
+        clip_labels[os.path.join(clips_root, d)] = 1 if "left" in d else 0
+    labels_mod.save_clip_labels(clip_labels, str(tmp_path / "labels.csv"))
+
+    # build-frame-store
+    store_dir = str(tmp_path / "store")
+    cli.main(["build-frame-store", "--clip-root",
+              str(tmp_path / "clips_hmm_smooth_{vid}_smart"),
+              "--vids", "1", "--clip-labels", str(tmp_path / "labels.csv"),
+              "--out", store_dir, "--chunk-size", "6", "--chunk-stride", "3",
+              "--batch-size", "16"])
+    assert os.path.exists(os.path.join(store_dir, "embeddings.dat"))
+    assert os.path.exists(os.path.join(store_dir, "chunk_index.npz"))
+
+    # train-stage1
+    ckpt_dir = str(tmp_path / "ckpts")
+    cli.main(["train-stage1", "--store", store_dir, "--ckpt", ckpt_dir,
+              "--epochs", "1", "--batch-size", "4"])
+    out = capsys.readouterr().out
+    assert "best val acc" in out
+
+    # write-ratt-db (fresh params path)
+    db_dir = str(tmp_path / "db")
+    cli.main(["write-ratt-db", "--store", store_dir, "--ckpt", ckpt_dir,
+              "--db", db_dir, "--collection", "ratt_db"])
+    out = capsys.readouterr().out
+    assert "chunk embeddings" in out
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    client = PersistentClient(db_dir, autoflush=False)
+    col = client.get_or_create_collection("ratt_db")
+    assert col.count() > 0
+
+
+def test_smoke_command(capsys):
+    cli.main(["smoke"])
+    out = capsys.readouterr().out
+    assert "pre_logits" in out

@@ -24,6 +24,20 @@ import numpy as np
 
 
 def _engine(preset: str = "hf", batch_size: int = 256):
+    """VRT_TINY=1 swaps in a small random ViT (CI / smoke runs)."""
+    if os.environ.get("VRT_TINY"):
+        from vit_research_tpu.data.preprocess import PreprocessSpec
+        from vit_research_tpu.models.vit import init_vit
+        from vit_research_tpu.parallel.embed import EmbeddingEngine
+        from vit_research_tpu.utils.configs import ViTConfig
+
+        cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
+                        num_layers=1, num_heads=2, mlp_dim=64,
+                        use_flash_attention=False)
+        model, params = init_vit(cfg, seed=0)
+        return EmbeddingEngine(model, params, PreprocessSpec(size=(32, 32)),
+                               batch_size=min(batch_size, 16),
+                               use_fused_patch_embed=False)
     from vit_research_tpu.parallel.embed import make_hf_frame_embedder
 
     return make_hf_frame_embedder(batch_size=batch_size)
@@ -64,13 +78,15 @@ def cmd_segment(args):
     from vit_research_tpu.data.labels import ManualIntervals
     from vit_research_tpu.segment.pipeline import segment_with_temporal_head
 
+    os.makedirs(args.out, exist_ok=True)
     frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
     eng = _engine(batch_size=args.batch_size)
     embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
     mi = ManualIntervals.from_csv(args.manual_csv)
     decoded, clip_dirs, _ = segment_with_temporal_head(
         frames, embs, mi, out_root=args.out, src_dir=args.frames,
-        vid=args.vid, epochs=args.epochs,
+        vid=args.vid, epochs=args.epochs, min_len=args.min_len,
+        pad=args.pad,
         params_path=os.path.join(args.out, "temporal_head.npz"))
     print(f"decoded {len(decoded)} frames -> {len(clip_dirs)} clips")
 
@@ -93,15 +109,20 @@ def cmd_train_stage1(args):
     from vit_research_tpu.train.train_chunk_encoder import train_chunk_encoder
     from vit_research_tpu.utils.configs import preset
 
+    from vit_research_tpu.utils.configs import ChunkEncoderConfig
+
     store = FrameStore(args.store).open()
     idx = load_chunk_index(args.store)
     n = len(idx["label"])
-    split = int(n * 0.8)
+    split = max(int(n * 0.8), 1)
     cfg = preset("chunks_cached")
+    ce_cfg = ChunkEncoderConfig(
+        embed_dim=store.dim, mlp_dim=4 * store.dim,
+        max_len=int(idx["frame_idx"].shape[1]))
     mngr = CheckpointManager(args.ckpt, f"stage1_{cfg.run_id()}")
     model, best, history = train_chunk_encoder(
         store, idx, list(range(split)), list(range(split, n)),
-        num_epochs=args.epochs, batch_size=args.batch_size,
+        config=ce_cfg, num_epochs=args.epochs, batch_size=args.batch_size,
         ckpt_manager=mngr, verbose=True)
     print("best val acc:",
           max((h.get("val_acc", 0) for h in history), default=0))
@@ -120,17 +141,26 @@ def cmd_write_ratt_db(args):
 
     store = FrameStore(args.store).open()
     idx = load_chunk_index(args.store)
-    cfg = ChunkEncoderConfig()
+    t = int(idx["frame_idx"].shape[1])
+    cfg = ChunkEncoderConfig(embed_dim=store.dim, mlp_dim=4 * store.dim,
+                             max_len=t)
     model = ChunkEncoder(cfg)
     import jax
 
-    t = idx["frame_idx"].shape[1]
-    template = {"params": model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, t, cfg.embed_dim)))}
-    mngr = CheckpointManager(args.ckpt, args.run_id or "stage1")
-    restored = mngr.restore_best(template={"params": template["params"],
-                                           "opt_state": None, "step": 0})
-    params = restored["params"] if restored else template["params"]
+    template_params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, t, cfg.embed_dim)))
+    params = template_params
+    if args.run_id:
+        mngr = CheckpointManager(args.ckpt, args.run_id)
+        try:
+            restored = mngr.restore_best()
+            if restored is not None:
+                from vit_research_tpu.train.checkpoint import load_params_npz
+                _ = load_params_npz  # (npz path unused here)
+                params = restored["params"]
+        except Exception as e:
+            print(f"[write-ratt-db] checkpoint restore failed ({e}); "
+                  "using fresh params")
     encode = make_encode_fn(model, params)
     client = PersistentClient(args.db)
     col = client.get_or_create_collection(
@@ -168,6 +198,8 @@ def main(argv=None):
     sg.add_argument("--vid", type=int, required=True)
     sg.add_argument("--epochs", type=int, default=3000)
     sg.add_argument("--batch-size", type=int, default=256)
+    sg.add_argument("--min-len", type=int, default=100)
+    sg.add_argument("--pad", type=int, default=100)
     sg.set_defaults(fn=cmd_segment)
 
     def world_args(sp):

@@ -46,7 +46,16 @@ def load_samples(
         clip_root = clip_root_template.format(vid=vid)
         if not os.path.isdir(clip_root):
             continue
-        clips = sorted(os.listdir(clip_root), key=naming.clip_sort_key)
+        entries = []
+        for name in os.listdir(clip_root):
+            if not os.path.isdir(os.path.join(clip_root, name)):
+                continue  # sidecar files (e.g. cached weights) are not clips
+            try:
+                naming.parse_clip_dir(name)
+            except (ValueError, IndexError):
+                continue
+            entries.append(name)
+        clips = sorted(entries, key=naming.clip_sort_key)
         clips = clips[start_clip:end_clip]
         for clip in clips:
             clip_path = os.path.join(clip_root, clip)
