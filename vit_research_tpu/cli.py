@@ -18,9 +18,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
-
-import numpy as np
 
 
 def _engine(preset: str = "hf", batch_size: int = 256):

@@ -16,14 +16,12 @@ retrieval tokens.
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
 from vit_research_tpu.models.heads import RetrievalMultiQueryPooler
-from vit_research_tpu.models.vit import VisionTransformer, interpolate_pos_embedding
+from vit_research_tpu.models.vit import interpolate_pos_embedding
 from vit_research_tpu.utils.configs import ViTConfig
 
 

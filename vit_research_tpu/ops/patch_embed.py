@@ -20,8 +20,6 @@ The affine is folded into two K-length vectors (K = P*P*C):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

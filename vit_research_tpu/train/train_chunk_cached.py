@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from vit_research_tpu.models.heads import RATTHead, cls_retrieval_importance
