@@ -52,6 +52,23 @@ def test_patchify_layout_matches_conv():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_patchify_crops_nondivisible_like_valid_conv():
+    # 432x768 @ p32 -> 13x24 grid with the last 16 rows cropped
+    # (reference backbone geometry, SURVEY.md section 5.7).
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.normal(size=(1, 44, 40, 3)), jnp.float32)
+    p, dout = 16, 8
+    w = jnp.asarray(rng.normal(size=(p, p, 3, dout)), jnp.float32)
+    conv = jax.lax.conv_general_dilated(
+        imgs, w, window_strides=(p, p), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")).reshape(1, -1, dout)
+    rows = PE.patchify(imgs, p)
+    assert rows.shape == (1, 2 * 2, p * p * 3)
+    mm = rows @ w.reshape(p * p * 3, dout)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(conv),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_fused_patch_embed_matches_reference():
     rng = np.random.default_rng(3)
     imgs = rng.integers(0, 256, size=(2, 32, 32, 3)).astype(np.uint8)

@@ -37,10 +37,14 @@ def patchify(images: jax.Array, patch_size: int) -> jax.Array:
     """(B, H, W, C) -> (B, N, P*P*C) patch rows. Pure layout transform.
 
     Row layout is (py, px, c) fastest-last, matching a HWIO conv kernel
-    reshaped to (P*P*C, D)."""
+    reshaped to (P*P*C, D). Non-divisible trailing rows/cols are cropped,
+    matching a VALID-padded strided conv (the reference's p32 backbone at
+    432x768 drops the last 16 rows: 432 // 32 = 13 patches)."""
     b, h, w, c = images.shape
     p = patch_size
     gh, gw = h // p, w // p
+    if h != gh * p or w != gw * p:
+        images = images[:, : gh * p, : gw * p, :]
     x = images.reshape(b, gh, p, gw, p, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, p, p, c)
     return x.reshape(b, gh * gw, p * p * c)
@@ -62,13 +66,13 @@ def _kernel(rows_ref, w_ref, a_ref, b_ref, bias_ref, o_ref):
     if rows.dtype == jnp.uint8:
         rows = rows.astype(jnp.int32)  # Mosaic has no direct u8->f32 cast
     rows = rows.astype(jnp.float32)
-    x = rows * a_ref[:] - b_ref[:]
+    x = rows * a_ref[0] - b_ref[0]  # affine rows are (1, K) in VMEM
     o_ref[:] = (
         jax.lax.dot_general(
             x, w_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        + bias_ref[:]
+        + bias_ref[0]
     ).astype(o_ref.dtype)
 
 
@@ -91,15 +95,17 @@ def _pallas_rows_project(rows, w, a_vec, b_vec, bias, out_dtype,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_block,), lambda i, j: (j,),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_ROW_BLOCK, d_block), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rows, w, a_vec, b_vec, bias)
+    )(rows, w, a_vec[None, :], b_vec[None, :], bias[None, :])
     return out[:n]
 
 
