@@ -50,6 +50,14 @@ def test_load_frames_native_path(tmp_path):
     assert np.abs(a.astype(int) - b.astype(int)).mean() < 12.0
 
 
+def test_threaded_decode_matches_serial(tmp_path):
+    paths = synthetic.write_video_frames(
+        str(tmp_path / "f"), 1, [("left", 4), ("right", 5)], size=(96, 128))
+    a = native.decode_batch(paths, (48, 64), num_workers=1)
+    b = native.decode_batch(paths, (48, 64), num_workers=3)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_native_faster_than_pil_on_downscale(tmp_path):
     # 1080p-ish frames downscaled to 224: scaled decode should win clearly.
     paths = synthetic.write_video_frames(

@@ -116,7 +116,8 @@ def load_frames(paths, spec: PreprocessSpec = HF_VIT_SPEC,
 
         if native.is_available() and all(
                 str(p).lower().endswith((".jpg", ".jpeg")) for p in paths):
-            return native.decode_batch(list(paths), spec.size)
+            return native.decode_batch(list(paths), spec.size,
+                                       num_workers=num_workers)
     out = np.empty((len(paths), spec.size[0], spec.size[1], 3), np.uint8)
 
     def work(i_path):

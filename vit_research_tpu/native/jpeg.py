@@ -85,9 +85,13 @@ def decode_file(path: str, target_hw: tuple) -> np.ndarray:
     return out
 
 
-def decode_batch(paths, target_hw: tuple, out: np.ndarray | None = None
-                 ) -> np.ndarray:
-    """Decode many files to (N, H, W, 3) uint8 in one C call (GIL-free)."""
+def decode_batch(paths, target_hw: tuple, out: np.ndarray | None = None,
+                 num_workers: int = 1) -> np.ndarray:
+    """Decode many files to (N, H, W, 3) uint8.
+
+    The C call releases the GIL, so ``num_workers > 1`` genuinely
+    parallelizes across host cores (each worker decodes a contiguous
+    slice with one C call)."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native jpeg decoder unavailable")
@@ -96,10 +100,24 @@ def decode_batch(paths, target_hw: tuple, out: np.ndarray | None = None
     if out is None:
         out = np.empty((n, h, w, 3), np.uint8)
     status = np.zeros((n,), np.int32)
-    blob = b"\0".join(os.fsencode(p) for p in paths) + b"\0"
-    lib.decode_files(blob, n, h, w,
-                     out.ctypes.data_as(ctypes.c_void_p),
-                     status.ctypes.data_as(ctypes.c_void_p))
+
+    def run_slice(start, end):
+        blob = b"\0".join(os.fsencode(p) for p in paths[start:end]) + b"\0"
+        lib.decode_files(
+            blob, end - start, h, w,
+            out[start:end].ctypes.data_as(ctypes.c_void_p),
+            status[start:end].ctypes.data_as(ctypes.c_void_p))
+
+    if num_workers <= 1 or n <= 1:
+        run_slice(0, n)
+    else:
+        import concurrent.futures as fut
+
+        workers = min(num_workers, n)
+        step = -(-n // workers)
+        with fut.ThreadPoolExecutor(workers) as pool:
+            list(pool.map(lambda s: run_slice(s, min(s + step, n)),
+                          range(0, n, step)))
     bad = np.nonzero(status)[0]
     if len(bad):
         raise ValueError(
