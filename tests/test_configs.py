@@ -36,11 +36,14 @@ def test_json_roundtrip(tmp_path):
 
 
 def test_presets_exist_and_differ():
-    names = ["rag", "cls_only", "ratt", "chunks_cached", "stage2"]
+    names = ["rag", "cls_only", "ratt", "chunks_cached", "stage2", "stage3"]
     cfgs = {n: preset(n) for n in names}
     assert cfgs["rag"].retrieval.collection == "ragdb"
     assert cfgs["stage2"].train.chunk_size == 8
     assert cfgs["ratt"].retrieval.collection != cfgs["rag"].retrieval.collection
+    # stage3 pins a prior run's weights (reference config_stage3 pattern).
+    assert cfgs["stage3"].pinned_run_id
+    assert not cfgs["stage2"].pinned_run_id
 
 
 def test_run_id_encodes_hyperparameters():

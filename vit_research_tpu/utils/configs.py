@@ -201,6 +201,9 @@ class ExperimentConfig(_Serializable):
     train: TrainConfig = field(default_factory=TrainConfig)
     train_vids: tuple = (1, 2, 3, 4, 5, 6)
     test_vids: tuple = (7, 8)
+    # Pin a previous run's weights (reference: nba_proj/config_stage3.py:82-88
+    # hard-codes a historical RUN_ID weight file). Empty = fresh run.
+    pinned_run_id: str = ""
 
     def run_id(self) -> str:
         return make_run_id(self)
@@ -268,6 +271,14 @@ def preset(name: str) -> ExperimentConfig:
             name="stage2",
             train=TrainConfig(chunk_size=8, chunk_stride=2, num_epochs=30),
             retrieval=RetrievalConfig(collection="ratt_db_s2", top_k=6),
+        ),
+        # reference: nba_proj/config_stage3.py:1-109 — stage-2 settings
+        # evaluated/continued from a pinned historical run's weights.
+        "stage3": ExperimentConfig(
+            name="stage3",
+            train=TrainConfig(chunk_size=8, chunk_stride=2, num_epochs=10),
+            retrieval=RetrievalConfig(collection="ratt_db_s2", top_k=6),
+            pinned_run_id="<set-to-a-stage2-run-id>",
         ),
     }
     return presets[name]
