@@ -77,6 +77,17 @@ def test_segment_build_store_train_write(tmp_path, capsys):
     col = client.get_or_create_collection("ratt_db")
     assert col.count() > 0
 
+    # eval-clips end to end (fresh params, live retrieval).
+    out_dir = str(tmp_path / "results")
+    os.makedirs(out_dir, exist_ok=True)
+    cli.main(["eval-clips", "--store", store_dir, "--ckpt", ckpt_dir,
+              "--db", db_dir, "--collection", "ratt_db", "--vids", "1",
+              "--out", out_dir, "--k-sim", "3", "--k-contrast", "3",
+              "--k-temporal", "2", "--future-step", "1"])
+    out = capsys.readouterr().out
+    assert "clip rows" in out
+    assert os.path.exists(os.path.join(out_dir, "logit_sequences.json"))
+
 
 def test_smoke_command(capsys):
     cli.main(["smoke"])

@@ -168,9 +168,88 @@ def cmd_write_ratt_db(args):
 
 
 def cmd_eval_clips(args):
-    print("eval-clips requires trained stage-2 weights; see "
-          "vit_research_tpu/evaluate/clip_sequences.py "
-          "(infer_clip_sequences + save_results).")
+    """Per-clip logit sequences + event localization from a trained
+    stage-2 run (reference: nba_proj/test/get_clip_sequences.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.db.frame_store import FrameStore, load_chunk_index
+    from vit_research_tpu.evaluate.clip_sequences import (
+        infer_clip_sequences,
+        save_results,
+    )
+    from vit_research_tpu.models.heads import ChunkEncoder
+    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
+    from vit_research_tpu.store.vector_store import PersistentClient
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.train.train_chunk_encoder import make_encode_fn
+    from vit_research_tpu.utils.configs import ChunkEncoderConfig, HeadConfig
+
+    store = FrameStore(args.store).open()
+    idx = load_chunk_index(args.store)
+    t = int(idx["frame_idx"].shape[1])
+
+    # Rebuild chunk dicts for the test vids from the index arrays.
+    chunks = []
+    for i in range(len(idx["label"])):
+        if int(idx["vid"][i]) not in set(args.vids):
+            continue
+        chunks.append({
+            "vid": int(idx["vid"][i]), "clip": int(idx["clip"][i]),
+            "start_idx": int(idx["start_idx"][i]),
+            "end_idx": int(idx["end_idx"][i]),
+            "side": str(idx["side"][i]), "label": int(idx["label"][i]),
+            "t_center": float(idx["t_center"][i]),
+            "t_width": float(idx["t_width"][i]),
+            "frames": [str(store.paths[j]) for j in idx["frame_idx"][i]],
+        })
+    if not chunks:
+        print("no chunks for the requested vids")
+        return
+
+    ce_cfg = ChunkEncoderConfig(embed_dim=store.dim, mlp_dim=4 * store.dim,
+                                max_len=t)
+    ce = ChunkEncoder(ce_cfg)
+    key = jax.random.PRNGKey(0)
+    ce_params = ce.init(key, jnp.zeros((1, t, store.dim)))
+    if args.stage1_run_id:
+        mngr = CheckpointManager(args.ckpt, args.stage1_run_id)
+        restored = mngr.restore_best()
+        if restored is not None:
+            ce_params = restored["params"]
+    encode = make_encode_fn(ce, ce_params)
+
+    def encode_chunk(ch):
+        emb, _ = encode(store.gather_paths([ch["frames"]]))
+        import numpy as _np
+
+        return emb[0] / (_np.linalg.norm(emb[0]) + 1e-8)
+
+    head_cfg = HeadConfig(embed_dim=store.dim, k_sim=args.k_sim,
+                          k_contrast=args.k_contrast,
+                          k_temporal=args.k_temporal)
+    head = RATTHeadV2(head_cfg)
+    h_params = head.init(
+        key, jnp.zeros((1, store.dim)),
+        jnp.zeros((1, args.k_sim, store.dim)),
+        jnp.zeros((1, args.k_contrast, store.dim)),
+        jnp.zeros((1, args.k_temporal, store.dim)))
+    if args.stage2_run_id:
+        mngr = CheckpointManager(args.ckpt, args.stage2_run_id)
+        restored = mngr.restore_best()
+        if restored is not None:
+            h_params = restored["params"]
+
+    col = PersistentClient(args.db, autoflush=False).get_or_create_collection(
+        args.collection)
+    rows = infer_clip_sequences(
+        chunks, lambda q, s, c, tm: head.apply(h_params, q, s, c, tm)[0],
+        encode_chunk, col, k_sim=args.k_sim, k_contrast=args.k_contrast,
+        k_temporal=args.k_temporal, future_step=args.future_step,
+        zeros_query=args.zeros_query, batch_size=16)
+    save_results(rows, os.path.join(args.out, "logit_sequences.json"),
+                 os.path.join(args.out, "logit_sequences.csv"))
+    print(f"wrote {len(rows)} clip rows to {args.out}")
 
 
 def main(argv=None):
@@ -230,6 +309,19 @@ def main(argv=None):
     wr.set_defaults(fn=cmd_write_ratt_db)
 
     ec = sub.add_parser("eval-clips")
+    ec.add_argument("--store", required=True)
+    ec.add_argument("--ckpt", required=True)
+    ec.add_argument("--db", required=True)
+    ec.add_argument("--collection", default="ratt_db")
+    ec.add_argument("--vids", type=int, nargs="+", required=True)
+    ec.add_argument("--out", required=True)
+    ec.add_argument("--stage1-run-id", default=None)
+    ec.add_argument("--stage2-run-id", default=None)
+    ec.add_argument("--k-sim", type=int, default=6)
+    ec.add_argument("--k-contrast", type=int, default=6)
+    ec.add_argument("--k-temporal", type=int, default=4)
+    ec.add_argument("--future-step", type=int, default=2)
+    ec.add_argument("--zeros-query", action="store_true")
     ec.set_defaults(fn=cmd_eval_clips)
 
     args = p.parse_args(argv)
