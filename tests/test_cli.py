@@ -88,6 +88,59 @@ def test_segment_build_store_train_write(tmp_path, capsys):
     assert "clip rows" in out
     assert os.path.exists(os.path.join(out_dir, "logit_sequences.json"))
 
+    # write-rag-db (frame-level collection from the store)
+    cli.main(["write-rag-db", "--clip-root",
+              str(tmp_path / "clips_hmm_smooth_{vid}_smart"),
+              "--vids", "1", "--clip-labels", str(tmp_path / "labels.csv"),
+              "--store", store_dir, "--db", db_dir,
+              "--collection", "ragdb", "--chunk-size", "6",
+              "--chunk-stride", "3"])
+    out = capsys.readouterr().out
+    assert "frame embeddings" in out
+
+    # train-rag (one epoch over the tiny world, live frame retrieval)
+    cli.main(["train-rag", "--store", store_dir, "--db", db_dir,
+              "--ckpt", ckpt_dir, "--collection", "ragdb",
+              "--train-vids", "1", "--val-vids", "1",
+              "--epochs", "1", "--batch-size", "4", "--top-k", "3"])
+    out = capsys.readouterr().out
+    assert "best val acc" in out
+
+    # train-cached (builds + saves the bin cache, then trains)
+    cache_path = str(tmp_path / "bin_cache.pkl")
+    cli.main(["train-cached", "--store", store_dir, "--db", db_dir,
+              "--ckpt", ckpt_dir, "--collection", "ratt_db",
+              "--cache", cache_path, "--train-vids", "1", "--val-vids", "1",
+              "--epochs", "1", "--batch-size", "4", "--top-k", "3",
+              "--delta-t", "0.5"])
+    out = capsys.readouterr().out
+    assert "best val acc" in out
+    assert os.path.exists(cache_path)
+
+    # train-stage2 (builds + saves the stage-2 cache, live validation)
+    s2_cache = str(tmp_path / "s2_cache.pkl")
+    cli.main(["train-stage2", "--store", store_dir, "--db", db_dir,
+              "--ckpt", ckpt_dir, "--collection", "ratt_db",
+              "--cache", s2_cache, "--train-vids", "1", "--val-vids", "1",
+              "--epochs", "1", "--batch-size", "4", "--k-sim", "3",
+              "--k-contrast", "3", "--k-temporal", "2"])
+    out = capsys.readouterr().out
+    assert "best val acc" in out
+    assert os.path.exists(s2_cache)
+
+    # train-stage2 --preset stage3 --init-run-id continues the saved run
+    run_id = [l for l in out.splitlines() if l.startswith("run ")][0]
+    run_id = run_id.split()[1].rstrip(":")
+    cli.main(["train-stage2", "--store", store_dir, "--db", db_dir,
+              "--ckpt", ckpt_dir, "--collection", "ratt_db",
+              "--cache", s2_cache, "--train-vids", "1", "--val-vids", "1",
+              "--epochs", "1", "--batch-size", "4", "--k-sim", "3",
+              "--k-contrast", "3", "--k-temporal", "2",
+              "--preset", "stage3", "--init-run-id", run_id,
+              "--cached-val"])
+    out = capsys.readouterr().out
+    assert "best val acc" in out
+
 
 def test_smoke_command(capsys):
     cli.main(["smoke"])

@@ -83,14 +83,17 @@ def _device_batch(raw: dict) -> dict:
 def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
                  collection=None, cfg: ExperimentConfig | None = None,
                  ckpt_manager=None, seed: int = 12, verbose: bool = False,
-                 log_probs_fn=None):
+                 log_probs_fn=None, init_params=None):
     """Args:
       cache: per-chunk stage-2 cache (retrieval/cache_stage2).
       encode_fn / collection: enable LIVE validation retrieval; when
         omitted, validation also reads the cache.
       log_probs_fn: optional callable(epoch, labels, probs) — the
         per-batch label/logit/prob dump hook
-        (reference: nba_proj/train/training_stage2.py:1227-1232)."""
+        (reference: nba_proj/train/training_stage2.py:1227-1232).
+      init_params: optional head params to continue from — the stage-3
+        pinned-run path (reference: nba_proj/config_stage3.py:82-88 pins a
+        historical RUN_ID's weights instead of a fresh init)."""
     cfg = cfg or ExperimentConfig(name="stage2")
     t = cfg.train
     r = cfg.retrieval
@@ -101,6 +104,8 @@ def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
         key, jnp.zeros((1, d)), jnp.zeros((1, cfg.head.k_sim, d)),
         jnp.zeros((1, cfg.head.k_contrast, d)),
         jnp.zeros((1, cfg.head.k_temporal, d)))
+    if init_params is not None:
+        params = jax.tree.map(jnp.asarray, init_params)
 
     train_labels = np.asarray([int(c["label"]) for c in train_chunks])
     pos_weight = float(losses.sqrt_pos_weight(
