@@ -1,0 +1,186 @@
+"""Append-log persistence: segment flushes, replay on load, compaction,
+crash tolerance (orphan segments), and old-format compatibility."""
+
+import json
+import os
+
+import numpy as np
+
+from vit_research_tpu.store.vector_store import Collection, PersistentClient
+
+
+def _mk(tmp_path, name="c"):
+    client = PersistentClient(str(tmp_path), autoflush=False)
+    return client, client.get_or_create_collection(name)
+
+
+def _reload(tmp_path, name="c"):
+    return PersistentClient(
+        str(tmp_path), autoflush=False).get_or_create_collection(name)
+
+
+def _emb(seed, n, d=8):
+    return np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
+
+
+def _segments(tmp_path, name="c"):
+    manifest = os.path.join(str(tmp_path), name, "segments.json")
+    if not os.path.exists(manifest):
+        return []
+    with open(manifest) as f:
+        return json.load(f)
+
+
+def test_incremental_flush_appends_segments(tmp_path):
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(100)], _emb(0, 100))
+    client.flush()  # first flush = snapshot
+    assert _segments(tmp_path) == []
+
+    snap = os.path.join(str(tmp_path), "c", "snapshot.npz")
+    mtime = os.path.getmtime(snap)
+    col.upsert(["b0", "b1"], _emb(1, 2))
+    client.flush()  # small delta = one segment, snapshot untouched
+    assert len(_segments(tmp_path)) == 1
+    assert os.path.getmtime(snap) == mtime
+
+    col2 = _reload(tmp_path)
+    assert col2.count() == 102
+    assert sorted(col2.get(ids=["b0", "b1"])["ids"]) == ["b0", "b1"]
+    np.testing.assert_allclose(
+        col2.get(ids=["b1"], include=("embeddings",))["embeddings"][0],
+        _emb(1, 2)[1], atol=1e-6)
+
+
+def test_segment_logs_deletes_and_updates(tmp_path):
+    client, col = _mk(tmp_path)
+    col.upsert(["a", "b", "c", "d", "e", "f", "g", "h"], _emb(0, 8),
+               [{"k": i} for i in range(8)])
+    client.flush()
+    col.delete(ids=["b"])
+    col.upsert(["a"], _emb(1, 1), [{"k": 99}])  # update existing
+    client.flush()
+    assert len(_segments(tmp_path)) == 1
+
+    col2 = _reload(tmp_path)
+    assert sorted(col2.get()["ids"]) == ["a", "c", "d", "e", "f", "g", "h"]
+    assert col2.get(ids=["a"])["metadatas"][0]["k"] == 99
+
+
+def test_add_then_delete_within_one_flush(tmp_path):
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(8)], _emb(0, 8))
+    client.flush()
+    col.upsert(["x"], _emb(1, 1))
+    col.delete(ids=["x"])  # never persisted: should vanish entirely
+    col.delete(ids=["a0"])
+    col.upsert(["a1"], _emb(2, 1))
+    client.flush()
+    col2 = _reload(tmp_path)
+    assert sorted(col2.get()["ids"]) == [f"a{i}" for i in range(1, 8)]
+
+
+def test_delete_then_readd_same_id(tmp_path):
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(8)], _emb(0, 8))
+    client.flush()
+    col.delete(ids=["a3"])
+    col.upsert(["a3"], _emb(7, 1), [{"fresh": True}])
+    client.flush()
+    col2 = _reload(tmp_path)
+    assert col2.count() == 8
+    assert col2.get(ids=["a3"])["metadatas"][0]["fresh"] is True
+    np.testing.assert_allclose(
+        col2.get(ids=["a3"], include=("embeddings",))["embeddings"][0],
+        _emb(7, 1)[0], atol=1e-6)
+
+
+def test_auto_compaction_on_ratio(tmp_path):
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(10)], _emb(0, 10))
+    client.flush()
+    # delta (10 rows) >= 0.5 * corpus (20) -> compaction, no segments
+    col.upsert([f"b{i}" for i in range(10)], _emb(1, 10))
+    client.flush()
+    assert _segments(tmp_path) == []
+    assert _reload(tmp_path).count() == 20
+
+
+def test_auto_compaction_on_segment_count(tmp_path):
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(1000)], _emb(0, 1000))
+    client.flush()
+    for n in range(Collection.max_segments):
+        col.upsert([f"x{n}"], _emb(n + 1, 1))
+        client.flush()
+        assert len(_segments(tmp_path)) == n + 1
+    col.upsert(["y"], _emb(99, 1))
+    client.flush()  # 17th flush hits max_segments -> compact
+    assert _segments(tmp_path) == []
+    col2 = _reload(tmp_path)
+    assert col2.count() == 1000 + Collection.max_segments + 1
+    # compaction removed the segment files themselves
+    leftover = [f for f in os.listdir(os.path.join(str(tmp_path), "c"))
+                if f.startswith("seg_")]
+    assert leftover == []
+
+
+def test_explicit_compact(tmp_path):
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(100)], _emb(0, 100))
+    client.flush()
+    col.upsert(["b"], _emb(1, 1))
+    client.flush()
+    assert len(_segments(tmp_path)) == 1
+    col.compact()
+    assert _segments(tmp_path) == []
+    assert _reload(tmp_path).count() == 101
+
+
+def test_orphan_segment_ignored(tmp_path):
+    """A segment file written but never added to the manifest (crash window)
+    must not replay."""
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(100)], _emb(0, 100))
+    client.flush()
+    col.upsert(["real"], _emb(1, 1))
+    client.flush()
+    seg_dir = os.path.join(str(tmp_path), "c")
+    real = _segments(tmp_path)[0]
+    import shutil
+
+    shutil.copy(os.path.join(seg_dir, real),
+                os.path.join(seg_dir, "seg_999999.npz"))
+    col2 = _reload(tmp_path)
+    assert col2.count() == 101  # orphan not replayed twice / not counted
+
+
+def test_old_format_without_manifest_loads(tmp_path):
+    """Pre-append-log snapshots (no segments.json) still load."""
+    d = os.path.join(str(tmp_path), "c")
+    os.makedirs(d)
+    emb = _emb(0, 5)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        json.dump({"space": "cosine", "dim": 8}, f)
+    np.save(os.path.join(d, "embeddings.npy"), emb)
+    with open(os.path.join(d, "ids.json"), "w") as f:
+        json.dump([f"a{i}" for i in range(5)], f)
+    with open(os.path.join(d, "metadatas.json"), "w") as f:
+        json.dump([{} for _ in range(5)], f)
+    col = _reload(tmp_path)
+    assert col.count() == 5
+    assert col.space == "cosine"
+
+
+def test_query_after_segment_reload(tmp_path):
+    client, col = _mk(tmp_path)
+    ids = [f"a{i}" for i in range(50)]
+    emb = _emb(0, 50)
+    col.upsert(ids, emb, [{"side": "left" if i % 2 else "right"}
+                          for i in range(50)])
+    client.flush()
+    col.upsert(["probe"], emb[:1] * 1.0, [{"side": "left"}])
+    client.flush()
+    col2 = _reload(tmp_path)
+    res = col2.query(emb[0], n_results=2)
+    assert set(res["ids"][0]) == {"a0", "probe"}

@@ -18,10 +18,18 @@ neighbors, and metadata filters compile to boolean masks instead of
 index-time constraints. Falls back to numpy scoring when the corpus is
 tiny or JAX is unavailable.
 
-Durability: append-oriented snapshots under ``{path}/{collection}/``
-(embeddings.npy + ids.npy + metadatas.json + config.json), flushed on
-mutation batches and on interpreter exit; ``upsert`` is idempotent like
-the reference's (SURVEY.md section 5.3).
+Durability: snapshot + append-log under ``{path}/{collection}/``.
+A base snapshot (embeddings.npy + ids.json + metadatas.json +
+config.json) plus ordered log segments (``seg_NNNNNN.npz`` listed in
+``segments.json``); each flush appends ONE segment holding only the rows
+touched since the last flush (delta), instead of rewriting the whole
+arrays. Segments replay on load (deletes, then upserts). When the log
+grows past ``compact_ratio`` of the corpus or ``max_segments``, flush
+compacts back into a fresh snapshot; ``compact()`` forces it. All file
+writes go through write-tmp + ``os.replace`` so readers never observe a
+torn file, and segment files not yet listed in the manifest are ignored
+(crash between segment write and manifest update loses only that delta).
+``upsert`` is idempotent like the reference's (SURVEY.md section 5.3).
 """
 
 from __future__ import annotations
@@ -36,6 +44,27 @@ from typing import Any, Sequence
 import numpy as np
 
 _OPS = ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin")
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _atomic_write_npy(path: str, arr: np.ndarray) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+def _atomic_write_npz(path: str, **arrays) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
 
 
 def _match_clause(values: np.ndarray, clause: Any) -> np.ndarray:
@@ -75,6 +104,11 @@ def _numeric(values: np.ndarray) -> np.ndarray:
 
 
 class Collection:
+    #: compact when the pending+logged delta exceeds this fraction of the
+    #: corpus, or when the log reaches this many segments.
+    compact_ratio = 0.5
+    max_segments = 16
+
     def __init__(self, name: str, space: str = "l2", dim: int | None = None,
                  path: str | None = None):
         if space not in ("l2", "cosine", "ip"):
@@ -91,39 +125,168 @@ class Collection:
         self._device_cache = None  # (embeddings jnp, normalized jnp or None)
         self._dirty = False
         self._lock = threading.RLock()
+        # Append-log state: ids touched / removed since the last flush,
+        # the on-disk segment list, and how many logged rows the segments
+        # hold (drives compaction).
+        self._pending_dirty: set[str] = set()
+        self._pending_deleted: set[str] = set()
+        self._persisted_ids: set[str] = set()
+        self._segments: list[str] = []
+        self._logged_rows = 0
 
     # ------------------------------------------------------------------ io
 
     @classmethod
     def _load(cls, name: str, path: str) -> "Collection":
+        # A concurrent writer can compact between our manifest read and a
+        # segment read (segments unlink after the manifest swap). Each file
+        # write is individually atomic, so simply retrying re-reads a
+        # consistent post-compaction state.
+        last_err = None
+        for _ in range(5):
+            try:
+                return cls._load_once(name, path)
+            except (FileNotFoundError, IndexError, KeyError,
+                    ValueError) as e:
+                last_err = e
+        raise last_err
+
+    @classmethod
+    def _load_once(cls, name: str, path: str) -> "Collection":
         with open(os.path.join(path, "config.json")) as f:
             cfg = json.load(f)
         col = cls(name, space=cfg["space"], dim=cfg.get("dim"), path=path)
+        snap_path = os.path.join(path, "snapshot.npz")
         emb_path = os.path.join(path, "embeddings.npy")
-        if os.path.exists(emb_path):
+        if os.path.exists(snap_path):
+            with np.load(snap_path, allow_pickle=False) as snap:
+                col._embeddings = snap["embeddings"].astype(np.float32)
+                col._ids = [str(i) for i in snap["ids"]]
+                col._metadatas = json.loads(str(snap["metadatas"]))
+        elif os.path.exists(emb_path):  # legacy three-file snapshot
             col._embeddings = np.load(emb_path).astype(np.float32)
             with open(os.path.join(path, "ids.json")) as f:
                 col._ids = json.load(f)
             with open(os.path.join(path, "metadatas.json")) as f:
                 col._metadatas = json.load(f)
+        if col._ids:
             col._id_to_idx = {i: n for n, i in enumerate(col._ids)}
             col._dim = col._embeddings.shape[1]
+        manifest = os.path.join(path, "segments.json")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                col._segments = json.load(f)
+        for seg in col._segments:
+            col._replay_segment(os.path.join(path, seg))
+        col._persisted_ids = set(col._ids)
+        col._pending_dirty.clear()
+        col._pending_deleted.clear()
+        col._dirty = False
         return col
 
+    def _replay_segment(self, seg_path: str) -> None:
+        with np.load(seg_path, allow_pickle=False) as seg:
+            deleted = [str(i) for i in seg["deleted"]]
+            ids = [str(i) for i in seg["ids"]]
+            embs = seg["embeddings"]
+            metas = json.loads(str(seg["metadatas"]))
+        if deleted:
+            drop = {i for i in deleted if i in self._id_to_idx}
+            if drop:
+                keep = np.array([i not in drop for i in self._ids], bool)
+                self._ids = [i for i, k in zip(self._ids, keep) if k]
+                self._metadatas = [m for m, k in zip(self._metadatas, keep)
+                                   if k]
+                self._embeddings = self._embeddings[keep]
+                self._id_to_idx = {i: n for n, i in enumerate(self._ids)}
+        if ids:
+            self.upsert(ids, embs, metas)
+        self._logged_rows += len(deleted) + len(ids)
+
     def flush(self) -> None:
+        """Persist pending mutations: appends one log segment, or compacts
+        into a fresh snapshot when the log share crosses ``compact_ratio``
+        / ``max_segments`` (or nothing was ever snapshotted)."""
         with self._lock:
             if not self._dirty or self._path is None:
                 return
             os.makedirs(self._path, exist_ok=True)
-            with open(os.path.join(self._path, "config.json"), "w") as f:
-                json.dump({"space": self.space, "dim": self._dim}, f)
-            np.save(os.path.join(self._path, "embeddings.npy"),
-                    self._embeddings)
-            with open(os.path.join(self._path, "ids.json"), "w") as f:
-                json.dump(self._ids, f)
-            with open(os.path.join(self._path, "metadatas.json"), "w") as f:
-                json.dump(self._metadatas, f)
+            _atomic_write_json(os.path.join(self._path, "config.json"),
+                               {"space": self.space, "dim": self._dim})
+            delta = (len(self._pending_dirty) + len(self._pending_deleted)
+                     + self._logged_rows)
+            has_snapshot = (
+                os.path.exists(os.path.join(self._path, "snapshot.npz"))
+                or os.path.exists(
+                    os.path.join(self._path, "embeddings.npy")))
+            if (not has_snapshot or len(self._segments) >= self.max_segments
+                    or delta >= self.compact_ratio * max(len(self._ids), 1)):
+                self._write_snapshot()
+            else:
+                self._append_segment()
+            self._persisted_ids = set(self._ids)
+            self._pending_dirty.clear()
+            self._pending_deleted.clear()
             self._dirty = False
+
+    def compact(self) -> None:
+        """Force-merge the log into a fresh snapshot."""
+        with self._lock:
+            if self._path is None:
+                return
+            os.makedirs(self._path, exist_ok=True)
+            _atomic_write_json(os.path.join(self._path, "config.json"),
+                               {"space": self.space, "dim": self._dim})
+            self._write_snapshot()
+            self._persisted_ids = set(self._ids)
+            self._pending_dirty.clear()
+            self._pending_deleted.clear()
+            self._dirty = False
+
+    def _write_snapshot(self) -> None:
+        # One file, one os.replace: concurrent readers see the whole
+        # snapshot or none of it (never mixed-version ids/metadatas).
+        p = self._path
+        _atomic_write_npz(
+            os.path.join(p, "snapshot.npz"),
+            embeddings=self._embeddings,
+            ids=np.asarray(self._ids, dtype=str),
+            metadatas=np.asarray(json.dumps(self._metadatas)))
+        old = self._segments
+        self._segments = []
+        self._logged_rows = 0
+        _atomic_write_json(os.path.join(p, "segments.json"), [])
+        for seg in old:  # readers that raced the swap retry in _load
+            try:
+                os.unlink(os.path.join(p, seg))
+            except OSError:
+                pass
+        for legacy in ("embeddings.npy", "ids.json", "metadatas.json"):
+            try:
+                os.unlink(os.path.join(p, legacy))
+            except OSError:
+                pass
+
+    def _append_segment(self) -> None:
+        p = self._path
+        seq = (int(self._segments[-1][4:10]) + 1) if self._segments else 0
+        name = f"seg_{seq:06d}.npz"
+        dirty = sorted(self._pending_dirty)
+        rows = (np.stack([self._embeddings[self._id_to_idx[i]]
+                          for i in dirty])
+                if dirty else np.zeros((0, self._dim or 0), np.float32))
+        metas = [self._metadatas[self._id_to_idx[i]] for i in dirty]
+        _atomic_write_npz(
+            os.path.join(p, name),
+            ids=np.asarray(dirty, dtype=str),
+            embeddings=rows.astype(np.float32),
+            metadatas=np.asarray(json.dumps(metas)),
+            deleted=np.asarray(sorted(self._pending_deleted), dtype=str))
+        self._segments.append(name)
+        self._logged_rows += len(dirty) + len(self._pending_deleted)
+        # Manifest last: a crash before this line leaves an orphan segment
+        # file that load ignores.
+        _atomic_write_json(os.path.join(p, "segments.json"), self._segments)
 
     # ------------------------------------------------------------ mutation
 
@@ -148,6 +311,8 @@ class Collection:
                 else:
                     self._embeddings[idx] = embeddings[i]
                     self._metadatas[idx] = dict(metadatas[i] or {})
+                self._pending_dirty.add(_id)
+                self._pending_deleted.discard(_id)
             if new_ids:
                 base = len(self._ids)
                 self._ids.extend(new_ids)
@@ -173,6 +338,11 @@ class Collection:
                 keep = np.array([i not in drop for i in self._ids], dtype=bool)
             else:
                 keep = ~self._where_mask(where)
+            for _id, k in zip(self._ids, keep):
+                if not k:
+                    self._pending_dirty.discard(_id)
+                    if _id in self._persisted_ids:
+                        self._pending_deleted.add(_id)
             self._ids = [i for i, k in zip(self._ids, keep) if k]
             self._metadatas = [m for m, k in zip(self._metadatas, keep) if k]
             self._embeddings = self._embeddings[keep]
