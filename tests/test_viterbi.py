@@ -120,6 +120,23 @@ def test_viterbi_parallel_matches_sequential(T, S, seed):
     assert abs(ps - float(seq_score)) < 1e-3
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_viterbi_parallel_tie_breaking_matches_sequential(seed):
+    """With heavily-tied integer scores (exact in float, so alpha agrees
+    bit-for-bit between the two recurrences), the parallel decode must pick
+    the SAME co-optimal path as the sequential first-argmax backtrace."""
+    rng = np.random.default_rng(seed)
+    T, S = 40, 4
+    log_emit = rng.integers(0, 2, size=(T, S)).astype(np.float32)
+    log_trans = rng.integers(0, 2, size=(S, S)).astype(np.float32)
+    log_prior = np.zeros((S,), np.float32)
+
+    seq_path, seq_score = V.viterbi(log_emit, log_trans, log_prior)
+    par_path, par_score = V.viterbi_parallel(log_emit, log_trans, log_prior)
+    np.testing.assert_array_equal(np.asarray(seq_path), np.asarray(par_path))
+    assert float(seq_score) == float(par_score)
+
+
 def test_smooth_parallel_long_sequence_matches():
     rng = np.random.default_rng(9)
     probs = rng.dirichlet(np.ones(3), size=500).astype(np.float32)

@@ -86,10 +86,16 @@ def viterbi_parallel(log_emit: jax.Array, log_trans: jax.Array,
     a ``jax.lax.associative_scan`` over per-step (S, S) score matrices
     (O(log T) depth instead of the sequential scan's O(T) — the
     difference between ~0.7 s and ~10 ms for a 200k-frame game on TPU).
-    The optimal path is recovered with a second (suffix) scan:
-    ``s_t = argmax_j alpha_t(j) + beta_t(j)`` — forward-backward
-    max-decoding, which equals the Viterbi path (up to tie-breaking among
-    co-optimal paths).
+
+    The path is recovered exactly like the sequential backtrace: the
+    backpointer table ``bp_t[j] = argmax_i alpha_t[i] + trans[i, j]``
+    comes straight from alpha in one vectorized op, and iterated
+    backpointer lookup is function composition over a finite domain —
+    associative — so all suffix compositions ``bp_t ∘ ... ∘ bp_{T-2}``
+    form a second (cheap, (S,)-gather) associative scan. Tie-breaking
+    among co-optimal paths therefore matches :func:`viterbi`'s
+    first-argmax backtrace (up to float reassociation in alpha, which can
+    differ from the sequential recurrence by ulps).
 
     Same contract as :func:`viterbi`.
     """
@@ -97,6 +103,11 @@ def viterbi_parallel(log_emit: jax.Array, log_trans: jax.Array,
     log_trans = jnp.asarray(log_trans, jnp.float32)
     log_prior = jnp.asarray(log_prior, jnp.float32)
     t, s = log_emit.shape
+
+    alpha0 = (log_prior + log_emit[0])[None]  # (1, S)
+    if t == 1:
+        last = jnp.argmax(alpha0[0])
+        return last[None].astype(jnp.int32), alpha0[0, last]
 
     def compose(a, b):
         # (..., S, S) max-plus products: C[i,j] = max_k A[i,k] + B[k,j].
@@ -106,28 +117,24 @@ def viterbi_parallel(log_emit: jax.Array, log_trans: jax.Array,
     step = log_trans[None, :, :] + log_emit[1:, None, :]
 
     # alpha_t = best score ending in state j at t.
-    alpha0 = (log_prior + log_emit[0])[None]  # (1, S)
-    if t > 1:
-        prefix = jax.lax.associative_scan(compose, step)  # (T-1, S, S)
-        alpha_rest = jnp.max(alpha0[0][None, :, None] + prefix, axis=1)
-        alpha = jnp.concatenate([alpha0, alpha_rest], axis=0)  # (T, S)
-    else:
-        alpha = alpha0
+    prefix = jax.lax.associative_scan(compose, step)  # (T-1, S, S)
+    alpha_rest = jnp.max(alpha0[0][None, :, None] + prefix, axis=1)
+    alpha = jnp.concatenate([alpha0, alpha_rest], axis=0)  # (T, S)
 
-    # beta_t = best score of any path from state j at t to the end.
-    # suffix[i] must be step_i ∘ step_{i+1} ∘ ... (apply-earlier-first);
-    # a reverse scan combines later elements first, so flip the composer.
-    if t > 1:
-        suffix = jax.lax.associative_scan(
-            lambda a, b: compose(b, a), step, reverse=True)
-        beta = jnp.concatenate(
-            [jnp.max(suffix, axis=-1), jnp.zeros((1, s))], axis=0)
-    else:
-        beta = jnp.zeros((1, s))
+    # bp[t, j] = best state at time t given state j at t+1 (first argmax,
+    # identical to the sequential forward step's backpointer).
+    bp = jnp.argmax(alpha[:-1][:, :, None] + log_trans[None, :, :], axis=1)
 
-    path = jnp.argmax(alpha + beta, axis=-1).astype(jnp.int32)
-    score = jnp.max(alpha[-1])
-    return path, score
+    # Suffix-compose the index maps: g[t] = bp_t ∘ bp_{t+1} ∘ ... ∘ bp_{T-2}
+    # maps the final state to the state at time t.
+    # (reverse=True folds later elements first, so the earlier map lands in
+    # fn's second argument — same flip as a reverse max-plus suffix scan.)
+    g = jax.lax.associative_scan(
+        lambda a, b: jnp.take_along_axis(b, a, axis=-1), bp, reverse=True)
+
+    last = jnp.argmax(alpha[-1])
+    path = jnp.concatenate([g[:, last], last[None]]).astype(jnp.int32)
+    return path, alpha[-1, last]
 
 
 def masked_log(p, floor: float = 1e-6):
