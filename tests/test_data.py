@@ -1,6 +1,7 @@
 """Data layer: naming, labels, samples, chunking, oversampling, preprocess."""
 
 import numpy as np
+import pytest
 
 from vit_research_tpu.data import chunks as chunks_mod
 from vit_research_tpu.data import labels as labels_mod
@@ -105,6 +106,63 @@ def test_preprocess_frame_and_load(tmp_path):
     assert batch.shape == (3, 24, 32, 3)
     # Left-side frames are brighter on the left half.
     assert batch[0, :, :16].mean() > batch[0, :, 16:].mean()
+
+
+def test_resize_area_integer_factor_is_block_mean():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    out = preprocess.resize_area(img, (4, 6))
+    blocks = img.astype(np.float64).reshape(4, 2, 6, 2, 3).mean(axis=(1, 3))
+    np.testing.assert_array_equal(out, np.floor(blocks + 0.5).astype(np.uint8))
+
+
+def _brute_area(img, h, w):
+    """Direct O(out*in) fractional pixel-area average — the INTER_AREA
+    definition, written independently of the separable fast path.
+    (cv2 itself is not installed in this image; note PIL's BOX filter is
+    NOT an oracle here — it weights by pixel-center inclusion, not
+    fractional area.)"""
+    hi, wi = img.shape[:2]
+    sy, sx = hi / h, wi / w
+    out = np.zeros((h, w, img.shape[2]))
+    for i in range(h):
+        for j in range(w):
+            y0, y1, x0, x1 = i * sy, (i + 1) * sy, j * sx, (j + 1) * sx
+            acc, wsum = 0.0, 0.0
+            for yy in range(int(y0), int(np.ceil(y1))):
+                for xx in range(int(x0), int(np.ceil(x1))):
+                    wgt = ((min(y1, yy + 1) - max(y0, yy))
+                           * (min(x1, xx + 1) - max(x0, xx)))
+                    acc += wgt * img[yy, xx].astype(np.float64)
+                    wsum += wgt
+            out[i, j] = acc / wsum
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
+@pytest.mark.parametrize("shape,size", [((25, 40), (10, 16)),
+                                        ((54, 96), (24, 40)),
+                                        ((27, 48), (9, 19))])
+def test_resize_area_fractional_matches_brute_force(shape, size):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    ours = preprocess.resize_area(img, size).astype(np.int16)
+    ref = _brute_area(img, *size).astype(np.int16)
+    assert np.abs(ours - ref).max() <= 1  # float-order rounding only
+    assert (ours != ref).mean() < 0.01
+
+
+def test_resize_area_upscale_falls_back_to_bilinear():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+    out = preprocess.resize_area(img, (20, 24))
+    assert out.shape == (20, 24, 3) and out.dtype == np.uint8
+
+
+def test_resize_frame_area_path_without_cv2():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(54, 96, 3), dtype=np.uint8)
+    out = preprocess.resize_frame(img, (27, 48), interpolation="area")
+    np.testing.assert_array_equal(out, preprocess.resize_area(img, (27, 48)))
 
 
 def test_normalize_host_matches_spec():

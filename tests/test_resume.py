@@ -93,3 +93,42 @@ def test_fresh_optimizer_diverges_from_resume(tmp_path):
              zip(jax.tree_util.tree_leaves(ref),
                  jax.tree_util.tree_leaves(params2))]
     assert max(diffs) > 1e-5
+
+
+def test_retention_keeps_best_and_periodic(tmp_path):
+    """Newest-N retention must never garbage-collect the best-by-metric
+    step or keep_period multiples."""
+    mngr = CheckpointManager(str(tmp_path), "run", max_to_keep=3,
+                             keep_period=10)
+    state = {"w": np.zeros(2, np.float32)}
+    # metric peaks at step 4, then decays; 12 epochs total
+    metrics = [0.1, 0.2, 0.5, 0.6, 0.9, 0.4, 0.3, 0.3, 0.2, 0.2, 0.1, 0.1]
+    for s, m in enumerate(metrics):
+        mngr.save(s, {"w": state["w"] + s}, metrics={"val_acc": m})
+        mngr.maybe_update_best(s, m)
+    mngr.wait()
+    steps = sorted(mngr._mngr.all_steps())
+    # newest 3 = {9, 10, 11}; best = 4; periodic = {0, 10}
+    assert steps == [0, 4, 9, 10, 11]
+    best = mngr.restore_best()
+    np.testing.assert_allclose(best["w"], 4.0)
+    assert mngr.latest_step() == 11
+
+
+def test_retention_best_survives_manager_restart(tmp_path):
+    mngr = CheckpointManager(str(tmp_path), "run", max_to_keep=2)
+    for s, m in enumerate([0.9, 0.1, 0.2]):
+        mngr.save(s, {"w": np.full(2, float(s), np.float32)},
+                  metrics={"val_acc": m})
+        mngr.maybe_update_best(s, m)
+    mngr.wait()
+    # New manager instance (fresh process) keeps protecting step 0.
+    mngr2 = CheckpointManager(str(tmp_path), "run", max_to_keep=2)
+    for s, m in [(3, 0.3), (4, 0.2)]:
+        mngr2.save(s, {"w": np.full(2, float(s), np.float32)},
+                   metrics={"val_acc": m})
+        mngr2.maybe_update_best(s, m)
+    mngr2.wait()
+    steps = sorted(mngr2._mngr.all_steps())
+    assert 0 in steps  # the best step survived both sweeps
+    np.testing.assert_allclose(mngr2.restore_best()["w"], 0.0)

@@ -25,6 +25,7 @@ frames in host memory.
 from __future__ import annotations
 
 import concurrent.futures as _fut
+import functools
 import os
 from dataclasses import dataclass
 
@@ -69,6 +70,43 @@ def decode_image(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+@functools.lru_cache(maxsize=16)
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) fractional pixel-area averaging weights — the exact
+    arithmetic cv2 INTER_AREA uses for downscaling: output cell i averages
+    input over [i*s, (i+1)*s), s = n_in/n_out, with fractional edge pixels
+    weighted by their overlap."""
+    s = n_in / n_out
+    w = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        lo, hi = i * s, (i + 1) * s
+        k0, k1 = int(np.floor(lo)), int(min(np.ceil(hi), n_in))
+        for k in range(k0, k1):
+            w[i, k] = min(hi, k + 1) - max(lo, k)
+    return (w / s).astype(np.float32)
+
+
+def resize_area(img: np.ndarray, size: tuple) -> np.ndarray:
+    """Exact INTER_AREA downscale (fractional pixel-area averaging,
+    cv2-equivalent arithmetic to within fixed-point rounding). Upscaling
+    falls back to bilinear like cv2 does for INTER_AREA."""
+    h, w = size
+    hi, wi = img.shape[:2]
+    if h > hi or w > wi:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(img).resize((w, h),
+                                                      Image.BILINEAR))
+    wy = _area_weights(hi, h)
+    wx = _area_weights(wi, w)
+    t = np.tensordot(wy, img.astype(np.float32), axes=(1, 0))  # (h, wi, C)
+    out = np.tensordot(t, wx, axes=(1, 1))  # (h, C, w)
+    out = np.moveaxis(out, -1, 1)
+    if img.dtype == np.uint8:
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    return out.astype(img.dtype)
+
+
 def resize_frame(img: np.ndarray, size: tuple,
                  interpolation: str = "bilinear") -> np.ndarray:
     """Resize RGB uint8 to (H, W). 'area' matches cv2 INTER_AREA
@@ -82,7 +120,7 @@ def resize_frame(img: np.ndarray, size: tuple,
 
             return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
         except ImportError:
-            pass  # PIL's reducing-gap resize approximates INTER_AREA
+            return resize_area(img, size)
     from PIL import Image
 
     resample = Image.BILINEAR

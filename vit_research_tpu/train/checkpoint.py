@@ -22,16 +22,33 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, run_id: str, max_to_keep: int = 5):
+    """Orbax manager with a retention policy: keep the newest
+    ``max_to_keep`` steps (resume), PLUS the best-by-metric step (eval),
+    PLUS every ``keep_period``-th step (archival), instead of Orbax's
+    plain newest-N — which would eventually garbage-collect the best
+    checkpoint out from under ``restore_best``. Saves are async
+    (background write threads); call :meth:`wait` before process exit."""
+
+    def __init__(self, directory: str, run_id: str, max_to_keep: int = 5,
+                 keep_period: int | None = None):
         self.dir = os.path.abspath(os.path.join(directory, run_id))
+        self.max_to_keep = max_to_keep
+        self.keep_period = keep_period
         os.makedirs(self.dir, exist_ok=True)
         self._mngr = ocp.CheckpointManager(
             self.dir,
-            options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True),
+            # Retention is ours (_sweep); Orbax would count only recency.
+            options=ocp.CheckpointManagerOptions(max_to_keep=None,
+                                                 create=True),
         )
         self._best_metric = -np.inf
         self._best_step = None
+        best = os.path.join(self.dir, "best.json")
+        if os.path.exists(best):  # resume best-tracking across restarts
+            with open(best) as f:
+                prev = json.load(f)
+            self._best_metric = float(prev["metric"])
+            self._best_step = int(prev["step"])
 
     def save(self, step: int, state: Any, *, metrics: dict | None = None,
              config_json: str | None = None) -> None:
@@ -42,6 +59,7 @@ class CheckpointManager:
         if metrics:
             with open(os.path.join(self.dir, f"metrics_{step}.json"), "w") as f:
                 json.dump({k: float(v) for k, v in metrics.items()}, f)
+        self._sweep()
 
     def maybe_update_best(self, step: int, metric: float) -> bool:
         """Track best-by-metric (reference keeps best-by-val-acc,
@@ -53,6 +71,26 @@ class CheckpointManager:
                 json.dump({"step": step, "metric": float(metric)}, f)
             return True
         return False
+
+    def _sweep(self) -> None:
+        """Apply the retention policy; never touches the newest step, the
+        best step, or keep_period multiples."""
+        steps = sorted(self._mngr.all_steps())
+        if self.max_to_keep is None or len(steps) <= self.max_to_keep:
+            return
+        keep = set(steps[-self.max_to_keep:])
+        if self._best_step is not None:
+            keep.add(self._best_step)
+        if self.keep_period:
+            keep.update(s for s in steps if s % self.keep_period == 0)
+        for s in steps:
+            if s not in keep:
+                # An async save of s may still be in flight only for the
+                # newest step, which is always kept.
+                self._mngr.delete(s)
+                metrics_file = os.path.join(self.dir, f"metrics_{s}.json")
+                if os.path.exists(metrics_file):
+                    os.unlink(metrics_file)
 
     def restore(self, step: int | None = None, template: Any = None) -> Any:
         step = self.latest_step() if step is None else step
