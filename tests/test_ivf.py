@@ -1,0 +1,100 @@
+"""IVF index: recall against exact search, mask composition, and the
+collection's size-based switch."""
+
+import numpy as np
+
+from vit_research_tpu.store.ivf import IVFIndex
+from vit_research_tpu.store.vector_store import Collection
+
+
+def clustered(n, d=32, n_clusters=40, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 4
+    assign = rng.integers(0, n_clusters, size=n)
+    x = centers[assign] + rng.normal(size=(n, d)).astype(np.float32) * 0.5
+    return x.astype(np.float32)
+
+
+def exact_topk(q, x, k):
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    s = qn @ xn.T
+    idx = np.argsort(-s, axis=1)[:, :k]
+    return idx
+
+
+def test_ivf_recall_on_clustered_data():
+    x = clustered(20_000)
+    q = x[:64] + 0.01
+    ivf = IVFIndex(nprobe=8, seed=1).fit(x)
+    _, idx = ivf.search(q, x, 10)
+    ref = exact_topk(q, x, 10)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, ref)])
+    assert recall >= 0.95, recall
+
+
+def test_ivf_nprobe_controls_recall():
+    x = clustered(10_000, seed=2)
+    q = x[100:116] + 0.01
+    ivf = IVFIndex(seed=2).fit(x)
+    ref = exact_topk(q, x, 10)
+
+    def recall(nprobe):
+        _, idx = ivf.search(q, x, 10, nprobe=nprobe)
+        return np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, ref)])
+
+    r_all = recall(len(ivf.cells))  # probing everything == exact
+    assert r_all == 1.0
+    assert recall(1) <= r_all
+
+
+def test_ivf_mask_filters_candidates():
+    x = clustered(5_000, seed=3)
+    q = x[:4] + 0.01
+    mask = np.zeros(len(x), bool)
+    mask[1000:2000] = True
+    ivf = IVFIndex(nprobe=16, seed=3).fit(x)
+    scores, idx = ivf.search(q, x, 5, mask=mask)
+    valid = scores > -1e29
+    assert valid.any()
+    assert np.all((idx[valid] >= 1000) & (idx[valid] < 2000))
+
+
+def test_ivf_tiny_corpus_and_k_clamp():
+    x = clustered(8, d=16, n_clusters=2, seed=4)
+    ivf = IVFIndex(seed=4).fit(x)
+    scores, idx = ivf.search(x[:2], x, 20)
+    assert idx.shape == (2, 8)
+    # top-1 self-match
+    assert idx[0, 0] == 0 and idx[1, 0] == 1
+
+
+def test_collection_switches_to_ivf_above_threshold(monkeypatch):
+    monkeypatch.setattr(Collection, "ivf_threshold", 5_000)
+    col = Collection("big", space="cosine")
+    x = clustered(6_000, seed=5)
+    col.upsert([f"v{i}" for i in range(len(x))], x,
+               [{"side": "left" if i % 2 else "right"}
+                for i in range(len(x))])
+    res = col.query(x[:8] + 0.01, n_results=5)
+    assert col._ivf is not None  # the IVF path answered
+    # self-hits come back first
+    assert [r[0] for r in res["ids"]] == [f"v{i}" for i in range(8)]
+    # filtered queries bypass IVF and honor the mask exactly
+    res = col.query(x[:4], n_results=5, where={"side": "left"})
+    for row in res["metadatas"]:
+        assert all(m["side"] == "left" for m in row)
+    # mutation drops the fitted index
+    col.upsert(["new"], x[:1])
+    assert col._ivf is None
+
+
+def test_collection_ivf_distances_are_cosine():
+    col = Collection("c", space="cosine")
+    col.ivf_threshold = 100
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(500, 16)).astype(np.float32)
+    col.upsert([str(i) for i in range(500)], x)
+    res = col.query(x[:2], n_results=1, include=("distances",))
+    assert res["ids"][0][0] == "0"
+    assert abs(res["distances"][0][0]) < 1e-5  # self-distance ~ 0

@@ -108,6 +108,10 @@ class Collection:
     #: corpus, or when the log reaches this many segments.
     compact_ratio = 0.5
     max_segments = 16
+    #: cosine collections at or above this row count answer unfiltered
+    #: queries through an IVF index (store/ivf.py) instead of the exact
+    #: (Q, N) matmul; filtered queries stay exact. None disables.
+    ivf_threshold: int | None = 1_000_000
 
     def __init__(self, name: str, space: str = "l2", dim: int | None = None,
                  path: str | None = None):
@@ -133,6 +137,7 @@ class Collection:
         self._persisted_ids: set[str] = set()
         self._segments: list[str] = []
         self._logged_rows = 0
+        self._ivf = None  # lazily-fit IVFIndex; dropped on mutation
 
     # ------------------------------------------------------------------ io
 
@@ -352,6 +357,7 @@ class Collection:
     def _invalidate(self):
         self._columns = {}
         self._device_cache = None
+        self._ivf = None
         self._dirty = True
 
     # --------------------------------------------------------------- reads
@@ -438,14 +444,18 @@ class Collection:
             k = min(n_results, n)
             mask = self._where_mask(where)
 
-            use_device = n * q.shape[0] >= 1 << 14
-            if use_device:
-                try:
-                    scores, idx = self._query_device(q, mask, k)
-                except Exception:
-                    use_device = False
-            if not use_device:
-                scores, idx = self._query_numpy(q, mask, k)
+            if (self.ivf_threshold is not None and not where
+                    and self.space == "cosine" and n >= self.ivf_threshold):
+                scores, idx = self._query_ivf(q, k)
+            else:
+                use_device = n * q.shape[0] >= 1 << 14
+                if use_device:
+                    try:
+                        scores, idx = self._query_device(q, mask, k)
+                    except Exception:
+                        use_device = False
+                if not use_device:
+                    scores, idx = self._query_numpy(q, mask, k)
 
             # Similarity -> Chroma distance convention.
             if self.space == "l2":
@@ -480,6 +490,13 @@ class Collection:
         scores, idx = masked_topk(
             qd, corpus, jnp.asarray(mask)[None, :], k=k, metric=metric)
         return np.asarray(scores), np.asarray(idx)
+
+    def _query_ivf(self, q, k):
+        from vit_research_tpu.store.ivf import IVFIndex
+
+        if self._ivf is None or not self._ivf.matches(len(self._ids)):
+            self._ivf = IVFIndex().fit(self._embeddings)
+        return self._ivf.search(q, self._embeddings, k)
 
     def _query_numpy(self, q, mask, k):
         emb = self._embeddings
