@@ -142,6 +142,68 @@ def test_segment_build_store_train_write(tmp_path, capsys):
     assert "best val acc" in out
 
 
+def test_multivid_training_has_live_retrieval(tmp_path, capsys):
+    """With multiple train videos the retrievers' same-vid masks leave
+    real cross-video candidates — the training subcommands must show
+    non-trivial retrieval (ret_valid_frac > 0) and split train/val by
+    vid. Needs >=3 train vids: pools hold one clip per (side, bin, vid),
+    so with 2 train vids the cross-vid candidate always has the opposite
+    label and positives/negatives cannot coexist after same-vid
+    masking."""
+    from vit_research_tpu.data.labels import save_clip_labels
+
+    template, clip_labels, _ = synthetic.make_mini_dataset(
+        str(tmp_path), vids=(1, 2, 3, 4), clips_per_vid=4, frames_per_clip=16,
+        size=(32, 32))
+
+    # Relabel so each (side, vid) has BOTH labels: label = (clip//2 + vid)%2.
+    # make_mini_dataset's default (label = clip%2 = side) makes label a
+    # function of side, and any per-vid flip makes it a function of
+    # (side, vid) — in both degenerate worlds cross-video positives or
+    # hard negatives cannot exist once same-vid rows are masked.
+    def relabel(d):
+        vid = int(d.split("clips_hmm_smooth_")[1][0])
+        c = int(d.rsplit("_clip_", 1)[1].split("_")[0])
+        return (c // 2 + vid) % 2
+
+    clip_labels = {d: relabel(d) for d in clip_labels}
+    save_clip_labels(clip_labels, str(tmp_path / "labels.csv"))
+
+    store_dir, ckpt_dir, db_dir = (str(tmp_path / d)
+                                   for d in ("store", "ckpts", "db"))
+    cli.main(["build-frame-store", "--clip-root", template,
+              "--vids", "1", "2", "3", "4", "--clip-labels",
+              str(tmp_path / "labels.csv"), "--out", store_dir,
+              "--chunk-size", "6", "--chunk-stride", "3",
+              "--batch-size", "16"])
+    cli.main(["train-stage1", "--store", store_dir, "--ckpt", ckpt_dir,
+              "--epochs", "1", "--batch-size", "4"])
+    cli.main(["write-ratt-db", "--store", store_dir, "--ckpt", ckpt_dir,
+              "--db", db_dir, "--collection", "ratt_db"])
+    capsys.readouterr()
+
+    cache_path = str(tmp_path / "bin_cache.pkl")
+    cli.main(["train-cached", "--store", store_dir, "--db", db_dir,
+              "--ckpt", ckpt_dir, "--collection", "ratt_db",
+              "--cache", cache_path, "--train-vids", "1", "2", "3",
+              "--val-vids", "4", "--epochs", "1", "--batch-size", "4",
+              "--top-k", "3", "--delta-t", "0.5"])
+    out = capsys.readouterr().out
+    frac = [l for l in out.splitlines() if "ret_valid_frac=" in l][-1]
+    frac = float(frac.split("ret_valid_frac=")[1].split()[0])
+    assert frac > 0, out  # cross-video candidates actually retrieved
+
+    s2_cache = str(tmp_path / "s2_cache.pkl")
+    cli.main(["train-stage2", "--store", store_dir, "--db", db_dir,
+              "--ckpt", ckpt_dir, "--collection", "ratt_db",
+              "--cache", s2_cache, "--train-vids", "1", "2", "3",
+              "--val-vids", "4",
+              "--epochs", "1", "--batch-size", "4", "--k-sim", "3",
+              "--k-contrast", "3", "--k-temporal", "2"])
+    out = capsys.readouterr().out
+    assert "best val acc" in out and "best f1" in out
+
+
 def test_smoke_command(capsys):
     cli.main(["smoke"])
     out = capsys.readouterr().out
