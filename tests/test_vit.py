@@ -115,3 +115,40 @@ def test_hf_vit_parity(use_pooler):
         ref_pooled = ref.pooler_output.numpy()
         np.testing.assert_allclose(
             np.asarray(out["pre_logits"]), ref_pooled, atol=2e-4, rtol=1e-3)
+
+
+def test_remat_is_semantics_preserving():
+    """remat=True recomputes activations in backward; outputs and grads
+    must match the stored-activation path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.utils.configs import ViTConfig
+
+    base = dict(image_size=(32, 32), patch_size=8, hidden_size=32,
+                num_layers=2, num_heads=2, mlp_dim=64,
+                use_flash_attention=False)
+    m0, p0 = init_vit(ViTConfig(**base), seed=7)
+    m1, p1 = init_vit(ViTConfig(**base, remat=True), seed=7)
+    jax.tree.map(np.testing.assert_array_equal, p0, p1)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply(p, x)["pooled"] ** 2)
+        return f
+
+    np.testing.assert_allclose(np.asarray(loss(m0)(p0)),
+                               np.asarray(loss(m1)(p1)), rtol=1e-6)
+    g0 = jax.grad(loss(m0))(p0)
+    g1 = jax.grad(loss(m1))(p1)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5), g0, g1)
+
+    # training-mode call (dropout rngs path) also traces under remat
+    cfg_d = ViTConfig(**{**base, "dropout_rate": 0.1}, remat=True)
+    md, pd = init_vit(cfg_d, seed=7)
+    out = md.apply(pd, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)})
+    assert out["pooled"].shape == (2, 32)

@@ -121,7 +121,9 @@ class EncoderBlock(nn.Module):
     interpret_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, output_scores: bool = False):
+    def __call__(self, x, train: bool = False, output_scores: bool = False):
+        # (train/output_scores are positional so nn.remat can mark them
+        # static — see VisionTransformer.setup.)
         y = nn.LayerNorm(epsilon=self.layer_norm_eps, name="ln1")(x)
         y, scores = MultiHeadSelfAttention(
             num_heads=self.num_heads, dtype=self.dtype,
@@ -158,8 +160,12 @@ class VisionTransformer(nn.Module):
         self.pos_embedding = self.param(
             "pos_embedding", nn.initializers.truncated_normal(stddev=0.02),
             (1, c.num_patches + 1, c.hidden_size), jnp.float32)
+        # Remat: recompute block activations in backward (static argnums
+        # offset by 1 for the module scope — train / output_scores).
+        block_cls = (nn.remat(EncoderBlock, static_argnums=(2, 3))
+                     if c.remat else EncoderBlock)
         self.blocks = [
-            EncoderBlock(
+            block_cls(
                 num_heads=c.num_heads, mlp_dim=c.mlp_dim,
                 dropout_rate=c.dropout_rate,
                 attention_dropout_rate=c.attention_dropout_rate,
@@ -205,8 +211,7 @@ class VisionTransformer(nn.Module):
         endpoints = {"tokens_before_encoder": x}
         all_scores = []
         for block in self.blocks:
-            x, scores = block(
-                x, train=train, output_scores=c.output_attention_scores)
+            x, scores = block(x, train, c.output_attention_scores)
             if scores is not None:
                 all_scores.append(scores)
 

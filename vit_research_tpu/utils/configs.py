@@ -92,6 +92,12 @@ class ViTConfig(_Serializable):
     # stays available for longer sequences and future tuning.
     use_flash_attention: bool = False
     output_attention_scores: bool = False
+    # Gradient rematerialization: recompute each encoder block's
+    # activations in the backward pass instead of storing them — trades
+    # ~33% more FLOPs for O(num_layers) less activation memory, the
+    # standard lever for joint backbone training at large batch on one
+    # chip (jax.checkpoint / nn.remat per block).
+    remat: bool = False
 
     @property
     def grid(self) -> tuple:
