@@ -222,3 +222,81 @@ def test_train_chunk_encoder_loop(tmp_path):
     encode = make_encode_fn(model, best_params)
     emb, logit = encode(np.zeros((2, T, D), np.float32))
     assert emb.shape == (2, D) and logit.shape == (2, 1)
+
+
+def test_train_chunk_encoder_resume_reproduces_trajectory(tmp_path):
+    """2 epochs + --resume for 2 more == 4 uninterrupted epochs, exactly
+    (optimizer state restored; per-epoch folded RNG replays)."""
+    from vit_research_tpu.db.frame_store import FrameStore, build_chunk_index
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.train.train_chunk_encoder import train_chunk_encoder
+
+    chunks = chunk_world(n_vids=2, clips=1, per_clip=8)
+    paths = [p for c in chunks for p in c["frames"]]
+    embed = lambda pb: np.stack(  # noqa: E731
+        [frame_embs_fn([chunks[0]])[0, 0] + 0.01 * i
+         for i in range(len(pb))])
+    store = FrameStore.build(paths, embed, str(tmp_path / "s"))
+    idx = build_chunk_index(chunks, store, str(tmp_path / "s"))
+    n = len(chunks)
+    cfg = ChunkEncoderConfig(embed_dim=D, num_layers=1, num_heads=2,
+                             mlp_dim=4 * D, max_len=T)
+    args = (store, idx, list(range(n - 4)), list(range(n - 4, n)))
+    kw = dict(config=cfg, batch_size=4, seed=5)
+
+    _, _, ref_hist = train_chunk_encoder(*args, num_epochs=4, **kw)
+
+    mngr = CheckpointManager(str(tmp_path), "run")
+    train_chunk_encoder(*args, num_epochs=2, ckpt_manager=mngr, **kw)
+    mngr.wait()
+    mngr2 = CheckpointManager(str(tmp_path), "run")
+    _, _, hist = train_chunk_encoder(*args, num_epochs=4, ckpt_manager=mngr2,
+                                     resume=True, **kw)
+    mngr2.wait()
+    assert len(hist) == 2  # only the remaining epochs ran
+    for h_ref, h in zip(ref_hist[2:], hist):
+        np.testing.assert_allclose(h_ref["train_loss"], h["train_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(h_ref["val_loss"], h["val_loss"],
+                                   rtol=1e-5)
+
+
+def test_train_stage2_resume(world, tmp_path):
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.train.train_stage2 import train_stage2
+
+    chunks, train, val, col = world
+    encode = lambda ch: chunk_embed_fn([ch])[0]  # noqa: E731
+    cache = CS.build_stage2_cache(
+        chunks, encode, col, k_sim=HEAD.k_sim, k_contrast=HEAD.k_contrast,
+        k_temporal=HEAD.k_temporal, future_step=1)
+    cfg = ExperimentConfig(
+        name="stage2", head=HEAD,
+        train=TrainConfig(batch_size=8, num_epochs=4, accum_steps=1,
+                          lr_phase1=1e-3, lr_phase2=1e-4),
+        retrieval=RetrievalConfig(top_k=4, future_chunk_step=1,
+                                  search_k_content=16, search_k_temporal=8))
+
+    _, ref_hist = train_stage2(train, val, cache, cfg=cfg)
+
+    # Crash mid-run after epoch 1's checkpoint, then resume: the LR
+    # schedule and RNG must line up so epochs 2-3 replay exactly.
+    def crash_at_2(epoch, labels, probs):
+        if epoch == 2:
+            raise RuntimeError("simulated crash")
+
+    mngr = CheckpointManager(str(tmp_path), "s2")
+    with pytest.raises(RuntimeError):
+        train_stage2(train, val, cache, cfg=cfg, ckpt_manager=mngr,
+                     log_probs_fn=crash_at_2)
+    mngr.wait()
+    mngr2 = CheckpointManager(str(tmp_path), "s2")
+    _, hist = train_stage2(train, val, cache, cfg=cfg, ckpt_manager=mngr2,
+                           resume=True)
+    mngr2.wait()
+    assert len(hist) == 2  # epochs 2 and 3 only
+    for h_ref, h in zip(ref_hist[2:], hist):
+        np.testing.assert_allclose(h_ref["train_loss"], h["train_loss"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(h_ref["val_loss"], h["val_loss"],
+                                   rtol=1e-5)

@@ -182,13 +182,14 @@ def cmd_train_stage1(args):
     ce_cfg = ChunkEncoderConfig(
         embed_dim=store.dim, mlp_dim=4 * store.dim,
         max_len=int(idx["frame_idx"].shape[1]))
-    mngr = CheckpointManager(args.ckpt, f"stage1_{cfg.run_id()}")
+    run_id = args.run_id or f"stage1_{cfg.run_id()}"
+    mngr = CheckpointManager(args.ckpt, run_id)
     model, best, history = train_chunk_encoder(
         store, idx, list(range(split)), list(range(split, n)),
         config=ce_cfg, num_epochs=args.epochs, batch_size=args.batch_size,
-        ckpt_manager=mngr, verbose=True)
+        ckpt_manager=mngr, resume=args.resume, verbose=True)
     mngr.wait()  # flush async Orbax saves before the interpreter exits
-    print("best val acc:",
+    print(f"run {run_id}: best val acc",
           max((h.get("val_acc", 0) for h in history), default=0))
 
 
@@ -477,7 +478,7 @@ def cmd_train_stage2(args):
                 f"--init-run-id {args.init_run_id}: no best checkpoint")
         init_params = restored["params"]
 
-    run_id = cfg.run_id()
+    run_id = args.run_id or cfg.run_id()
     os.makedirs(args.ckpt, exist_ok=True)
     mngr = CheckpointManager(args.ckpt, run_id)
     save_config(cfg, os.path.join(mngr.dir, "experiment.json"))
@@ -485,7 +486,8 @@ def cmd_train_stage2(args):
         train, val, cache,
         encode_fn=None if args.cached_val else encode_chunk,
         collection=None if args.cached_val else col,
-        cfg=cfg, ckpt_manager=mngr, verbose=True, init_params=init_params)
+        cfg=cfg, ckpt_manager=mngr, verbose=True, init_params=init_params,
+        resume=args.resume)
     mngr.wait()
     best = max((h.get("val_acc", 0.0) for h in history), default=0.0)
     f1 = max((h.get("val_best_f1", 0.0) for h in history), default=0.0)
@@ -493,6 +495,14 @@ def cmd_train_stage2(args):
 
 
 def main(argv=None):
+    # Platform pin: JAX_PLATFORMS in the environment is ignored when a
+    # sitecustomize pre-imports jax (backends init lazily, the env is read
+    # at import). VRT_PLATFORM=cpu|tpu routes through jax.config instead —
+    # e.g. VRT_TINY=1 VRT_PLATFORM=cpu for smoke runs off-device.
+    if os.environ.get("VRT_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["VRT_PLATFORM"])
     p = argparse.ArgumentParser(prog="vit-research-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -538,6 +548,10 @@ def main(argv=None):
     t1.add_argument("--ckpt", required=True)
     t1.add_argument("--epochs", type=int, default=10)
     t1.add_argument("--batch-size", type=int, default=32)
+    t1.add_argument("--run-id", default=None,
+                    help="name the run dir (required to --resume it later)")
+    t1.add_argument("--resume", action="store_true",
+                    help="continue --run-id's latest checkpoint")
     t1.set_defaults(fn=cmd_train_stage1)
 
     wr = sub.add_parser("write-ratt-db")
@@ -616,6 +630,11 @@ def main(argv=None):
     t2.add_argument("--k-temporal", type=int, default=4)
     t2.add_argument("--cached-val", action="store_true",
                     help="validate from the cache instead of live retrieval")
+    t2.add_argument("--run-id", default=None,
+                    help="name the run dir (required to --resume it later)")
+    t2.add_argument("--resume", action="store_true",
+                    help="continue --run-id's latest checkpoint "
+                         "(params + optimizer + step)")
     t2.set_defaults(fn=cmd_train_stage2)
 
     ec = sub.add_parser("eval-clips")

@@ -24,6 +24,28 @@ class TrainState:
     step: int = 0
 
 
+def maybe_resume(ckpt_manager, state: TrainState, resume: bool):
+    """Restore the latest checkpoint into ``state``.
+
+    Returns (state, start_epoch). The reference could only reload weights
+    and restarted Adam on every resume (SURVEY.md section 5.4); here the
+    optimizer state and step counter come back too, so the continued run
+    reproduces the uninterrupted trajectory (tests/test_resume.py) —
+    provided the loop derives its RNG per epoch (fold_in), which the
+    training loops here do."""
+    if not resume or ckpt_manager is None:
+        return state, 0
+    latest = ckpt_manager.latest_step()
+    if latest is None:
+        return state, 0
+    template = {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step}
+    restored = ckpt_manager.restore(latest, template=template)
+    return TrainState(params=restored["params"],
+                      opt_state=restored["opt_state"],
+                      step=int(restored["step"])), latest + 1
+
+
 def chunk_metadata_batch(batch_chunks) -> dict:
     """Chunk dicts -> columnar metadata arrays (the reference shipped
     these as tf tensors through tf.data, nba_proj/dataset.py:427-469)."""

@@ -26,6 +26,7 @@ from vit_research_tpu.train.common import (
     MetricAverager,
     TrainState,
     batch_iterator,
+    maybe_resume,
 )
 from vit_research_tpu.train.diagnostics import (
     confusion_counts,
@@ -67,21 +68,26 @@ def train_chunk_encoder(store, chunk_index, train_ids, val_ids, *,
                         num_epochs: int = 10, batch_size: int = 32,
                         lr: float = 1e-4, grad_clip: float = 1.0,
                         seed: int = 42, ckpt_manager=None,
-                        verbose: bool = False):
-    """Returns (model, best_params, history)."""
+                        resume: bool = False, verbose: bool = False):
+    """Returns (model, best_params, history). ``resume=True`` continues
+    from the manager's latest checkpoint (params + optimizer + step)."""
     config = config or ChunkEncoderConfig()
     model = ChunkEncoder(config)
     t = chunk_index["frame_idx"].shape[1]
-    key = jax.random.PRNGKey(seed)
-    params = model.init(key, jnp.zeros((1, t, config.embed_dim)))
+    base_key = jax.random.PRNGKey(seed)
+    params = model.init(base_key, jnp.zeros((1, t, config.embed_dim)))
     tx = optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(lr))
     state = TrainState(params=params, opt_state=tx.init(params))
+    state, start_epoch = maybe_resume(ckpt_manager, state, resume)
     train_step, eval_step = make_step_fns(model, tx)
 
     labels_all = chunk_index["label"]
-    best_acc, best_params = -1.0, params
+    best_acc, best_params = -1.0, state.params
     history = []
-    for epoch in range(num_epochs):
+    for epoch in range(start_epoch, num_epochs):
+        # Per-epoch derived RNG: a resumed run replays the exact keys the
+        # uninterrupted run would have used from this epoch on.
+        key = jax.random.fold_in(base_key, epoch)
         m = MetricAverager()
         for batch_ids in batch_iterator(list(train_ids), batch_size,
                                         seed=seed + epoch):

@@ -29,6 +29,7 @@ from vit_research_tpu.train.common import (
     MetricAverager,
     TrainState,
     batch_iterator,
+    maybe_resume,
     num_batches,
 )
 from vit_research_tpu.train.diagnostics import gradient_rms_by_branch
@@ -83,7 +84,7 @@ def _device_batch(raw: dict) -> dict:
 def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
                  collection=None, cfg: ExperimentConfig | None = None,
                  ckpt_manager=None, seed: int = 12, verbose: bool = False,
-                 log_probs_fn=None, init_params=None):
+                 log_probs_fn=None, init_params=None, resume: bool = False):
     """Args:
       cache: per-chunk stage-2 cache (retrieval/cache_stage2).
       encode_fn / collection: enable LIVE validation retrieval; when
@@ -93,15 +94,17 @@ def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
         (reference: nba_proj/train/training_stage2.py:1227-1232).
       init_params: optional head params to continue from — the stage-3
         pinned-run path (reference: nba_proj/config_stage3.py:82-88 pins a
-        historical RUN_ID's weights instead of a fresh init)."""
+        historical RUN_ID's weights instead of a fresh init).
+      resume: continue from ckpt_manager's latest checkpoint (params +
+        optimizer + step), skipping already-completed epochs."""
     cfg = cfg or ExperimentConfig(name="stage2")
     t = cfg.train
     r = cfg.retrieval
     head = RATTHeadV2(cfg.head)
     d = cfg.head.embed_dim
-    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     params = head.init(
-        key, jnp.zeros((1, d)), jnp.zeros((1, cfg.head.k_sim, d)),
+        base_key, jnp.zeros((1, d)), jnp.zeros((1, cfg.head.k_sim, d)),
         jnp.zeros((1, cfg.head.k_contrast, d)),
         jnp.zeros((1, cfg.head.k_temporal, d)))
     if init_params is not None:
@@ -114,10 +117,12 @@ def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
     steps = max(num_batches(len(train_chunks), t.batch_size), 1)
     tx = make_optimizer(t, steps)
     state = TrainState(params=params, opt_state=tx.init(params))
+    state, start_epoch = maybe_resume(ckpt_manager, state, resume)
     train_step, eval_step = make_step_fns(head, tx, pos_weight)
 
     history = []
-    for epoch in range(t.num_epochs):
+    for epoch in range(start_epoch, t.num_epochs):
+        key = jax.random.fold_in(base_key, epoch)  # resume-stable RNG
         m = MetricAverager()
         for batch in batch_iterator(train_chunks, t.batch_size,
                                     seed=seed + epoch):
