@@ -84,8 +84,19 @@ def test_collection_switches_to_ivf_above_threshold(monkeypatch):
     res = col.query(x[:4], n_results=5, where={"side": "left"})
     for row in res["metadatas"]:
         assert all(m["side"] == "left" for m in row)
-    # mutation drops the fitted index
-    col.upsert(["new"], x[:1])
+    # small mutations keep the fitted index; the new row is searched
+    # exactly via the extra tail (no synchronous k-means refit)
+    probe = x[0] * 0.5 + 3.0
+    col.upsert(["new"], probe[None])
+    assert col._ivf is not None and 6000 in col._ivf_extra
+    res = col.query(probe, n_results=1)
+    assert res["ids"][0][0] == "new"
+    # updates to existing rows are also findable through the tail
+    col.upsert(["v0"], (probe * -1.0)[None])
+    res = col.query(-probe, n_results=1)
+    assert res["ids"][0][0] == "v0"
+    # a large tail (>20% of corpus) drops the index for a refit
+    col.upsert([f"bulk{i}" for i in range(1500)], clustered(1500, seed=9))
     assert col._ivf is None
 
 

@@ -23,12 +23,17 @@ def _emb(seed, n, d=8):
     return np.random.default_rng(seed).normal(size=(n, d)).astype(np.float32)
 
 
-def _segments(tmp_path, name="c"):
+def _manifest(tmp_path, name="c"):
     manifest = os.path.join(str(tmp_path), name, "segments.json")
     if not os.path.exists(manifest):
-        return []
+        return {"gen": 0, "segments": []}
     with open(manifest) as f:
-        return json.load(f)
+        m = json.load(f)
+    return m if isinstance(m, dict) else {"gen": 0, "segments": m}
+
+
+def _segments(tmp_path, name="c"):
+    return _manifest(tmp_path, name)["segments"]
 
 
 def test_incremental_flush_appends_segments(tmp_path):
@@ -184,3 +189,55 @@ def test_query_after_segment_reload(tmp_path):
     col2 = _reload(tmp_path)
     res = col2.query(emb[0], n_results=2)
     assert set(res["ids"][0]) == {"a0", "probe"}
+
+
+def test_compaction_crash_window_does_not_replay_stale_segments(tmp_path):
+    """Simulate a crash between the snapshot os.replace and the manifest
+    truncation: the stale manifest still lists segments the new snapshot
+    already absorbed. Replaying them would resurrect overwritten data."""
+    client, col = _mk(tmp_path)
+    col.upsert([f"a{i}" for i in range(100)], _emb(0, 100))
+    client.flush()  # snapshot gen 1
+    col.upsert(["x"], np.full((1, 8), 1.0, np.float32), [{"v": 1}])
+    client.flush()  # segment with x=v1
+    stale_manifest = _manifest(tmp_path)
+    assert stale_manifest["segments"]  # the x=v1 segment
+
+    col.upsert(["x"], np.full((1, 8), 2.0, np.float32), [{"v": 2}])
+    col.compact()  # snapshot gen 2, manifest truncated
+    # crash simulation: restore the PRE-compaction manifest (gen 1) and
+    # recreate its segment file as if unlink hadn't happened
+    seg_dir = os.path.join(str(tmp_path), "c")
+    with open(os.path.join(seg_dir, "segments.json"), "w") as f:
+        json.dump(stale_manifest, f)
+    # (the segment file was unlinked by compaction; write a fake one that
+    # would visibly corrupt state if replayed)
+    import numpy as _np
+
+    with open(os.path.join(seg_dir, stale_manifest["segments"][0]),
+              "wb") as f:
+        _np.savez(f, ids=_np.asarray(["x"], dtype=str),
+                  embeddings=_np.full((1, 8), 1.0, _np.float32),
+                  metadatas=_np.asarray(json.dumps([{"v": 1}])),
+                  deleted=_np.asarray([], dtype=str))
+
+    col2 = _reload(tmp_path)
+    got = col2.get(ids=["x"], include=("metadatas", "embeddings"))
+    assert got["metadatas"][0]["v"] == 2  # NOT resurrected to v1
+    np.testing.assert_allclose(got["embeddings"][0], 2.0)
+
+
+def test_manifest_ahead_of_snapshot_retries_cleanly(tmp_path):
+    """A manifest generation NEWER than the snapshot means the reader
+    caught a compaction mid-swap; _load must not silently drop segments
+    — with the durable state present it raises through after retries."""
+    client, col = _mk(tmp_path)
+    col.upsert(["a"], _emb(0, 1))
+    client.flush()
+    seg_dir = os.path.join(str(tmp_path), "c")
+    with open(os.path.join(seg_dir, "segments.json"), "w") as f:
+        json.dump({"gen": 99, "segments": []}, f)
+    import pytest
+
+    with pytest.raises(ValueError, match="generation"):
+        _reload(tmp_path)

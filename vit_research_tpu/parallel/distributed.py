@@ -38,14 +38,16 @@ _ENV_PID = "VRT_PROCESS_ID"
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None,
-               local_device_ids=None) -> bool:
+               local_device_ids=None, auto: bool = False) -> bool:
     """Bootstrap ``jax.distributed`` when running multi-process.
 
     Args fall back to ``VRT_COORDINATOR_ADDRESS`` / ``VRT_NUM_PROCESSES`` /
-    ``VRT_PROCESS_ID`` env vars, and below that to JAX's own automatic
-    cluster detection (TPU pod metadata). Returns True when a multi-process
-    runtime was initialized, False for the single-process no-op, so
-    single-host users never need to think about it.
+    ``VRT_PROCESS_ID`` env vars. ``auto=True`` (or ``VRT_AUTO_CLUSTER=1``)
+    hands off to JAX's own cluster auto-detection (TPU pod metadata /
+    SLURM) when no explicit config is present — pass it on real pods,
+    where there is nothing to set by hand. Returns True when a
+    multi-process runtime was initialized, False for the single-process
+    no-op, so single-host users never need to think about it.
     """
     coordinator_address = coordinator_address or os.environ.get(_ENV_COORD)
     if num_processes is None and os.environ.get(_ENV_NPROC):
@@ -53,6 +55,9 @@ def initialize(coordinator_address: str | None = None,
     if process_id is None and os.environ.get(_ENV_PID):
         process_id = int(os.environ[_ENV_PID])
     if coordinator_address is None and num_processes in (None, 1):
+        if auto or os.environ.get("VRT_AUTO_CLUSTER"):
+            jax.distributed.initialize()  # JAX cluster auto-detection
+            return jax.process_count() > 1
         return False  # single process, nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -125,8 +130,15 @@ def process_rows(n_global: int) -> slice:
 
 
 def shard_items(items) -> list:
-    """Partition a work list (e.g. frame paths) across processes."""
-    return list(items[process_rows(len(items))])
+    """Partition a work list (e.g. frame paths) across processes.
+
+    Unlike :func:`process_rows` (batches, which must divide evenly so
+    arrays shard), arbitrary-length work lists split as evenly as
+    possible: the first ``n % procs`` processes take one extra item."""
+    n, np_, pid = len(items), jax.process_count(), jax.process_index()
+    base, rem = divmod(n, np_)
+    start = pid * base + min(pid, rem)
+    return list(items[start:start + base + (1 if pid < rem else 0)])
 
 
 def global_batch(mesh: Mesh, local_data: np.ndarray,

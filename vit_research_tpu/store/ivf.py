@@ -69,12 +69,17 @@ class IVFIndex:
     # --------------------------------------------------------------- search
 
     def search(self, q: np.ndarray, x: np.ndarray, k: int, *,
-               mask: np.ndarray | None = None, nprobe: int | None = None):
+               mask: np.ndarray | None = None, nprobe: int | None = None,
+               extra: np.ndarray | None = None):
         """Approximate cosine top-k.
 
         Args:
-          q: (Q, D) queries. x: the SAME embedding array passed to fit.
+          q: (Q, D) queries. x: the embedding array (its first fit-time
+            rows must be the ones passed to fit; rows appended or updated
+            since go in ``extra``).
           mask: optional (N,) bool — rows allowed in results.
+          extra: row indices searched exactly in addition to the probed
+            cells (the collection's post-fit mutation tail).
         Returns (scores, idx): (Q, k) each; invalid slots score -1e30.
         """
         nprobe = min(nprobe or self.nprobe, len(self.cells))
@@ -82,13 +87,18 @@ class IVFIndex:
         cq = qn @ self.centroids.T  # (Q, L)
         probe = np.argpartition(-cq, kth=nprobe - 1, axis=1)[:, :nprobe]
 
-        qk = min(k, self._n)
+        n_total = len(x)
+        qk = min(k, n_total)
         out_s = np.full((len(qn), qk), -1e30, np.float32)
         out_i = np.zeros((len(qn), qk), np.int64)
         xn = x  # score against raw rows, normalizing candidates on the fly
+        tail = (np.asarray(extra, np.int64)
+                if extra is not None and len(extra) else None)
         for qi in range(len(qn)):
             cand = np.concatenate([self.cells[c] for c in probe[qi]]) \
                 if nprobe else np.empty(0, np.int64)
+            if tail is not None:
+                cand = np.unique(np.concatenate([cand, tail]))
             if mask is not None and len(cand):
                 cand = cand[mask[cand]]
             if not len(cand):

@@ -137,7 +137,13 @@ class Collection:
         self._persisted_ids: set[str] = set()
         self._segments: list[str] = []
         self._logged_rows = 0
-        self._ivf = None  # lazily-fit IVFIndex; dropped on mutation
+        self._gen = 0  # compaction generation; tags snapshot + manifest
+        self._ivf = None  # lazily-fit IVFIndex
+        # Rows added/updated since the IVF fit — searched exactly alongside
+        # the probed cells, so upserts don't force a synchronous k-means
+        # refit on the next query. Deletes reindex rows and DO drop the
+        # index; a tail past 20% of the corpus triggers a refit.
+        self._ivf_extra: set[int] = set()
 
     # ------------------------------------------------------------------ io
 
@@ -168,6 +174,7 @@ class Collection:
                 col._embeddings = snap["embeddings"].astype(np.float32)
                 col._ids = [str(i) for i in snap["ids"]]
                 col._metadatas = json.loads(str(snap["metadatas"]))
+                col._gen = int(snap["gen"]) if "gen" in snap.files else 0
         elif os.path.exists(emb_path):  # legacy three-file snapshot
             col._embeddings = np.load(emb_path).astype(np.float32)
             with open(os.path.join(path, "ids.json")) as f:
@@ -178,11 +185,26 @@ class Collection:
             col._id_to_idx = {i: n for n, i in enumerate(col._ids)}
             col._dim = col._embeddings.shape[1]
         manifest = os.path.join(path, "segments.json")
+        segments, manifest_gen = [], 0
         if os.path.exists(manifest):
             with open(manifest) as f:
-                col._segments = json.load(f)
-        for seg in col._segments:
-            col._replay_segment(os.path.join(path, seg))
+                m = json.load(f)
+            if isinstance(m, dict):
+                segments, manifest_gen = m["segments"], int(m["gen"])
+            else:  # legacy list-form manifest (gen 0)
+                segments = m
+        # Generation fencing: a manifest OLDER than the snapshot lists
+        # segments a completed compaction already baked in — replaying
+        # them would resurrect overwritten/deleted rows. A NEWER manifest
+        # means we read the snapshot mid-compaction — raise so _load
+        # retries against the finished state.
+        if manifest_gen > col._gen:
+            raise ValueError("manifest generation ahead of snapshot "
+                             "(concurrent compaction); retrying")
+        if manifest_gen == col._gen:
+            col._segments = segments
+            for seg in col._segments:
+                col._replay_segment(os.path.join(path, seg))
         col._persisted_ids = set(col._ids)
         col._pending_dirty.clear()
         col._pending_deleted.clear()
@@ -250,17 +272,23 @@ class Collection:
 
     def _write_snapshot(self) -> None:
         # One file, one os.replace: concurrent readers see the whole
-        # snapshot or none of it (never mixed-version ids/metadatas).
+        # snapshot or none of it. The generation stamp makes the
+        # snapshot+manifest PAIR crash-safe: a crash after the snapshot
+        # lands but before the manifest truncates leaves an older-gen
+        # manifest, which loaders ignore (those segments are baked in).
         p = self._path
+        self._gen += 1
         _atomic_write_npz(
             os.path.join(p, "snapshot.npz"),
             embeddings=self._embeddings,
             ids=np.asarray(self._ids, dtype=str),
-            metadatas=np.asarray(json.dumps(self._metadatas)))
+            metadatas=np.asarray(json.dumps(self._metadatas)),
+            gen=np.asarray(self._gen))
         old = self._segments
         self._segments = []
         self._logged_rows = 0
-        _atomic_write_json(os.path.join(p, "segments.json"), [])
+        _atomic_write_json(os.path.join(p, "segments.json"),
+                           {"gen": self._gen, "segments": []})
         for seg in old:  # readers that raced the swap retry in _load
             try:
                 os.unlink(os.path.join(p, seg))
@@ -291,7 +319,8 @@ class Collection:
         self._logged_rows += len(dirty) + len(self._pending_deleted)
         # Manifest last: a crash before this line leaves an orphan segment
         # file that load ignores.
-        _atomic_write_json(os.path.join(p, "segments.json"), self._segments)
+        _atomic_write_json(os.path.join(p, "segments.json"),
+                           {"gen": self._gen, "segments": self._segments})
 
     # ------------------------------------------------------------ mutation
 
@@ -316,6 +345,8 @@ class Collection:
                 else:
                     self._embeddings[idx] = embeddings[i]
                     self._metadatas[idx] = dict(metadatas[i] or {})
+                    if self._ivf is not None:
+                        self._ivf_extra.add(idx)
                 self._pending_dirty.add(_id)
                 self._pending_deleted.discard(_id)
             if new_ids:
@@ -326,6 +357,11 @@ class Collection:
                 self._embeddings = np.concatenate(
                     [self._embeddings, np.stack(new_rows)], axis=0)
                 self._metadatas.extend(new_metas)
+                if self._ivf is not None:
+                    self._ivf_extra.update(range(base, base + len(new_ids)))
+            if (self._ivf is not None
+                    and len(self._ivf_extra) > 0.2 * len(self._ids)):
+                self._ivf, self._ivf_extra = None, set()  # refit next query
             self._invalidate()
 
     add = upsert  # the reference only uses idempotent upserts
@@ -352,12 +388,12 @@ class Collection:
             self._metadatas = [m for m, k in zip(self._metadatas, keep) if k]
             self._embeddings = self._embeddings[keep]
             self._id_to_idx = {i: n for n, i in enumerate(self._ids)}
+            self._ivf, self._ivf_extra = None, set()  # rows reindexed
             self._invalidate()
 
     def _invalidate(self):
         self._columns = {}
         self._device_cache = None
-        self._ivf = None
         self._dirty = True
 
     # --------------------------------------------------------------- reads
@@ -494,9 +530,13 @@ class Collection:
     def _query_ivf(self, q, k):
         from vit_research_tpu.store.ivf import IVFIndex
 
-        if self._ivf is None or not self._ivf.matches(len(self._ids)):
+        if self._ivf is None:
             self._ivf = IVFIndex().fit(self._embeddings)
-        return self._ivf.search(q, self._embeddings, k)
+            self._ivf_extra = set()
+        extra = (np.fromiter(self._ivf_extra, np.int64,
+                             len(self._ivf_extra))
+                 if self._ivf_extra else None)
+        return self._ivf.search(q, self._embeddings, k, extra=extra)
 
     def _query_numpy(self, q, mask, k):
         emb = self._embeddings

@@ -45,10 +45,13 @@ class CheckpointManager:
         self._best_step = None
         best = os.path.join(self.dir, "best.json")
         if os.path.exists(best):  # resume best-tracking across restarts
-            with open(best) as f:
-                prev = json.load(f)
-            self._best_metric = float(prev["metric"])
-            self._best_step = int(prev["step"])
+            try:
+                with open(best) as f:
+                    prev = json.load(f)
+                self._best_metric = float(prev["metric"])
+                self._best_step = int(prev["step"])
+            except (ValueError, KeyError):
+                pass  # torn write from a crash; tracking restarts
 
     def save(self, step: int, state: Any, *, metrics: dict | None = None,
              config_json: str | None = None) -> None:
@@ -67,10 +70,18 @@ class CheckpointManager:
         if metric > self._best_metric:
             self._best_metric = metric
             self._best_step = step
-            with open(os.path.join(self.dir, "best.json"), "w") as f:
+            path = os.path.join(self.dir, "best.json")
+            tmp = path + ".tmp"  # atomic: a crash mid-write must not brick
+            with open(tmp, "w") as f:  # the run dir for --resume
                 json.dump({"step": step, "metric": float(metric)}, f)
+            os.replace(tmp, path)
             return True
         return False
+
+    @property
+    def best(self):
+        """(step, metric) of the best checkpoint, or (None, -inf)."""
+        return self._best_step, self._best_metric
 
     def _sweep(self) -> None:
         """Apply the retention policy; never touches the newest step, the

@@ -83,6 +83,17 @@ def train_chunk_encoder(store, chunk_index, train_ids, val_ids, *,
 
     labels_all = chunk_index["label"]
     best_acc, best_params = -1.0, state.params
+    if resume and ckpt_manager is not None and start_epoch > 0:
+        # Carry best-tracking across the crash: without this the resumed
+        # run would return the latest params even when an earlier epoch's
+        # val_acc was the true best.
+        best_step, best_metric = ckpt_manager.best
+        if best_step is not None:
+            restored_best = ckpt_manager.restore(
+                best_step, template={"params": state.params,
+                                     "opt_state": state.opt_state,
+                                     "step": state.step})
+            best_acc, best_params = best_metric, restored_best["params"]
     history = []
     for epoch in range(start_epoch, num_epochs):
         # Per-epoch derived RNG: a resumed run replays the exact keys the
