@@ -300,3 +300,55 @@ def test_train_stage2_resume(world, tmp_path):
                                    rtol=1e-5)
         np.testing.assert_allclose(h_ref["val_loss"], h["val_loss"],
                                    rtol=1e-5)
+
+
+def test_train_chunk_cached_resume(world, tmp_path):
+    """All main loops share maybe_resume + per-epoch folded RNG; check the
+    cached-RATT loop replays the uninterrupted trajectory after a resume."""
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.train.train_chunk_cached import train_chunk_cached
+
+    chunks, train, val, col = world
+    cache = CB.build_bin_cache(
+        chunks, lambda ch: chunk_embed_fn([ch])[0], col,
+        train_vids=[1, 2, 3, 4], candidates_per_bin=8, query_mult=8,
+        max_per_video=6, max_global_appearances=20, min_time_gap=0.0,
+        delta_t=0.5, seed=0)
+    cfg = ExperimentConfig(
+        name="chunks_cached", head=HEAD,
+        train=TrainConfig(batch_size=8, num_epochs=4, accum_steps=1,
+                          lr_phase1=1e-3, lr_phase2=1e-4),
+        retrieval=RetrievalConfig(top_k=4))
+
+    _, ref_hist = train_chunk_cached(train, val, chunk_embed_fn, cache,
+                                     cfg=cfg, delta_t=0.5)
+
+    # interrupt after epoch 1 by checkpointing only 2 epochs' worth
+    cfg2 = ExperimentConfig(
+        name="chunks_cached", head=HEAD,
+        train=TrainConfig(batch_size=8, num_epochs=4, accum_steps=1,
+                          lr_phase1=1e-3, lr_phase2=1e-4),
+        retrieval=RetrievalConfig(top_k=4))
+    mngr = CheckpointManager(str(tmp_path), "cc")
+
+    calls = {"n": 0}
+    def refresh(epoch):
+        calls["n"] += 1
+        if epoch == 2:
+            raise RuntimeError("simulated crash")
+        return cache
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        train_chunk_cached(train, val, chunk_embed_fn, cache, cfg=cfg2,
+                           delta_t=0.5, ckpt_manager=mngr,
+                           refresh_fn=refresh)
+    mngr.wait()
+    mngr2 = CheckpointManager(str(tmp_path), "cc")
+    _, hist = train_chunk_cached(train, val, chunk_embed_fn, cache,
+                                 cfg=cfg2, delta_t=0.5, ckpt_manager=mngr2,
+                                 resume=True)
+    mngr2.wait()
+    for h_ref, h in zip(ref_hist[len(ref_hist) - len(hist):], hist):
+        np.testing.assert_allclose(h_ref["train_loss"], h["train_loss"],
+                                   rtol=1e-5)

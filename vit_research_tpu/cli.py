@@ -163,7 +163,16 @@ def cmd_build_frame_store(args):
     store = FrameStore.build(paths, eng.embed_paths, args.out,
                              batch_size=1024, verbose=True)
     build_chunk_index(chunks, store, args.out)
-    print(f"frame store: {store.n} frames, {len(chunks)} chunks -> {args.out}")
+    labels = [int(c["label"]) for c in chunks]
+    n_unlabeled = sum(1 for v in labels if v < 0)
+    if args.clip_labels and n_unlabeled == len(chunks) and chunks:
+        print(f"WARNING: all {len(chunks)} chunks are unlabeled (-1) — "
+              f"the keys in {args.clip_labels} did not match any clip "
+              "directory. Label keys must be the clip-dir paths exactly "
+              "as resolved from --clip-root (check relative vs absolute).")
+    print(f"frame store: {store.n} frames, {len(chunks)} chunks -> "
+          f"{args.out} (labels: {len(chunks) - n_unlabeled} labeled, "
+          f"{n_unlabeled} unlabeled)")
 
 
 def cmd_train_stage1(args):
@@ -338,14 +347,14 @@ def cmd_train_rag(args):
             client.flush()
             return n
 
-    run_id = cfg.run_id()
+    run_id = args.run_id or cfg.run_id()
     os.makedirs(args.ckpt, exist_ok=True)
     mngr = CheckpointManager(args.ckpt, run_id)
     save_config(cfg, os.path.join(mngr.dir, "experiment.json"))
     params, history = train_rag(
         train, val, chunk_embed_from_store(store), retriever, cfg=cfg,
         use_retrieval=not args.no_retrieval, rebuild_fn=rebuild_fn,
-        ckpt_manager=mngr, verbose=True)
+        ckpt_manager=mngr, resume=args.resume, verbose=True)
     mngr.wait()
     best = max((h.get("val_acc", 0.0) for h in history), default=0.0)
     print(f"run {run_id}: best val acc {best:.4f}")
@@ -406,13 +415,13 @@ def cmd_train_cached(args):
             store.gather_paths([ch["frames"] for ch in batch]))
         return emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8)
 
-    run_id = cfg.run_id()
+    run_id = args.run_id or cfg.run_id()
     os.makedirs(args.ckpt, exist_ok=True)
     mngr = CheckpointManager(args.ckpt, run_id)
     save_config(cfg, os.path.join(mngr.dir, "experiment.json"))
     params, history = train_chunk_cached(
         train, val, chunk_embed, cache, cfg=cfg, delta_t=args.delta_t,
-        ckpt_manager=mngr, verbose=True)
+        ckpt_manager=mngr, resume=args.resume, verbose=True)
     mngr.wait()
     best = max((h.get("val_acc", 0.0) for h in history), default=0.0)
     print(f"run {run_id}: best val acc {best:.4f}")
@@ -586,6 +595,8 @@ def main(argv=None):
     tr.add_argument("--no-retrieval", action="store_true")
     tr.add_argument("--rebuild", choices=["none", "sync"], default="none")
     tr.add_argument("--rebuild-every", type=int, default=4)
+    tr.add_argument("--run-id", default=None)
+    tr.add_argument("--resume", action="store_true")
     # world args only needed for --rebuild sync
     tr.add_argument("--clip-root", dest="clip_root", default=None)
     tr.add_argument("--vids", type=int, nargs="+", default=None)
@@ -608,6 +619,8 @@ def main(argv=None):
     tc.add_argument("--batch-size", type=int, default=8)
     tc.add_argument("--top-k", type=int, default=8)
     tc.add_argument("--delta-t", type=float, default=0.1)
+    tc.add_argument("--run-id", default=None)
+    tc.add_argument("--resume", action="store_true")
     tc.set_defaults(fn=cmd_train_cached)
 
     t2 = sub.add_parser("train-stage2")

@@ -22,6 +22,7 @@ from vit_research_tpu.models.heads import RATTHead, cls_retrieval_importance
 from vit_research_tpu.retrieval.cache_bins import get_retrieval_cache
 from vit_research_tpu.train import losses
 from vit_research_tpu.train.common import (
+    maybe_resume,
     MetricAverager,
     TrainState,
     batch_iterator,
@@ -85,7 +86,7 @@ def make_step_fns(head: RATTHead, tx, *, margin_weight: float = 0.1,
 
 def train_chunk_cached(train_chunks, val_chunks, chunk_embed_fn, cache, *,
                        cfg: ExperimentConfig | None = None, refresh_fn=None,
-                       ckpt_manager=None, seed: int = 1234,
+                       ckpt_manager=None, resume: bool = False, seed: int = 1234,
                        delta_t: float = 0.1, verbose: bool = False):
     """Args:
       chunk_embed_fn: callable(batch_chunks) -> (B, D) frozen stage-1
@@ -98,11 +99,12 @@ def train_chunk_cached(train_chunks, val_chunks, chunk_embed_fn, cache, *,
     d = cfg.head.embed_dim
     top_k = cfg.retrieval.top_k
     head = RATTHead(cfg.head)
-    key = jax.random.PRNGKey(seed)
-    params = head.init(key, jnp.zeros((1, d)), jnp.zeros((1, top_k, d)))
+    base_key = jax.random.PRNGKey(seed)
+    params = head.init(base_key, jnp.zeros((1, d)), jnp.zeros((1, top_k, d)))
     steps = max(num_batches(len(train_chunks), t.batch_size), 1)
     tx = make_optimizer(t, steps)
     state = TrainState(params=params, opt_state=tx.init(params))
+    state, start_epoch = maybe_resume(ckpt_manager, state, resume)
     train_step, eval_step = make_step_fns(
         head, tx, margin=t.margin, margin_weight=t.contrastive_weight)
 
@@ -115,7 +117,8 @@ def train_chunk_cached(train_chunks, val_chunks, chunk_embed_fn, cache, *,
                 jnp.asarray(rlabels), jnp.asarray(hardneg))
 
     history = []
-    for epoch in range(t.num_epochs):
+    for epoch in range(start_epoch, t.num_epochs):
+        key = jax.random.fold_in(base_key, epoch)  # resume-stable
         m = MetricAverager()
         for batch in batch_iterator(train_chunks, t.batch_size,
                                     seed=seed + epoch):

@@ -31,6 +31,7 @@ import optax
 from vit_research_tpu.models.heads import ProjectionHead, RAGHead
 from vit_research_tpu.train import losses
 from vit_research_tpu.train.common import (
+    maybe_resume,
     MetricAverager,
     TrainState,
     batch_iterator,
@@ -98,7 +99,7 @@ def make_step_fns(proj: ProjectionHead, head: RAGHead, tx,
 
 def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
               cfg: ExperimentConfig | None = None, use_retrieval: bool = True,
-              rebuild_fn=None, rebuild_scheduler=None, ckpt_manager=None,
+              rebuild_fn=None, rebuild_scheduler=None, ckpt_manager=None, resume: bool = False,
               seed: int = 1234, verbose: bool = False):
     """Returns (params, history). ``retriever`` follows the
     FrameRetriever call contract.
@@ -116,17 +117,18 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
     proj = ProjectionHead(input_dim=cfg.head.embed_dim,
                           proj_dim=cfg.head.embed_dim)
     head = RAGHead(cfg.head)
-    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     d = cfg.head.embed_dim
     k = cfg.retrieval.top_k
     params = {
-        "proj": proj.init(key, jnp.zeros((1, d))),
-        "head": head.init(key, jnp.zeros((1, d)), jnp.zeros((1, k, d))),
+        "proj": proj.init(base_key, jnp.zeros((1, d))),
+        "head": head.init(base_key, jnp.zeros((1, d)), jnp.zeros((1, k, d))),
     }
     steps_per_epoch = max(
         num_batches(len(train_chunks), t.batch_size), 1)
     tx = make_optimizer(t, steps_per_epoch)
     state = TrainState(params=params, opt_state=tx.init(params))
+    state, start_epoch = maybe_resume(ckpt_manager, state, resume)
     train_step, eval_step = make_step_fns(
         proj, head, tx, t.contrastive_weight, use_retrieval)
 
@@ -144,7 +146,8 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
         return retriever(z, metadata)
 
     history = []
-    for epoch in range(t.num_epochs):
+    for epoch in range(start_epoch, t.num_epochs):
+        key = jax.random.fold_in(base_key, epoch)  # resume-stable
         m = MetricAverager()
         for batch in batch_iterator(train_chunks, t.batch_size,
                                     seed=seed + epoch):

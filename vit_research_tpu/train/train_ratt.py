@@ -28,6 +28,7 @@ from vit_research_tpu.models.heads import (
 )
 from vit_research_tpu.train import losses
 from vit_research_tpu.train.common import (
+    maybe_resume,
     MetricAverager,
     TrainState,
     batch_iterator,
@@ -91,7 +92,7 @@ def make_step_fns(proj: ProjectionHead, head: RATTHead, tx, *,
 
 def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
                cfg: ExperimentConfig | None = None,
-               attention_losses: bool = False, ckpt_manager=None,
+               attention_losses: bool = False, ckpt_manager=None, resume: bool = False,
                seed: int = 1234, verbose: bool = False):
     """Args:
       frame_embs_fn: callable(batch_chunks) -> (B, T, 768) frame
@@ -103,15 +104,16 @@ def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
     d = cfg.head.embed_dim
     proj = ProjectionHead(input_dim=3 * d, hidden_dim=d, proj_dim=d)
     head = RATTHead(cfg.head)
-    key = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     k = cfg.retrieval.top_k
     params = {
-        "proj": proj.init(key, jnp.zeros((1, 3 * d))),
-        "head": head.init(key, jnp.zeros((1, d)), jnp.zeros((1, k, d))),
+        "proj": proj.init(base_key, jnp.zeros((1, 3 * d))),
+        "head": head.init(base_key, jnp.zeros((1, d)), jnp.zeros((1, k, d))),
     }
     steps = max(num_batches(len(train_chunks), t.batch_size), 1)
     tx = make_optimizer(t, steps)
     state = TrainState(params=params, opt_state=tx.init(params))
+    state, start_epoch = maybe_resume(ckpt_manager, state, resume)
     aw = 0.1 if attention_losses else 0.0
     ew = 0.01 if attention_losses else 0.0
     train_step, eval_step = make_step_fns(
@@ -126,7 +128,8 @@ def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
                                   jnp.asarray(frame_embs, jnp.float32)))
 
     history = []
-    for epoch in range(t.num_epochs):
+    for epoch in range(start_epoch, t.num_epochs):
+        key = jax.random.fold_in(base_key, epoch)  # resume-stable
         m = MetricAverager()
         for batch in batch_iterator(train_chunks, t.batch_size,
                                     seed=seed + epoch):
