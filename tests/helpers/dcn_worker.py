@@ -7,6 +7,12 @@ Each worker owns 4 virtual CPU devices; together they form a 2-process
 import os
 import sys
 
+# sys.path[0] is tests/helpers — put the repo root first so the package
+# imports regardless of the parent process's PYTHONPATH.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
 
 flags = os.environ.get("XLA_FLAGS", "")

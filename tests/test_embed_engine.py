@@ -92,3 +92,25 @@ def test_embed_paths_pipeline(tmp_path, model_params):
 
     batch = load_frames(paths, SPEC, num_workers=2)
     np.testing.assert_allclose(out, eng.embed_batch(batch), atol=1e-5)
+
+
+def test_embed_paths_prefetch_matches_inline(tmp_path, model_params):
+    from vit_research_tpu.data import synthetic
+
+    model, params = model_params
+    paths = synthetic.write_video_frames(
+        str(tmp_path / "pf"), 2, [("left", 7), ("none", 6)], size=(32, 32))
+    eng = EmbeddingEngine(model, params, SPEC, batch_size=4,
+                          use_fused_patch_embed=False)
+    inline = eng.embed_paths(paths, num_workers=2, prefetch=0)
+    buffered = eng.embed_paths(paths, num_workers=2, prefetch=3)
+    np.testing.assert_allclose(buffered, inline, atol=1e-6)
+
+
+def test_embed_paths_prefetch_propagates_decode_errors(model_params):
+    model, params = model_params
+    eng = EmbeddingEngine(model, params, SPEC, batch_size=4,
+                          use_fused_patch_embed=False)
+    with pytest.raises(Exception):
+        eng.embed_paths(["/nonexistent/frame.jpg"] * 6, num_workers=2,
+                        prefetch=2)

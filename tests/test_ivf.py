@@ -69,6 +69,66 @@ def test_ivf_tiny_corpus_and_k_clamp():
     assert idx[0, 0] == 0 and idx[1, 0] == 1
 
 
+def test_spilled_search_matches_in_ram(tmp_path):
+    x = clustered(12_000, seed=7)
+    q = x[:32] + 0.01
+    prefix = str(tmp_path / "ivf")
+    ivf = IVFIndex(nprobe=8, seed=7).fit(x)
+    s_ram, i_ram = ivf.search(q, x, 10)
+    ivf.spill(x, prefix)
+    s_disk, i_disk = ivf.search(q, None, 10)
+    assert np.array_equal(i_ram, i_disk)
+    np.testing.assert_allclose(s_ram, s_disk, rtol=1e-5)
+
+
+def test_spilled_load_roundtrip_and_memmap_corpus(tmp_path):
+    # Build straight from an np.memmap corpus (the >RAM shape) and reopen
+    # the index from disk in a fresh object.
+    x = clustered(8_000, seed=8)
+    corpus = np.memmap(tmp_path / "corpus.dat", mode="w+",
+                       dtype=np.float32, shape=x.shape)
+    corpus[:] = x
+    corpus.flush()
+    prefix = str(tmp_path / "ivf")
+    IVFIndex.build_spilled(corpus, prefix, nprobe=8, seed=8)
+    del corpus
+    ivf = IVFIndex.load(prefix)
+    q = x[:16] + 0.01
+    _, idx = ivf.search(q, None, 10)
+    ref = exact_topk(q, x, 10)
+    recall = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(idx, ref)])
+    assert recall >= 0.95, recall
+    # masks apply out-of-core too
+    mask = np.zeros(len(x), bool)
+    mask[2000:4000] = True
+    scores, idx = ivf.search(q[:4], None, 5, mask=mask)
+    valid = scores > -1e29
+    assert valid.any()
+    assert np.all((idx[valid] >= 2000) & (idx[valid] < 4000))
+
+
+def test_spilled_tail_overrides_stale_rows(tmp_path):
+    x = clustered(5_000, seed=9)
+    prefix = str(tmp_path / "ivf")
+    ivf = IVFIndex(nprobe=4, seed=9).fit(x).spill(x, prefix)
+    # row 0 was updated after the spill: its fresh value must win and the
+    # stale on-disk copy must not appear.
+    probe = np.full(x.shape[1], 3.0, np.float32)
+    fresh = probe * 2.0
+    with np.errstate(all="ignore"):
+        scores, idx = ivf.search(
+            probe[None], None, 3,
+            extra=np.array([0]), extra_rows=fresh[None])
+    assert idx[0, 0] == 0
+    assert abs(scores[0, 0] - 1.0) < 1e-5  # cosine vs fresh, not stale
+    # x=None with extra but no extra_rows is an error
+    try:
+        ivf.search(probe[None], None, 3, extra=np.array([0]))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
 def test_collection_switches_to_ivf_above_threshold(monkeypatch):
     monkeypatch.setattr(Collection, "ivf_threshold", 5_000)
     col = Collection("big", space="cosine")

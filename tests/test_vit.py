@@ -152,3 +152,81 @@ def test_remat_is_semantics_preserving():
     md, pd = init_vit(cfg_d, seed=7)
     out = md.apply(pd, x, train=True, rngs={"dropout": jax.random.PRNGKey(0)})
     assert out["pooled"].shape == (2, 32)
+
+
+# ----------------------------------------------------------------- ToMe
+
+def test_tome_reduces_tokens_and_tracks_sizes():
+    cfg = dataclasses.replace(TINY, tome_r=2)
+    model, params = init_vit(cfg, seed=0)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    out = model.apply(params, x)
+    n = TINY.num_patches + 1  # 17
+    n_final = n - cfg.tome_r * cfg.num_layers  # 13
+    assert out["encoded_tokens"].shape == (2, n_final, 64)
+    assert out["token_sizes"].shape == (2, n_final)
+    # Every original token is accounted for in exactly one merged token.
+    np.testing.assert_allclose(np.asarray(out["token_sizes"]).sum(-1),
+                               n, rtol=1e-5)
+    assert out["pooled"].shape == (2, 64)
+
+
+def test_tome_params_interchangeable_with_plain_vit():
+    # Same submodule names => one weight tree serves both forwards.
+    cfg = dataclasses.replace(TINY, tome_r=2)
+    plain_model, plain_params = init_vit(TINY, seed=3)
+    tome_model, tome_params = init_vit(cfg, seed=3)
+    s1 = jax.tree_util.tree_structure(plain_params)
+    s2 = jax.tree_util.tree_structure(tome_params)
+    assert s1 == s2
+    x = jnp.ones((1, 32, 32, 3))
+    out = tome_model.apply(plain_params, x)  # plain weights, ToMe forward
+    assert out["pooled"].shape == (1, 64)
+
+
+def test_tome_exact_on_duplicate_tokens():
+    # With the position table zeroed and a constant image, every patch
+    # token is identical, so merging (size-weighted mean of equals) is
+    # lossless: the ToMe forward must match the plain forward.
+    cfg = dataclasses.replace(TINY, tome_r=2)
+    plain_model, params = init_vit(TINY, seed=1)
+    tome_model, _ = init_vit(cfg, seed=1)
+    params = jax.tree_util.tree_map(lambda a: a, params)  # shallow copy ok
+    params = {"params": dict(params["params"])}
+    params["params"]["pos_embedding"] = jnp.zeros_like(
+        params["params"]["pos_embedding"])
+    x = jnp.full((2, 32, 32, 3), 0.25, jnp.float32)
+    ref = plain_model.apply(params, x)
+    out = tome_model.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out["pooled"]),
+                               np.asarray(ref["pooled"]), atol=2e-4)
+    # gap pooling is size-weighted, so it is exact here too
+    cfg_gap = dataclasses.replace(cfg, pooler="gap")
+    tiny_gap = dataclasses.replace(TINY, pooler="gap")
+    ref = VisionTransformer(tiny_gap).apply(params, x)
+    out = VisionTransformer(cfg_gap).apply(params, x)
+    np.testing.assert_allclose(np.asarray(out["pooled"]),
+                               np.asarray(ref["pooled"]), atol=2e-4)
+
+
+def test_tome_cls_never_merged():
+    # Run with an input whose CLS trajectory we can compare: r=0 vs r>0
+    # keeps the CLS slot at index 0 (merge output order is
+    # [kept sources (CLS first), destinations]).
+    cfg = dataclasses.replace(TINY, tome_r=3)
+    model, params = init_vit(cfg, seed=2)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 32, 32, 3)),
+                    jnp.float32)
+    out = model.apply(params, x)
+    sizes = np.asarray(out["token_sizes"])
+    # CLS represents only itself — it never absorbed or joined a merge.
+    assert sizes[0, 0] == 1.0
+
+
+def test_tome_rejects_remat_and_scores():
+    with pytest.raises(ValueError):
+        init_vit(dataclasses.replace(TINY, tome_r=2, remat=True))
+    with pytest.raises(ValueError):
+        init_vit(dataclasses.replace(
+            TINY, tome_r=2, output_attention_scores=True))

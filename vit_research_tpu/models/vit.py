@@ -80,7 +80,13 @@ class MultiHeadSelfAttention(nn.Module):
     interpret_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, output_scores: bool = False):
+    def __call__(self, x, *, train: bool = False, output_scores: bool = False,
+                 log_size=None, output_metric: bool = False):
+        """``log_size``: optional (B, T) key bias (ToMe proportional
+        attention — merged tokens keep their constituents' attention
+        mass). ``output_metric`` additionally returns the head-averaged
+        keys (B, T, dh), ToMe's matching features; the return becomes a
+        3-tuple."""
         d = x.shape[-1]
         h = self.num_heads
         dh = d // h
@@ -91,8 +97,10 @@ class MultiHeadSelfAttention(nn.Module):
         v = dense("value")(x).transpose(0, 2, 1, 3)
 
         scores = None
-        if output_scores or not self.use_pallas:
+        if output_scores or log_size is not None or not self.use_pallas:
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh ** -0.5)
+            if log_size is not None:
+                s = s + log_size[:, None, None, :].astype(s.dtype)
             probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
             if output_scores:
                 scores = probs
@@ -103,6 +111,8 @@ class MultiHeadSelfAttention(nn.Module):
                 q, k, v, use_pallas=True, interpret=self.interpret_pallas)
         o = o.transpose(0, 2, 1, 3)  # (B, T, H, dh)
         out = nn.DenseGeneral(d, axis=(-2, -1), dtype=self.dtype, name="out")(o)
+        if output_metric:
+            return out, scores, k.mean(axis=1)
         return out, scores
 
 
@@ -143,6 +153,44 @@ class EncoderBlock(nn.Module):
         return x + z, scores
 
 
+class ToMeEncoderBlock(nn.Module):
+    """EncoderBlock variant that merges ``r`` tokens per layer (ToMe,
+    ops/tome.py). Parameter tree is identical to EncoderBlock (same
+    submodule names), so weights — seeded-contract or HF-imported — load
+    into either; only the forward differs. Off the parity path: enable
+    via ``ViTConfig(tome_r=r)`` as a speed/accuracy trade."""
+
+    num_heads: int
+    mlp_dim: int
+    r: int
+    dropout_rate: float = 0.0
+    attention_dropout_rate: float = 0.0
+    layer_norm_eps: float = 1e-6
+    dtype: Any = jnp.float32
+    gelu_approximate: bool = False
+
+    @nn.compact
+    def __call__(self, x, sizes, *, train: bool = False):
+        from vit_research_tpu.ops.tome import bipartite_merge
+
+        y = nn.LayerNorm(epsilon=self.layer_norm_eps, name="ln1")(x)
+        y, _, metric = MultiHeadSelfAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.attention_dropout_rate,
+            use_pallas=False, name="attn",
+        )(y, train=train, log_size=jnp.log(sizes), output_metric=True)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        x = x + y
+        x, sizes = bipartite_merge(x, metric, sizes, self.r)
+        z = nn.LayerNorm(epsilon=self.layer_norm_eps, name="ln2")(x)
+        z = MlpBlock(
+            mlp_dim=self.mlp_dim, dropout_rate=self.dropout_rate,
+            dtype=self.dtype, gelu_approximate=self.gelu_approximate,
+            name="mlp",
+        )(z, train=train)
+        return x + z, sizes
+
+
 class VisionTransformer(nn.Module):
     config: ViTConfig
     interpret_pallas: bool = False  # CPU testing of the Pallas paths
@@ -160,22 +208,40 @@ class VisionTransformer(nn.Module):
         self.pos_embedding = self.param(
             "pos_embedding", nn.initializers.truncated_normal(stddev=0.02),
             (1, c.num_patches + 1, c.hidden_size), jnp.float32)
-        # Remat: recompute block activations in backward (static argnums
-        # offset by 1 for the module scope — train / output_scores).
-        block_cls = (nn.remat(EncoderBlock, static_argnums=(2, 3))
-                     if c.remat else EncoderBlock)
-        self.blocks = [
-            block_cls(
-                num_heads=c.num_heads, mlp_dim=c.mlp_dim,
-                dropout_rate=c.dropout_rate,
-                attention_dropout_rate=c.attention_dropout_rate,
-                layer_norm_eps=c.layer_norm_eps, dtype=dtype,
-                gelu_approximate=c.gelu_approximate,
-                use_pallas=c.use_flash_attention,
-                interpret_pallas=self.interpret_pallas,
-                name=f"block_{i}")
-            for i in range(c.num_layers)
-        ]
+        if c.tome_r:
+            if c.remat or c.output_attention_scores:
+                raise ValueError(
+                    "tome_r is incompatible with remat (an inference-speed "
+                    "knob) and with output_attention_scores (per-layer "
+                    "score shapes differ once tokens merge)")
+            self.blocks = [
+                ToMeEncoderBlock(
+                    num_heads=c.num_heads, mlp_dim=c.mlp_dim, r=c.tome_r,
+                    dropout_rate=c.dropout_rate,
+                    attention_dropout_rate=c.attention_dropout_rate,
+                    layer_norm_eps=c.layer_norm_eps, dtype=dtype,
+                    gelu_approximate=c.gelu_approximate,
+                    name=f"block_{i}")
+                for i in range(c.num_layers)
+            ]
+        else:
+            # Remat: recompute block activations in backward (static
+            # argnums offset by 1 for the module scope — train /
+            # output_scores).
+            block_cls = (nn.remat(EncoderBlock, static_argnums=(2, 3))
+                         if c.remat else EncoderBlock)
+            self.blocks = [
+                block_cls(
+                    num_heads=c.num_heads, mlp_dim=c.mlp_dim,
+                    dropout_rate=c.dropout_rate,
+                    attention_dropout_rate=c.attention_dropout_rate,
+                    layer_norm_eps=c.layer_norm_eps, dtype=dtype,
+                    gelu_approximate=c.gelu_approximate,
+                    use_pallas=c.use_flash_attention,
+                    interpret_pallas=self.interpret_pallas,
+                    name=f"block_{i}")
+                for i in range(c.num_layers)
+            ]
         self.encoder_norm = nn.LayerNorm(
             epsilon=c.layer_norm_eps, name="encoder_norm")
         if c.representation_size is not None:
@@ -210,18 +276,30 @@ class VisionTransformer(nn.Module):
 
         endpoints = {"tokens_before_encoder": x}
         all_scores = []
-        for block in self.blocks:
-            x, scores = block(x, train, c.output_attention_scores)
-            if scores is not None:
-                all_scores.append(scores)
+        sizes = None
+        if c.tome_r:
+            sizes = jnp.ones(x.shape[:2], jnp.float32)
+            for block in self.blocks:
+                x, sizes = block(x, sizes, train=train)
+        else:
+            for block in self.blocks:
+                x, scores = block(x, train, c.output_attention_scores)
+                if scores is not None:
+                    all_scores.append(scores)
 
         x = self.encoder_norm(x)
         endpoints["encoded_tokens"] = x
+        if sizes is not None:
+            endpoints["token_sizes"] = sizes
 
         if c.pooler == "token":
             pooled = x[:, 0]
         elif c.pooler == "gap":
-            pooled = jnp.mean(x[:, 1:], axis=1)
+            if sizes is None:
+                pooled = jnp.mean(x[:, 1:], axis=1)
+            else:  # merged tokens stand for several originals — weight them
+                w = sizes[:, 1:, None].astype(x.dtype)
+                pooled = (x[:, 1:] * w).sum(axis=1) / w.sum(axis=1)
         elif c.pooler == "none":
             pooled = x
         else:

@@ -120,15 +120,66 @@ class EmbeddingEngine:
         return np.concatenate(outs, axis=0) if outs else np.zeros((0,))
 
     def embed_paths(self, paths, num_workers: int = 8,
-                    use_native: bool = False) -> np.ndarray:
-        """Decode -> embed with host/device overlap: the next batch decodes
-        while the device chews on the current one (async dispatch).
-        ``use_native`` routes JPEG decode through native/jpeg_fast.c."""
+                    use_native: bool = False,
+                    prefetch: int = 2) -> np.ndarray:
+        """Decode -> embed with full host/device overlap.
+
+        A producer thread decodes up to ``prefetch`` batches ahead into a
+        bounded queue (double buffering), so JPEG decode keeps running
+        while the main thread blocks on device readback — neither side
+        ever waits on the other unless the pipeline is genuinely decode-
+        or compute-bound. ``use_native`` routes JPEG decode through
+        native/jpeg_fast.c. ``prefetch=0`` decodes inline (the pre-
+        double-buffer behavior, still with async dispatch)."""
+        import queue
+        import threading
+
+        if len(paths) == 0:
+            return np.zeros((0,), np.float32)
+
+        if prefetch <= 0:
+            batches = (load_frames(paths[s:s + self.batch_size], self.spec,
+                                   num_workers=num_workers,
+                                   use_native=use_native)
+                       for s in range(0, len(paths), self.batch_size))
+            return self._drain(batches)
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        _done = object()
+
+        def produce():
+            try:
+                for s in range(0, len(paths), self.batch_size):
+                    q.put(load_frames(paths[s:s + self.batch_size],
+                                      self.spec, num_workers=num_workers,
+                                      use_native=use_native))
+                q.put(_done)
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="embed-decode-prefetch")
+        t.start()
+
+        def consume():
+            while True:
+                item = q.get()
+                if item is _done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+
+        try:
+            return self._drain(consume())
+        finally:
+            t.join(timeout=30.0)
+
+    def _drain(self, batches) -> np.ndarray:
+        """Dispatch an iterable of uint8 batches, keeping one batch in
+        flight on the device while the next is produced."""
         outs, pending = [], None
-        for start in range(0, len(paths), self.batch_size):
-            chunk = paths[start:start + self.batch_size]
-            batch = load_frames(chunk, self.spec, num_workers=num_workers,
-                                use_native=use_native)
+        for batch in batches:
             if pending is not None:
                 dev_out, n = pending
                 outs.append(np.asarray(dev_out)[:n])

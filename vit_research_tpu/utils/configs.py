@@ -98,6 +98,12 @@ class ViTConfig(_Serializable):
     # standard lever for joint backbone training at large batch on one
     # chip (jax.checkpoint / nn.remat per block).
     remat: bool = False
+    # Token merging (ToMe, ops/tome.py): merge this many token pairs per
+    # encoder block by bipartite soft matching. 0 = off (the parity
+    # default — merging changes outputs). Typical speed/accuracy trades
+    # at ViT-B/16 @224 (197 tokens): r=8 keeps ~2/3 of tokens by the last
+    # block, r=13 keeps ~1/3.
+    tome_r: int = 0
 
     @property
     def grid(self) -> tuple:
