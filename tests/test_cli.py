@@ -208,3 +208,14 @@ def test_smoke_command(capsys):
     cli.main(["smoke"])
     out = capsys.readouterr().out
     assert "pre_logits" in out
+
+
+def test_tome_env_engine(monkeypatch, tmp_path):
+    # VRT_TOME_R threads token merging into the CLI's frame embedder; the
+    # tiny 1-layer ViT drops r tokens (9 patch tokens + CLS -> 8 tokens).
+    monkeypatch.setenv("VRT_TOME_R", "2")
+    eng = cli._engine(batch_size=8)
+    assert eng.model.config.tome_r == 2
+    out = eng.embed_batch(np.zeros((3, 32, 32, 3), np.uint8))
+    assert out.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)

@@ -21,7 +21,14 @@ import os
 
 
 def _engine(preset: str = "hf", batch_size: int = 256):
-    """VRT_TINY=1 swaps in a small random ViT (CI / smoke runs)."""
+    """VRT_TINY=1 swaps in a small random ViT (CI / smoke runs).
+
+    VRT_TOME_R=<int> enables token merging (ops/tome.py) in the frame
+    embedder — a speed/accuracy trade (r=13 measured +33% throughput on
+    v5e), OFF by default because merged embeddings drift from the
+    reference-parity outputs. All embeddings a pipeline compares must
+    come from the same setting."""
+    tome_r = int(os.environ.get("VRT_TOME_R", "0"))
     if os.environ.get("VRT_TINY"):
         from vit_research_tpu.data.preprocess import PreprocessSpec
         from vit_research_tpu.models.vit import init_vit
@@ -30,14 +37,14 @@ def _engine(preset: str = "hf", batch_size: int = 256):
 
         cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
                         num_layers=1, num_heads=2, mlp_dim=64,
-                        use_flash_attention=False)
+                        use_flash_attention=False, tome_r=tome_r)
         model, params = init_vit(cfg, seed=0)
         return EmbeddingEngine(model, params, PreprocessSpec(size=(32, 32)),
                                batch_size=min(batch_size, 16),
                                use_fused_patch_embed=False)
     from vit_research_tpu.parallel.embed import make_hf_frame_embedder
 
-    return make_hf_frame_embedder(batch_size=batch_size)
+    return make_hf_frame_embedder(batch_size=batch_size, tome_r=tome_r)
 
 
 def _load_world(args):
