@@ -25,7 +25,11 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
+                             iters: int = 16) -> dict:
+    """Shared harness: returns {frames_per_sec, compile_s}. tome_r=0 is
+    the parity configuration; examples/bench_tome.py reuses this with
+    tome_r>0 so the numbers stay methodology-comparable."""
     import dataclasses
 
     import jax
@@ -37,9 +41,8 @@ def main() -> None:
     from vit_research_tpu.parallel.embed import EmbeddingEngine
 
     cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
-                              use_flash_attention=False)
+                              use_flash_attention=False, tome_r=tome_r)
     model, params = init_vit(cfg, seed=0)
-    batch = 512
     eng = EmbeddingEngine(model, params, HF_VIT_SPEC, batch_size=batch,
                           use_fused_patch_embed=True)
 
@@ -58,20 +61,24 @@ def main() -> None:
         for _ in range(n_buffers)
     ]
 
-    # Warmup / compile.
-    _ = float(fwd_checksum(eng.params, batches[0]))
+    t0 = time.time()
+    _ = float(fwd_checksum(eng.params, batches[0]))  # warmup / compile
+    compile_s = time.time() - t0
 
-    iters = 16
     t0 = time.time()
     sums = [fwd_checksum(eng.params, batches[i % n_buffers])
             for i in range(iters)]
     _ = [float(s) for s in sums]
     dt = time.time() - t0
+    return {"frames_per_sec": round(batch * iters / dt, 1),
+            "compile_s": round(compile_s, 1)}
 
-    fps = batch * iters / dt
+
+def main() -> None:
+    fps = measure_embed_throughput()["frames_per_sec"]
     print(json.dumps({
         "metric": "vit_b16_embed_throughput",
-        "value": round(fps, 1),
+        "value": fps,
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 10000.0, 4),
     }))

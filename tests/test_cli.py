@@ -212,7 +212,7 @@ def test_smoke_command(capsys):
 
 def test_tome_env_engine(monkeypatch, tmp_path):
     # VRT_TOME_R threads token merging into the CLI's frame embedder; the
-    # tiny 1-layer ViT drops r tokens (9 patch tokens + CLS -> 8 tokens).
+    # tiny 1-layer ViT (16 patch tokens + CLS = 17) drops r=2 -> 15.
     monkeypatch.setenv("VRT_TOME_R", "2")
     eng = cli._engine(batch_size=8)
     assert eng.model.config.tome_r == 2

@@ -129,6 +129,35 @@ def test_spilled_tail_overrides_stale_rows(tmp_path):
         pass
 
 
+def test_refit_invalidates_spill(tmp_path):
+    x = clustered(3_000, seed=10)
+    prefix = str(tmp_path / "ivf")
+    ivf = IVFIndex(seed=10).fit(x).spill(x, prefix)
+    ivf.fit(clustered(2_000, seed=11))  # new fit, new cell order
+    try:
+        ivf.search(x[:2], None, 3)
+        assert False, "stale spill must not be searchable after refit"
+    except ValueError:
+        pass
+
+
+def test_spilled_tail_dedup_keeps_last(tmp_path):
+    x = clustered(2_000, seed=12)
+    prefix = str(tmp_path / "ivf")
+    ivf = IVFIndex(nprobe=4, seed=12).fit(x).spill(x, prefix)
+    probe = np.full(x.shape[1], 2.0, np.float32)
+    stale = -probe
+    fresh = probe * 3.0
+    # row 7 updated twice: the later value must win, and index 7 must
+    # occupy at most ONE top-k slot.
+    scores, idx = ivf.search(
+        probe[None], None, 4,
+        extra=np.array([7, 7]), extra_rows=np.stack([stale, fresh]))
+    hits = (idx[0] == 7) & (scores[0] > -1e29)
+    assert hits.sum() == 1
+    assert abs(scores[0][hits][0] - 1.0) < 1e-5  # cosine vs fresh
+
+
 def test_collection_switches_to_ivf_above_threshold(monkeypatch):
     monkeypatch.setattr(Collection, "ivf_threshold", 5_000)
     col = Collection("big", space="cosine")

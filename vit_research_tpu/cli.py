@@ -28,7 +28,12 @@ def _engine(preset: str = "hf", batch_size: int = 256):
     v5e), OFF by default because merged embeddings drift from the
     reference-parity outputs. All embeddings a pipeline compares must
     come from the same setting."""
-    tome_r = int(os.environ.get("VRT_TOME_R", "0"))
+    raw_tome = os.environ.get("VRT_TOME_R", "").strip()
+    try:
+        tome_r = int(raw_tome) if raw_tome else 0
+    except ValueError:
+        raise SystemExit(
+            f"VRT_TOME_R must be an integer, got {raw_tome!r}")
     if os.environ.get("VRT_TINY"):
         from vit_research_tpu.data.preprocess import PreprocessSpec
         from vit_research_tpu.models.vit import init_vit

@@ -23,6 +23,7 @@ Mosaic/XLA handle poorly at small sizes.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -81,7 +82,8 @@ def bipartite_merge(x: jnp.ndarray, metric: jnp.ndarray,
     # One-hot matmul scatter: rows of src fold into their dst slots.
     # Size bookkeeping and the weighted mean run in float32 regardless of
     # the token dtype (bf16 sums drift once sizes grow).
-    onehot = _one_hot(dst_of_merged, dst_n, jnp.float32)  # (B, r, Dst)
+    onehot = jax.nn.one_hot(dst_of_merged, dst_n,
+                            dtype=jnp.float32)  # (B, r, Dst)
     add_x = jnp.einsum(
         "brk,brd->bkd", onehot,
         x_merged.astype(jnp.float32) * s_merged[..., None])
@@ -94,7 +96,3 @@ def bipartite_merge(x: jnp.ndarray, metric: jnp.ndarray,
     x_out = jnp.concatenate([x_unm, new_x_dst], axis=1)
     s_out = jnp.concatenate([s_unm, new_s_dst], axis=1)
     return x_out, s_out
-
-
-def _one_hot(idx: jnp.ndarray, n: int, dtype) -> jnp.ndarray:
-    return (idx[..., None] == jnp.arange(n)[None, None, :]).astype(dtype)

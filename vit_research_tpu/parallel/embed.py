@@ -52,6 +52,11 @@ class EmbeddingEngine:
         self.interpret = interpret_pallas
         c = model.config
         self.grid = (spec.size[0] // c.patch_size, spec.size[1] // c.patch_size)
+        #: output embedding width (keeps the (N, D) contract for N == 0)
+        self.out_dim = (c.representation_size
+                        if endpoint == "pre_logits"
+                        and c.representation_size is not None
+                        and c.pooler != "none" else c.hidden_size)
 
         if mesh is not None:
             n_data = mesh.shape["data"]
@@ -117,7 +122,8 @@ class EmbeddingEngine:
             pending.append(self._dispatch(batch_u8[start:start + self.batch_size]))
         for dev_out, n in pending:
             outs.append(np.asarray(dev_out)[:n])
-        return np.concatenate(outs, axis=0) if outs else np.zeros((0,))
+        return (np.concatenate(outs, axis=0) if outs
+                else np.zeros((0, self.out_dim), np.float32))
 
     def embed_paths(self, paths, num_workers: int = 8,
                     use_native: bool = False,
@@ -135,7 +141,7 @@ class EmbeddingEngine:
         import threading
 
         if len(paths) == 0:
-            return np.zeros((0,), np.float32)
+            return np.zeros((0, self.out_dim), np.float32)
 
         if prefetch <= 0:
             batches = (load_frames(paths[s:s + self.batch_size], self.spec,
@@ -146,16 +152,28 @@ class EmbeddingEngine:
 
         q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         _done = object()
+        stop = threading.Event()  # set when the consumer abandons the run
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for s in range(0, len(paths), self.batch_size):
-                    q.put(load_frames(paths[s:s + self.batch_size],
-                                      self.spec, num_workers=num_workers,
-                                      use_native=use_native))
-                q.put(_done)
+                    if not _put(load_frames(
+                            paths[s:s + self.batch_size], self.spec,
+                            num_workers=num_workers,
+                            use_native=use_native)):
+                        return
+                _put(_done)
             except BaseException as e:  # surfaced on the consumer side
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True,
                              name="embed-decode-prefetch")
@@ -173,6 +191,14 @@ class EmbeddingEngine:
         try:
             return self._drain(consume())
         finally:
+            # On an early exit (dispatch error) unblock the producer and
+            # release any decoded batches it parked in the queue.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
             t.join(timeout=30.0)
 
     def _drain(self, batches) -> np.ndarray:
@@ -188,7 +214,7 @@ class EmbeddingEngine:
             dev_out, n = pending
             outs.append(np.asarray(dev_out)[:n])
         return (np.concatenate(outs, axis=0) if outs
-                else np.zeros((0,), np.float32))
+                else np.zeros((0, self.out_dim), np.float32))
 
 
 def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
@@ -210,7 +236,7 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
     """
     n = len(paths)
     if n == 0:
-        return np.zeros((0,), np.float32)
+        return np.zeros((0, engine.out_dim), np.float32)
     key_idx = list(range(0, n, stride))
     if key_idx[-1] != n - 1:
         key_idx.append(n - 1)

@@ -77,6 +77,11 @@ class IVFIndex:
         self.centroids = cent
         self.cells = [np.nonzero(assign == c)[0] for c in range(ln)]
         self._n = n
+        # A previous spill described the previous fit's cell order —
+        # searching it against the new cells would misalign rows.
+        self._spill_dat = None
+        self._spill_bounds = None
+        self._spill_mm = None
         return self
 
     def matches(self, n: int) -> bool:
@@ -180,6 +185,16 @@ class IVFIndex:
                 raise ValueError("search(x=None) needs a spilled index")
             if tail is not None and extra_rows is None:
                 raise ValueError("x=None with extra requires extra_rows")
+            if tail is not None:
+                # Dedup (keeping the LAST occurrence — the freshest value
+                # for a row updated more than once) so duplicate indices
+                # can't occupy several top-k slots; the in-RAM path gets
+                # this from np.unique over cand.
+                rev_uniq, rev_first = np.unique(tail[::-1],
+                                                return_index=True)
+                keep_pos = len(tail) - 1 - rev_first
+                tail = rev_uniq
+                extra_rows = np.asarray(extra_rows, np.float32)[keep_pos]
             spill = self._spilled_rows()
             bounds = self._spill_bounds
             n_total = self._n if tail is None else max(
