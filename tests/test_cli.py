@@ -219,3 +219,35 @@ def test_tome_env_engine(monkeypatch, tmp_path):
     out = eng.embed_batch(np.zeros((3, 32, 32, 3), np.uint8))
     assert out.shape == (3, 32)
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+def test_tome_segmentation_boundaries_match_parity(monkeypatch, tmp_path):
+    """Merged-token embeddings drift from parity, but the kNN+HMM
+    segmentation consumers absorb the drift: on the synthetic world the
+    decoded clips are identical with and without ToMe."""
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("none", 4), ("left", 30), ("none", 4),
+                        ("right", 30), ("none", 4)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    mi.intervals["none"].append((1, 1, 4))
+    mi.intervals["left"].append((1, 5, 34))
+    mi.intervals["none"].append((1, 35, 38))
+    mi.intervals["right"].append((1, 39, 68))
+    mi.intervals["none"].append((1, 69, 72))
+    csv_path = str(tmp_path / "manual_intervals.csv")
+    mi.to_csv(csv_path)
+
+    def segment(out_dir):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", out_dir, "--vid", "1", "--epochs", "150",
+                  "--batch-size", "16", "--min-len", "20", "--pad", "2"])
+        return {d: sorted(os.listdir(os.path.join(out_dir, d)))
+                for d in sorted(os.listdir(out_dir))
+                if d.startswith("vid1_clip")}
+
+    monkeypatch.delenv("VRT_TOME_R", raising=False)
+    parity = segment(str(tmp_path / "clips_parity"))
+    monkeypatch.setenv("VRT_TOME_R", "2")
+    tome = segment(str(tmp_path / "clips_tome"))
+    assert parity and tome == parity
