@@ -26,10 +26,12 @@ import numpy as np
 
 
 def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
-                             iters: int = 16) -> dict:
-    """Shared harness: returns {frames_per_sec, compile_s}. tome_r=0 is
+                             iters: int = 16, **cfg_overrides) -> dict:
+    """Shared harness: returns {frames_per_sec, compile_s}. Defaults are
     the parity configuration; examples/bench_tome.py reuses this with
-    tome_r>0 so the numbers stay methodology-comparable."""
+    tome_r>0 (and other ViTConfig overrides, e.g. num_heads=6 for the
+    dh=128 attention variant) so non-parity numbers stay
+    methodology-comparable to the headline."""
     import dataclasses
 
     import jax
@@ -41,7 +43,8 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
     from vit_research_tpu.parallel.embed import EmbeddingEngine
 
     cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
-                              use_flash_attention=False, tome_r=tome_r)
+                              use_flash_attention=False, tome_r=tome_r,
+                              **cfg_overrides)
     model, params = init_vit(cfg, seed=0)
     eng = EmbeddingEngine(model, params, HF_VIT_SPEC, batch_size=batch,
                           use_fused_patch_embed=True)
