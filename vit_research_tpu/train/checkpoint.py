@@ -20,6 +20,8 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+from vit_research_tpu.utils.metrics import MetricsLogger
+
 
 class CheckpointManager:
     """Orbax manager with a retention policy: keep the newest
@@ -41,6 +43,12 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=None,
                                                  create=True),
         )
+        # Append-only per-run ledger; unlike the per-step metrics files
+        # below it survives retention sweeps and resumes, giving the
+        # full training curve (utils/metrics.py; the reference's analog
+        # was epoch logs pasted as source comments).
+        self.metrics_log = MetricsLogger(
+            os.path.join(self.dir, "metrics.jsonl"))
         self._best_metric = -np.inf
         self._best_step = None
         best = os.path.join(self.dir, "best.json")
@@ -62,6 +70,7 @@ class CheckpointManager:
         if metrics:
             with open(os.path.join(self.dir, f"metrics_{step}.json"), "w") as f:
                 json.dump({k: float(v) for k, v in metrics.items()}, f)
+            self.metrics_log.log(step, **metrics)
         self._sweep()
 
     def maybe_update_best(self, step: int, metric: float) -> bool:

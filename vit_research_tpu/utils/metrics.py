@@ -1,0 +1,67 @@
+"""Structured metrics: append-only JSONL run ledgers.
+
+The reference records training metrics as stdout prints plus
+epoch-by-epoch logs pasted as comments at the bottoms of the training
+scripts (reference: nba_proj/train/training.py:481-760,
+nba_proj/train/training_ratt.py:562-841) — its de-facto regression
+ledger (SURVEY.md section 4). Here every run directory gets an
+append-only ``metrics.jsonl``: one JSON object per epoch carrying the
+full diagnostic dict, machine-readable, resume-safe (appends continue
+across restarts) and crash-tolerant (each record is a single-line
+append; a torn final line is skipped on read).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class MetricsLogger:
+    """One JSON line per ``log`` call: ``{"step": s, "ts": t, **metrics}``.
+
+    The file handle is opened per append so concurrent readers (and a
+    crash at any point) see only whole lines plus at most one torn tail.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+
+    def log(self, step: int, **metrics) -> dict:
+        row = {"step": int(step), "ts": time.time()}
+        for k, v in metrics.items():
+            row[k] = float(v)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        return row
+
+
+def read_metrics(path: str, *, latest_per_step: bool = True) -> list[dict]:
+    """Read a metrics.jsonl ledger.
+
+    With ``latest_per_step`` (default), a re-run epoch after ``--resume``
+    supersedes its earlier record, so the result is one row per step in
+    step order — the clean training curve. Torn lines (crash mid-append)
+    are skipped.
+    """
+    if not os.path.exists(path):
+        return []
+    rows = []
+    with open(path) as f:
+        for line in f:
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn tail from a crash mid-append
+            if isinstance(row, dict) and "step" in row:
+                rows.append(row)
+    if not latest_per_step:
+        return rows
+    by_step: dict = {}
+    for row in rows:  # later appends win
+        by_step[row["step"]] = row
+    return [by_step[s] for s in sorted(by_step)]
