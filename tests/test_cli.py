@@ -251,3 +251,34 @@ def test_tome_segmentation_boundaries_match_parity(monkeypatch, tmp_path):
     monkeypatch.setenv("VRT_TOME_R", "2")
     tome = segment(str(tmp_path / "clips_tome"))
     assert parity and tome == parity
+
+
+def test_metrics_command(tmp_path, capsys):
+    from vit_research_tpu.utils.metrics import MetricsLogger
+
+    run = tmp_path / "ckpts" / "stage1_runA"
+    log = MetricsLogger(str(run / "metrics.jsonl"))
+    log.log(0, train_loss=0.9, val_acc=0.50)
+    log.log(1, train_loss=0.7, val_acc=0.75)
+
+    # Run dir: full curve.
+    cli.main(["metrics", str(run)])
+    out = capsys.readouterr().out
+    assert "epoch 0" in out and "epoch 1" in out
+    assert "val_acc=0.7500" in out
+
+    # Checkpoint root: per-run summary.
+    cli.main(["metrics", str(tmp_path / "ckpts")])
+    out = capsys.readouterr().out
+    assert "stage1_runA: 2 epochs, best val_acc 0.7500" in out
+
+    # CSV export.
+    csv_path = tmp_path / "curve.csv"
+    cli.main(["metrics", str(run), "--csv", str(csv_path)])
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].startswith("step,")
+    assert len(lines) == 3
+
+    # No ledgers anywhere -> clean error.
+    with pytest.raises(SystemExit):
+        cli.main(["metrics", str(tmp_path / "empty")])

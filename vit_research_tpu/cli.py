@@ -12,6 +12,7 @@ same operations as subcommands of one program::
     python -m vit_research_tpu.cli write-ratt-db --store store/ --ckpt ckpts/ --db db/
     python -m vit_research_tpu.cli train-stage2 --store store/ --db db/ --ckpt ckpts/
     python -m vit_research_tpu.cli eval-clips --store store/ --db db/ --ckpt ckpts/ --out results/
+    python -m vit_research_tpu.cli metrics ckpts/            # per-run training curves
 """
 
 from __future__ import annotations
@@ -138,6 +139,52 @@ def cmd_smoke(args):
     from vit_research_tpu.evaluate.smoke import smoke_test
 
     smoke_test()
+
+
+def cmd_metrics(args):
+    """Inspect per-run metrics.jsonl ledgers (utils/metrics.py) — the
+    replacement for the reference's workflow of reading epoch logs
+    pasted as comments in the training scripts
+    (reference: nba_proj/train/training.py:481-760)."""
+    from vit_research_tpu.utils.metrics import read_metrics
+
+    ledger = os.path.join(args.dir, "metrics.jsonl")
+    if os.path.exists(ledger):  # one run: print the curve
+        rows = read_metrics(ledger)
+        if args.csv:
+            _metrics_to_csv(rows, args.csv)
+            print(f"wrote {len(rows)} rows to {args.csv}")
+            return
+        for row in rows:
+            items = " ".join(f"{k}={row[k]:.4f}" for k in sorted(row)
+                             if k not in ("step", "ts"))
+            print(f"epoch {row['step']}: {items}")
+        return
+    # A checkpoint root: summarize every run under it.
+    found = False
+    for name in sorted(os.listdir(args.dir)) if os.path.isdir(args.dir) \
+            else []:
+        rows = read_metrics(os.path.join(args.dir, name, "metrics.jsonl"))
+        if not rows:
+            continue
+        found = True
+        accs = [r["val_acc"] for r in rows if "val_acc" in r]
+        best = f"best val_acc {max(accs):.4f}" if accs else "no val_acc"
+        print(f"{name}: {len(rows)} epochs, {best}")
+    if not found:
+        raise SystemExit(f"no metrics.jsonl ledgers under {args.dir}")
+
+
+def _metrics_to_csv(rows, path):
+    import csv
+
+    keys = ["step"] + sorted({k for r in rows for k in r}
+                             - {"step", "ts"})
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys, extrasaction="ignore")
+        w.writeheader()
+        for row in rows:
+            w.writerow(row)
 
 
 def cmd_extract_frames(args):
@@ -677,6 +724,13 @@ def main(argv=None):
     ec.add_argument("--future-step", type=int, default=2)
     ec.add_argument("--zeros-query", action="store_true")
     ec.set_defaults(fn=cmd_eval_clips)
+
+    mt = sub.add_parser("metrics", help="inspect run metrics.jsonl ledgers")
+    mt.add_argument("dir", help="a run dir (prints the curve) or a "
+                    "checkpoint root (summarizes every run)")
+    mt.add_argument("--csv", default=None,
+                    help="export a single run's curve to CSV")
+    mt.set_defaults(fn=cmd_metrics)
 
     args = p.parse_args(argv)
     args.fn(args)
