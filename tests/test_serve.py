@@ -1,0 +1,153 @@
+"""Serving daemon (serve.py): warm-engine embed + retrieval over a Unix
+socket. The reference had no serving surface (each of its 8 embedder
+call sites reloaded the model per script)."""
+
+import base64
+import io
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from vit_research_tpu.data.preprocess import PreprocessSpec
+from vit_research_tpu.models.vit import init_vit
+from vit_research_tpu.parallel.embed import EmbeddingEngine
+from vit_research_tpu.serve import EmbedServer, request
+from vit_research_tpu.utils.configs import ViTConfig
+
+TINY = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=64,
+                 num_layers=1, num_heads=2, mlp_dim=128,
+                 use_flash_attention=False)
+SPEC = PreprocessSpec(size=(32, 32), rescale=1 / 255.0,
+                      mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model, params = init_vit(TINY, seed=0)
+    return EmbeddingEngine(model, params, SPEC, batch_size=4,
+                           use_fused_patch_embed=False)
+
+
+@pytest.fixture()
+def server(engine, tmp_path):
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    coll = PersistentClient(str(tmp_path / "db")).get_or_create_collection(
+        "served", metadata={"hnsw:space": "cosine"})
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(8, engine.out_dim)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    coll.upsert([f"id{i}" for i in range(8)], base,
+                metadatas=[{"vid": i % 2} for i in range(8)])
+
+    srv = EmbedServer(engine, collection=coll)
+    sock = str(tmp_path / "vrt.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    yield sock, srv, coll, base
+    srv.stop()
+    t.join(timeout=10)
+
+
+def _write_frames(tmp_path, n=3):
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(n):
+        img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+        p = str(tmp_path / f"f{i}.jpg")
+        Image.fromarray(img).save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+def test_ping(server):
+    sock, _, _, _ = server
+    resp = request(sock, {"op": "ping"})
+    assert resp["ok"] and resp["out_dim"] == 64
+    assert resp["collection"] == "served"
+
+
+def test_embed_paths_matches_engine(server, engine, tmp_path):
+    sock, _, _, _ = server
+    paths = _write_frames(tmp_path)
+    resp = request(sock, {"op": "embed", "paths": paths})
+    assert resp["ok"]
+    served = np.asarray(resp["embeddings"], np.float32)
+    direct = engine.embed_paths(paths)
+    np.testing.assert_allclose(served, direct, atol=1e-6)
+
+
+def test_embed_b64(server, engine, tmp_path):
+    sock, _, _, _ = server
+    paths = _write_frames(tmp_path, n=2)
+    frames = [base64.b64encode(open(p, "rb").read()).decode()
+              for p in paths]
+    resp = request(sock, {"op": "embed", "frames_b64": frames})
+    assert resp["ok"]
+    served = np.asarray(resp["embeddings"], np.float32)
+    direct = engine.embed_paths(paths)
+    np.testing.assert_allclose(served, direct, atol=1e-6)
+
+
+def test_query_by_embedding(server):
+    sock, _, coll, base = server
+    resp = request(sock, {"op": "query",
+                          "embeddings": [base[3].tolist()],
+                          "n_results": 2})
+    assert resp["ok"]
+    assert resp["ids"][0][0] == "id3"  # exact self-match first
+    resp = request(sock, {"op": "query",
+                          "embeddings": [base[3].tolist()],
+                          "n_results": 2, "where": {"vid": 0}})
+    assert all(int(i[2:]) % 2 == 0 for i in resp["ids"][0])
+
+
+def test_bad_requests_keep_connection(server):
+    sock, _, _, _ = server
+    assert not request(sock, {"op": "nope"})["ok"]
+    assert not request(sock, {"op": "embed"})["ok"]
+    assert not request(sock, {"op": "embed",
+                              "paths": ["/does/not/exist.jpg"]})["ok"]
+    assert request(sock, {"op": "ping"})["ok"]  # server still alive
+
+
+def test_concurrent_clients(server, tmp_path):
+    sock, _, _, base = server
+    errs = []
+
+    def client(i):
+        try:
+            r = request(sock, {"op": "query",
+                               "embeddings": [base[i % 8].tolist()],
+                               "n_results": 1})
+            assert r["ok"] and r["ids"][0][0] == f"id{i % 8}"
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errs
+
+
+def test_shutdown_op(engine, tmp_path):
+    srv = EmbedServer(engine)
+    sock = str(tmp_path / "s.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    assert request(sock, {"op": "shutdown"})["ok"]
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert not os.path.exists(sock)  # socket file cleaned up

@@ -13,6 +13,7 @@ same operations as subcommands of one program::
     python -m vit_research_tpu.cli train-stage2 --store store/ --db db/ --ckpt ckpts/
     python -m vit_research_tpu.cli eval-clips --store store/ --db db/ --ckpt ckpts/ --out results/
     python -m vit_research_tpu.cli metrics ckpts/            # per-run training curves
+    python -m vit_research_tpu.cli serve --socket /tmp/vrt.sock --db db/ --collection ratt_db
 """
 
 from __future__ import annotations
@@ -185,6 +186,27 @@ def _metrics_to_csv(rows, path):
         w.writeheader()
         for row in rows:
             w.writerow(row)
+
+
+def cmd_serve(args):
+    """Warm embedding/retrieval daemon (serve.py): one jitted engine,
+    no per-script model reload (the reference re-created the HF
+    embedder in 8 separate scripts)."""
+    from vit_research_tpu.serve import EmbedServer
+
+    coll = None
+    if args.db:
+        if not args.collection:
+            raise SystemExit("--collection is required with --db")
+        from vit_research_tpu.store.vector_store import PersistentClient
+
+        coll = PersistentClient(args.db).get_collection(args.collection)
+    server = EmbedServer(_engine(batch_size=args.batch_size),
+                         collection=coll)
+    print(f"serving on {args.socket}"
+          + (f" (collection {args.collection})" if coll else ""),
+          flush=True)
+    server.serve(args.socket)
 
 
 def cmd_extract_frames(args):
@@ -731,6 +753,14 @@ def main(argv=None):
     mt.add_argument("--csv", default=None,
                     help="export a single run's curve to CSV")
     mt.set_defaults(fn=cmd_metrics)
+
+    sv = sub.add_parser(
+        "serve", help="warm embedding/retrieval daemon on a unix socket")
+    sv.add_argument("--socket", required=True)
+    sv.add_argument("--batch-size", type=int, default=256)
+    sv.add_argument("--db", default=None)
+    sv.add_argument("--collection", default=None)
+    sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     args.fn(args)
