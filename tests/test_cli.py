@@ -282,3 +282,13 @@ def test_metrics_command(tmp_path, capsys):
     # No ledgers anywhere -> clean error.
     with pytest.raises(SystemExit):
         cli.main(["metrics", str(tmp_path / "empty")])
+
+
+def test_metrics_csv_rejected_on_root(tmp_path):
+    from vit_research_tpu.utils.metrics import MetricsLogger
+
+    MetricsLogger(str(tmp_path / "ckpts" / "run" / "metrics.jsonl")).log(
+        0, loss=1.0)
+    with pytest.raises(SystemExit, match="single run dir"):
+        cli.main(["metrics", str(tmp_path / "ckpts"),
+                  "--csv", str(tmp_path / "c.csv")])

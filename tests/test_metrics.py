@@ -63,3 +63,27 @@ def test_checkpoint_manager_writes_ledger(tmp_path):
     with open(tmp_path / "run" / "metrics.jsonl") as f:
         for line in f:
             json.loads(line)
+
+
+def test_resume_after_torn_tail_recovers(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    MetricsLogger(path).log(0, loss=1.0)
+    with open(path, "a") as f:
+        f.write('{"step": 1, "loss": 0.')  # crash mid-append
+    # New process resumes and re-logs epoch 1: must not merge into the
+    # torn line.
+    MetricsLogger(path).log(1, loss=0.8)
+    rows = read_metrics(path)
+    assert [r["step"] for r in rows] == [0, 1]
+    assert rows[1]["loss"] == 0.8
+
+
+def test_log_accepts_arbitrary_dict(tmp_path):
+    path = str(tmp_path / "metrics.jsonl")
+    log = MetricsLogger(path)
+    # 'step'/'ts' keys inside the dict must not collide with the
+    # positional step / wall clock.
+    log.log(3, {"step": 999, "ts": 1.0, "val_acc": 0.5}, extra=2.0)
+    (row,) = read_metrics(path)
+    assert row["step"] == 3
+    assert row["val_acc"] == 0.5 and row["extra"] == 2.0

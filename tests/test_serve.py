@@ -151,3 +151,19 @@ def test_shutdown_op(engine, tmp_path):
     t.join(timeout=10)
     assert not t.is_alive()
     assert not os.path.exists(sock)  # socket file cleaned up
+
+
+def test_second_server_refuses_live_socket(server, engine):
+    sock, _, _, _ = server
+    with pytest.raises(RuntimeError, match="live server"):
+        EmbedServer(engine).serve(sock)
+
+
+def test_get_collection_strict(tmp_path):
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    client = PersistentClient(str(tmp_path / "db"))
+    client.get_or_create_collection("real")
+    assert client.get_collection("real").name == "real"
+    with pytest.raises(ValueError, match="does not exist"):
+        client.get_collection("typo")

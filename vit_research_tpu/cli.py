@@ -162,6 +162,10 @@ def cmd_metrics(args):
             print(f"epoch {row['step']}: {items}")
         return
     # A checkpoint root: summarize every run under it.
+    if args.csv:
+        raise SystemExit(
+            f"--csv needs a single run dir (no metrics.jsonl in "
+            f"{args.dir}); pick one run under it")
     found = False
     for name in sorted(os.listdir(args.dir)) if os.path.isdir(args.dir) \
             else []:

@@ -41,15 +41,15 @@ import numpy as np
 def _decode_b64_frames(frames_b64, spec) -> np.ndarray:
     from PIL import Image
 
-    from vit_research_tpu.data.preprocess import preprocess_frame
+    from vit_research_tpu.data.preprocess import load_frames
 
-    out = np.empty((len(frames_b64), spec.size[0], spec.size[1], 3),
-                   np.uint8)
-    for i, b64 in enumerate(frames_b64):
+    imgs = []
+    for b64 in frames_b64:
         with Image.open(io.BytesIO(base64.b64decode(b64))) as im:
-            img = np.asarray(im.convert("RGB"))
-        out[i] = preprocess_frame(img, spec.size, spec.interpolation)
-    return out
+            imgs.append(np.asarray(im.convert("RGB")))
+    # load_frames accepts in-memory arrays (preprocess_frame is
+    # path-or-image), so the serve path shares the parity preprocessing.
+    return load_frames(imgs, spec)
 
 
 class EmbedServer:
@@ -64,17 +64,22 @@ class EmbedServer:
     # ---- request handling -------------------------------------------------
 
     def _embed_request(self, req) -> np.ndarray:
+        # Decode on the caller's connection thread, OUTSIDE the lock —
+        # only device work serializes, so client B's JPEG decode overlaps
+        # client A's forward pass.
         if "paths" in req:
             missing = [p for p in req["paths"] if not os.path.exists(p)]
             if missing:
                 raise ValueError(f"missing paths: {missing[:3]}")
-            with self._lock:
-                return self.engine.embed_paths(req["paths"])
-        if "frames_b64" in req:
+            from vit_research_tpu.data.preprocess import load_frames
+
+            batch = load_frames(req["paths"], self.engine.spec)
+        elif "frames_b64" in req:
             batch = _decode_b64_frames(req["frames_b64"], self.engine.spec)
-            with self._lock:
-                return self.engine.embed_batch(batch)
-        raise ValueError("embed needs 'paths' or 'frames_b64'")
+        else:
+            raise ValueError("embed needs 'paths' or 'frames_b64'")
+        with self._lock:
+            return self.engine.embed_batch(batch)
 
     def handle(self, req: dict) -> dict:
         op = req.get("op")
@@ -100,7 +105,8 @@ class EmbedServer:
                     "distances": res["distances"],
                     "metadatas": res["metadatas"]}
         if op == "shutdown":
-            threading.Thread(target=self.stop, daemon=True).start()
+            # The connection handler stops the server AFTER flushing this
+            # response, so the client always sees the acknowledgement.
             return {"ok": True, "stopping": True}
         raise ValueError(f"unknown op {op!r}")
 
@@ -123,13 +129,32 @@ class EmbedServer:
                     self.wfile.write(
                         (json.dumps(resp) + "\n").encode())
                     self.wfile.flush()
+                    if resp.get("stopping"):
+                        # Response is on the wire; now stop. shutdown()
+                        # is safe here: handlers run on their own
+                        # threads, not the serve_forever thread.
+                        handler_self.stop()
+                        return
 
         class Server(socketserver.ThreadingUnixStreamServer):
             daemon_threads = True
             allow_reuse_address = True
 
         if os.path.exists(socket_path):
-            os.unlink(socket_path)  # stale socket from a dead server
+            # Only reclaim the path from a DEAD server: if something
+            # still answers on it, binding here would silently orphan
+            # that daemon (warm engine and all) with no error anywhere.
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.settimeout(1.0)
+                probe.connect(socket_path)
+            except OSError:
+                os.unlink(socket_path)  # stale socket from a dead server
+            else:
+                raise RuntimeError(
+                    f"a live server already owns {socket_path}")
+            finally:
+                probe.close()
         self._server = Server(socket_path, Handler)
         if ready_event is not None:
             ready_event.set()
@@ -155,6 +180,9 @@ def request(socket_path: str, req: dict, timeout: float = 60.0) -> dict:
         while not buf.endswith(b"\n"):
             chunk = s.recv(1 << 20)
             if not chunk:
+                if not buf:
+                    raise ConnectionError(
+                        "server closed the connection without replying")
                 break
             buf += chunk
     return json.loads(buf)

@@ -588,8 +588,15 @@ class PersistentClient:
         return col
 
     def get_collection(self, name: str) -> Collection:
-        col = self.get_or_create_collection(name)
-        return col
+        """Strict lookup (Chroma semantics): raises on a missing name
+        instead of silently creating an empty l2 collection — a typoed
+        name should fail loudly, not serve empty results."""
+        if name not in self._collections and not os.path.exists(
+                os.path.join(self._col_path(name), "config.json")):
+            raise ValueError(
+                f"collection {name!r} does not exist in {self.path} "
+                f"(have: {sorted(self.list_collections())})")
+        return self.get_or_create_collection(name)
 
     def delete_collection(self, name: str) -> None:
         self._collections.pop(name, None)

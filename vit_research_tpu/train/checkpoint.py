@@ -70,7 +70,7 @@ class CheckpointManager:
         if metrics:
             with open(os.path.join(self.dir, f"metrics_{step}.json"), "w") as f:
                 json.dump({k: float(v) for k, v in metrics.items()}, f)
-            self.metrics_log.log(step, **metrics)
+            self.metrics_log.log(step, metrics)
         self._sweep()
 
     def maybe_update_best(self, step: int, metric: float) -> bool:

@@ -30,10 +30,33 @@ class MetricsLogger:
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
+        self._repair_torn_tail()
 
-    def log(self, step: int, **metrics) -> dict:
+    def _repair_torn_tail(self) -> None:
+        """If the previous process died mid-append the file ends without
+        a newline; appending straight onto that torn line would merge the
+        next (valid) record into it and lose both on read. Terminate it
+        so the torn fragment stays an isolated unparseable line."""
+        try:
+            with open(self.path, "rb+") as f:
+                f.seek(0, os.SEEK_END)
+                if f.tell() == 0:
+                    return
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+        except FileNotFoundError:
+            pass
+
+    def log(self, step: int, metrics: dict | None = None, **kw) -> dict:
+        """Append one record. Metric values come from ``metrics`` (an
+        arbitrary dict — ``step``/``ts`` keys in it are dropped in favor
+        of the positional step and wall time) and/or keyword args."""
         row = {"step": int(step), "ts": time.time()}
-        for k, v in metrics.items():
+        combined = {**(metrics or {}), **kw}
+        for k, v in combined.items():
+            if k in ("step", "ts"):
+                continue
             row[k] = float(v)
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
