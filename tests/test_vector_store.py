@@ -137,3 +137,112 @@ def test_empty_collection_query():
     col = Collection("t", space="l2")
     res = col.query(np.zeros((2, 4), np.float32), n_results=3)
     assert res["ids"] == [[], []]
+
+
+# ---------------------------------------------------------------- int8 path
+
+def test_quantize_int8_roundtrip_bound():
+    from vit_research_tpu.ops.topk import quantize_int8
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(32, 24)).astype(np.float32)
+    q, scale = quantize_int8(x)
+    q, scale = np.asarray(q), np.asarray(scale)
+    assert q.dtype == np.int8
+    # Symmetric rounding: per-element error <= half a quantization step.
+    err = np.abs(x - q.astype(np.float32) * scale[:, None])
+    assert (err <= scale[:, None] * 0.5 + 1e-7).all()
+    # Zero rows don't divide by zero.
+    q0, s0 = quantize_int8(np.zeros((2, 8), np.float32))
+    assert np.asarray(q0).sum() == 0
+
+
+def test_masked_topk_int8_near_optimal():
+    from vit_research_tpu.ops.topk import (l2_normalize, masked_topk,
+                                           masked_topk_int8, quantize_int8)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    corpus = np.asarray(l2_normalize(jnp.asarray(
+        rng.normal(size=(512, 32)).astype(np.float32))))
+    queries = corpus[::97][:5]
+    mask = np.ones((1, 512), bool)
+    k = 8
+
+    cq, cs = quantize_int8(jnp.asarray(corpus))
+    qq, qs = quantize_int8(jnp.asarray(queries))
+    s_i8, i_i8 = masked_topk_int8(qq, qs, cq, cs, jnp.asarray(mask), k=k)
+    s_i8, i_i8 = np.asarray(s_i8), np.asarray(i_i8)
+
+    exact = queries @ corpus.T
+    for qi in range(len(queries)):
+        kth_best = np.sort(exact[qi])[::-1][k - 1]
+        # Every int8-selected neighbor is within quantization tolerance
+        # of the true k-th best (near-ties may swap, bad picks may not).
+        assert exact[qi][i_i8[qi]].min() >= kth_best - 0.02
+        # Reported scores track the exact ones.
+        np.testing.assert_allclose(s_i8[qi], exact[qi][i_i8[qi]],
+                                   atol=0.03)
+        # The unambiguous self-match stays rank 1.
+        assert i_i8[qi][0] == qi * 97
+    # And the f32 path on the same data is the reference it claims.
+    s_f32, i_f32 = masked_topk(jnp.asarray(queries), jnp.asarray(corpus),
+                               jnp.asarray(mask), k=k, metric="ip")
+    assert (np.asarray(i_f32)[:, 0] == np.arange(5) * 97).all()
+
+
+def _random_cosine_collection(n=4200, d=16, device_quant=None):
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    col = Collection("q", space="cosine", device_quant=device_quant)
+    col.upsert([f"id{i}" for i in range(n)], emb,
+               [{"vid": i % 3} for i in range(n)])
+    return col, emb
+
+
+def test_collection_int8_device_query_near_optimal():
+    col, emb = _random_cosine_collection(device_quant="int8")
+    ref, _ = _random_cosine_collection(device_quant=None)
+    q = emb[:4]  # n * Q = 16800 >= 1<<14 -> device path
+    k = 3
+    a = col.query(q, n_results=k)
+    b = ref.query(q, n_results=k)
+    # Self-match first, with distance ~0.
+    assert [row[0] for row in a["ids"]] == [f"id{i}" for i in range(4)]
+    assert a["distances"][0][0] < 1e-3
+    # int8 distances within quantization tolerance of exact, and every
+    # neighbor near-optimal vs the exact k-th best.
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    exact = (en[:4] @ en.T)
+    for qi in range(4):
+        kth_best = np.sort(exact[qi])[::-1][k - 1]
+        got = [exact[qi][int(_id[2:])] for _id in a["ids"][qi]]
+        assert min(got) >= kth_best - 0.02
+        np.testing.assert_allclose(a["distances"][qi], b["distances"][qi],
+                                   atol=0.02)
+    # Filtered queries run through the same int8 path without error.
+    aw = col.query(q, n_results=k, where={"vid": 1})
+    assert all(int(_id[2:]) % 3 == 1 for row in aw["ids"] for _id in row)
+
+
+def test_device_quant_persisted(tmp_path):
+    client = PersistentClient(str(tmp_path))
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine", "vrt:device_quant": "int8"})
+    assert col.device_quant == "int8"
+    col.upsert(["a"], np.ones((1, 4), np.float32))
+    col.flush()
+    reloaded = PersistentClient(str(tmp_path))
+    assert reloaded.get_collection("c").device_quant == "int8"
+
+
+def test_device_quant_toggle_and_validation():
+    col = Collection("t", space="cosine")
+    col.set_device_quantization("int8")
+    assert col.device_quant == "int8"
+    col.set_device_quantization(None)
+    assert col.device_quant is None
+    with pytest.raises(ValueError, match="unknown device_quant"):
+        col.set_device_quantization("fp4")
+    with pytest.raises(ValueError, match="l2"):
+        Collection("t2", space="l2", device_quant="int8")

@@ -56,6 +56,43 @@ def masked_topk(queries: jax.Array, corpus: jax.Array, mask: jax.Array | None,
     return scores, idx
 
 
+def quantize_int8(x, eps: float = 1e-12):
+    """Per-row symmetric int8 quantization.
+
+    Returns ``(q, scale)`` with ``x ~= q * scale[..., None]`` —
+    ``scale = max|row| / 127``. Jittable; used by the int8 device search
+    path to hold corpora at 1/4 the HBM footprint (a 10M x 768 corpus
+    drops from ~30 GB to ~7.7 GB, fitting one v5e chip) and to ride the
+    MXU's int8 matmul throughput.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    scale = jnp.max(jnp.abs(x), axis=-1) / 127.0
+    q = jnp.round(x / jnp.maximum(scale, eps)[..., None])
+    return q.astype(jnp.int8), scale
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def masked_topk_int8(queries_q: jax.Array, queries_scale: jax.Array,
+                     corpus_q: jax.Array, corpus_scale: jax.Array,
+                     mask: jax.Array | None, *, k: int):
+    """int8 variant of :func:`masked_topk` for dot-product similarity
+    (callers pre-normalize rows for cosine, as in the f32 path).
+
+    Scores accumulate in int32 on the MXU and rescale to f32 as
+    ``s32 * (q_scale x c_scale)`` — exact up to the per-row
+    quantization of the inputs.
+    """
+    s32 = jax.lax.dot_general(
+        queries_q, corpus_q, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * (queries_scale[:, None]
+                                   * corpus_scale[None, :])
+    if mask is not None:
+        s = jnp.where(mask, s, NEG_INF)
+    k = min(k, corpus_q.shape[0])
+    return jax.lax.top_k(s, k)
+
+
 def l2_normalize(x, axis=-1, eps: float = 1e-12):
     n = jnp.linalg.norm(x, axis=axis, keepdims=True)
     return x / jnp.maximum(n, eps)

@@ -114,11 +114,15 @@ class Collection:
     ivf_threshold: int | None = 1_000_000
 
     def __init__(self, name: str, space: str = "l2", dim: int | None = None,
-                 path: str | None = None):
+                 path: str | None = None, device_quant: str | None = None):
         if space not in ("l2", "cosine", "ip"):
             raise ValueError(f"unknown space {space!r}")
         self.name = name
         self.space = space
+        self.device_quant = None
+        if device_quant:
+            self._check_device_quant(device_quant, space)
+            self.device_quant = device_quant
         self._path = path
         self._dim = dim
         self._ids: list[str] = []
@@ -126,7 +130,9 @@ class Collection:
         self._embeddings = np.zeros((0, dim or 0), dtype=np.float32)
         self._metadatas: list[dict] = []
         self._columns: dict[str, np.ndarray] = {}  # lazily-built filter cache
-        self._device_cache = None  # (embeddings jnp, normalized jnp or None)
+        # Device-resident corpus: f32 jnp array, or (int8 rows, f32
+        # per-row scales) when device_quant == "int8".
+        self._device_cache = None
         self._dirty = False
         self._lock = threading.RLock()
         # Append-log state: ids touched / removed since the last flush,
@@ -166,7 +172,8 @@ class Collection:
     def _load_once(cls, name: str, path: str) -> "Collection":
         with open(os.path.join(path, "config.json")) as f:
             cfg = json.load(f)
-        col = cls(name, space=cfg["space"], dim=cfg.get("dim"), path=path)
+        col = cls(name, space=cfg["space"], dim=cfg.get("dim"), path=path,
+                  device_quant=cfg.get("device_quant"))
         snap_path = os.path.join(path, "snapshot.npz")
         emb_path = os.path.join(path, "embeddings.npy")
         if os.path.exists(snap_path):
@@ -239,7 +246,8 @@ class Collection:
                 return
             os.makedirs(self._path, exist_ok=True)
             _atomic_write_json(os.path.join(self._path, "config.json"),
-                               {"space": self.space, "dim": self._dim})
+                               {"space": self.space, "dim": self._dim,
+                                "device_quant": self.device_quant})
             delta = (len(self._pending_dirty) + len(self._pending_deleted)
                      + self._logged_rows)
             has_snapshot = (
@@ -263,7 +271,8 @@ class Collection:
                 return
             os.makedirs(self._path, exist_ok=True)
             _atomic_write_json(os.path.join(self._path, "config.json"),
-                               {"space": self.space, "dim": self._dim})
+                               {"space": self.space, "dim": self._dim,
+                                "device_quant": self.device_quant})
             self._write_snapshot()
             self._persisted_ids = set(self._ids)
             self._pending_dirty.clear()
@@ -450,6 +459,27 @@ class Collection:
                 out["metadatas"] = [self._metadatas[i] for i in sel]
             return out
 
+    @staticmethod
+    def _check_device_quant(mode: str, space: str) -> None:
+        if mode != "int8":
+            raise ValueError(f"unknown device_quant {mode!r}")
+        if space == "l2":
+            raise ValueError(
+                "device_quant='int8' needs a 'cosine' or 'ip' space "
+                "(l2 stays exact f32)")
+
+    def set_device_quantization(self, mode: str | None) -> None:
+        """Opt the device query path into int8 corpus compression:
+        4x less HBM (a 10M x 768 corpus fits one v5e chip) and int8 MXU
+        matmuls, at per-row symmetric-quantization accuracy
+        (ops/topk.py::quantize_int8). Persisted with the collection."""
+        with self._lock:
+            if mode:
+                self._check_device_quant(mode, self.space)
+            self.device_quant = mode or None
+            self._device_cache = None
+            self._dirty = True  # persist in config.json on next flush
+
     def _device_corpus(self):
         import jax.numpy as jnp
 
@@ -459,7 +489,14 @@ class Collection:
                 from vit_research_tpu.ops.topk import l2_normalize
 
                 emb = l2_normalize(emb)
-            self._device_cache = emb
+            if self.device_quant == "int8":
+                from vit_research_tpu.ops.topk import quantize_int8
+
+                import jax
+
+                self._device_cache = jax.jit(quantize_int8)(emb)
+            else:
+                self._device_cache = emb
         return self._device_cache
 
     def query(self, query_embeddings, n_results: int = 10, where=None,
@@ -516,15 +553,24 @@ class Collection:
     def _query_device(self, q, mask, k):
         import jax.numpy as jnp
 
-        from vit_research_tpu.ops.topk import l2_normalize, masked_topk
+        from vit_research_tpu.ops.topk import (l2_normalize, masked_topk,
+                                               masked_topk_int8,
+                                               quantize_int8)
 
         corpus = self._device_corpus()
         qd = jnp.asarray(q)
         if self.space == "cosine":
             qd = l2_normalize(qd)
-        metric = "ip" if self.space == "cosine" else self.space
-        scores, idx = masked_topk(
-            qd, corpus, jnp.asarray(mask)[None, :], k=k, metric=metric)
+        if self.device_quant == "int8":
+            corpus_q, corpus_scale = corpus
+            qq, qscale = quantize_int8(qd)
+            scores, idx = masked_topk_int8(
+                qq, qscale, corpus_q, corpus_scale,
+                jnp.asarray(mask)[None, :], k=k)
+        else:
+            metric = "ip" if self.space == "cosine" else self.space
+            scores, idx = masked_topk(
+                qd, corpus, jnp.asarray(mask)[None, :], k=k, metric=metric)
         return np.asarray(scores), np.asarray(idx)
 
     def _query_ivf(self, q, k):
@@ -582,7 +628,9 @@ class PersistentClient:
             col = Collection._load(name, path)
         else:
             space = (metadata or {}).get("hnsw:space", "l2")
-            col = Collection(name, space=space, path=path)
+            col = Collection(name, space=space, path=path,
+                             device_quant=(metadata or {}).get(
+                                 "vrt:device_quant"))
             col._dirty = True
         self._collections[name] = col
         return col
