@@ -2,9 +2,11 @@
 
 Measures the device query path of the vector store
 (ops/topk.py::masked_topk vs masked_topk_int8) at production scale —
-1M x 768 corpus, batched queries — where the scan is HBM-bound: the
-int8 corpus moves 1/4 the bytes per query batch and scores on the MXU's
-int8 path. The corpus is GENERATED ON DEVICE (jax.random) so the dev
+1M x 768 corpus, batched queries. Measured result (v5e, 2026-08-17):
+both ~29-30 ms per 256-query batch (~8.8k qps/chip) — the `lax.top_k`
+dominates, not the scan — so int8's win is CAPACITY (4x less HBM:
+10M x 768 device-resident on one chip), not latency.
+The corpus is GENERATED ON DEVICE (jax.random) so the dev
 tunnel's ~25 MB/s host link is not part of the measurement; readbacks
 are tiny checksums (CLAUDE.md methodology).
 
@@ -30,12 +32,16 @@ def main():
 
     corpus = l2_normalize(jax.random.normal(kc, (N, D), jnp.float32))
     queries = l2_normalize(jax.random.normal(kq, (Q, D), jnp.float32))
-    corpus, queries = jax.block_until_ready((corpus, queries))
+    float(jnp.sum(corpus[0]) + jnp.sum(queries[0]))  # real barrier
 
     def run(label, fn, *args):
         t0 = time.time()
         s, i = fn(*args)
-        jnp.sum(i).block_until_ready()
+        # int() readback, NOT block_until_ready(): the latter can return
+        # before completion over the dev tunnel (CLAUDE.md), letting the
+        # timed loop dispatch into an in-flight compile — measured as an
+        # escalating 0.9 s -> 93 s pathology on the first variant.
+        int(jnp.sum(i))
         compile_s = time.time() - t0
         t0 = time.time()
         acc = []
@@ -57,7 +63,7 @@ def main():
 
     cq, cs = jax.jit(quantize_int8)(corpus)
     qq, qs = jax.jit(quantize_int8)(queries)
-    jax.block_until_ready((cq, cs, qq, qs))
+    float(jnp.sum(cs) + jnp.sum(qs))  # real barrier
     del corpus  # free the f32 copy like a real int8 deployment would
     dt_i8 = run("int8", lambda a, b, c, d: masked_topk_int8(
         a, b, c, d, None, k=K), qq, qs, cq, cs)

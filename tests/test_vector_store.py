@@ -246,3 +246,4 @@ def test_device_quant_toggle_and_validation():
         col.set_device_quantization("fp4")
     with pytest.raises(ValueError, match="l2"):
         Collection("t2", space="l2", device_quant="int8")
+

@@ -20,15 +20,24 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _qct(queries, corpus):
+    # dot_general contracting dim 1 of BOTH operands: algebraically
+    # queries @ corpus.T with no transpose in the graph. Measured
+    # equivalent to the transpose form on v5e at (256, 1M, 768) — XLA
+    # fuses the transpose either way (BENCH_NOTES.md 2026-08-17) — but
+    # this form states the layout intent directly.
+    return jax.lax.dot_general(queries, corpus, (((1,), (1,)), ((), ())))
+
+
 def _scores(queries, corpus, metric: str):
     if metric in ("cosine", "ip"):
         # For 'cosine' the caller pre-normalizes the corpus/queries.
-        return queries @ corpus.T
+        return _qct(queries, corpus)
     if metric == "l2":
         # Negated squared L2 so that "higher is better" uniformly.
         q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
         c2 = jnp.sum(corpus * corpus, axis=-1)
-        return -(q2 - 2.0 * (queries @ corpus.T) + c2[None, :])
+        return -(q2 - 2.0 * _qct(queries, corpus) + c2[None, :])
     raise ValueError(f"unknown metric {metric!r}")
 
 
@@ -51,9 +60,12 @@ def masked_topk(queries: jax.Array, corpus: jax.Array, mask: jax.Array | None,
     s = _scores(queries.astype(jnp.float32), corpus.astype(jnp.float32), metric)
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF)
-    k = min(k, corpus.shape[0])
-    scores, idx = jax.lax.top_k(s, k)
-    return scores, idx
+    # Flat lax.top_k. Measured at (256, 1M) on v5e (2026-08-17,
+    # BENCH_NOTES.md): flat 30 ms; a two-stage exact top-k (8K-chunk
+    # top-k then top-k of candidates) 181 ms (6x worse — the
+    # pad/reshape/batched-top_k graph lowers poorly); approx_max_k
+    # 29 ms (no win). Flat is optimal here — don't retry those.
+    return jax.lax.top_k(s, min(k, corpus.shape[0]))
 
 
 def quantize_int8(x, eps: float = 1e-12):
@@ -61,9 +73,10 @@ def quantize_int8(x, eps: float = 1e-12):
 
     Returns ``(q, scale)`` with ``x ~= q * scale[..., None]`` —
     ``scale = max|row| / 127``. Jittable; used by the int8 device search
-    path to hold corpora at 1/4 the HBM footprint (a 10M x 768 corpus
-    drops from ~30 GB to ~7.7 GB, fitting one v5e chip) and to ride the
-    MXU's int8 matmul throughput.
+    path to hold corpora at 1/4 the HBM footprint — a 10M x 768 corpus
+    drops from ~30 GB to ~7.7 GB, fitting one v5e chip. Query latency
+    ties f32 at 1M rows (the `lax.top_k` sort dominates, not the scan
+    — BENCH_NOTES.md); the capacity is the win.
     """
     x = jnp.asarray(x, jnp.float32)
     scale = jnp.max(jnp.abs(x), axis=-1) / 127.0
@@ -89,8 +102,7 @@ def masked_topk_int8(queries_q: jax.Array, queries_scale: jax.Array,
                                    * corpus_scale[None, :])
     if mask is not None:
         s = jnp.where(mask, s, NEG_INF)
-    k = min(k, corpus_q.shape[0])
-    return jax.lax.top_k(s, k)
+    return jax.lax.top_k(s, min(k, corpus_q.shape[0]))
 
 
 def l2_normalize(x, axis=-1, eps: float = 1e-12):
