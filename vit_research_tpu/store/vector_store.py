@@ -144,6 +144,11 @@ class Collection:
         self._segments: list[str] = []
         self._logged_rows = 0
         self._gen = 0  # compaction generation; tags snapshot + manifest
+        # Optional device mesh: corpus rows sharded across chips for
+        # >1-chip-HBM capacity (ops/sharded_topk.py). Runtime placement
+        # only — never persisted.
+        self._device_mesh = None
+        self._device_axis = "data"
         self._ivf = None  # lazily-fit IVFIndex
         # Rows added/updated since the IVF fit — searched exactly alongside
         # the probed cells, so upserts don't force a synchronous k-means
@@ -480,6 +485,20 @@ class Collection:
             self._device_cache = None
             self._dirty = True  # persist in config.json on next flush
 
+    def shard_device(self, mesh, axis: str = "data") -> None:
+        """Shard the device-resident corpus across ``mesh[axis]``: each
+        chip holds rows/n_dev in HBM and scores its shard locally; one
+        tiny all_gather merges the per-shard winners (exact results,
+        ops/sharded_topk.py). Scales corpus capacity and scan throughput
+        linearly with the mesh — with ``device_quant='int8'`` a v5e-8
+        holds ~80M x 768 rows. Queries always take the device path while
+        a mesh is set. Runtime placement only (not persisted); pass
+        ``None`` to go back to single-device."""
+        with self._lock:
+            self._device_mesh = mesh
+            self._device_axis = axis
+            self._device_cache = None
+
     def _device_corpus(self):
         import jax.numpy as jnp
 
@@ -494,9 +513,26 @@ class Collection:
 
                 import jax
 
-                self._device_cache = jax.jit(quantize_int8)(emb)
+                cache = jax.jit(quantize_int8)(emb)
             else:
-                self._device_cache = emb
+                cache = emb
+            if self._device_mesh is not None:
+                from vit_research_tpu.ops.sharded_topk import (pad_corpus,
+                                                               place_sharded)
+
+                n_dev = self._device_mesh.shape[self._device_axis]
+                if self.device_quant == "int8":
+                    q, scale = cache
+                    cache = (
+                        place_sharded(pad_corpus(q, n_dev)[0],
+                                      self._device_mesh, self._device_axis),
+                        place_sharded(pad_corpus(scale, n_dev)[0],
+                                      self._device_mesh, self._device_axis))
+                else:
+                    cache = place_sharded(pad_corpus(cache, n_dev)[0],
+                                          self._device_mesh,
+                                          self._device_axis)
+            self._device_cache = cache
         return self._device_cache
 
     def query(self, query_embeddings, n_results: int = 10, where=None,
@@ -517,7 +553,11 @@ class Collection:
             k = min(n_results, n)
             mask = self._where_mask(where)
 
-            if (self.ivf_threshold is not None and not where
+            if self._device_mesh is not None:
+                # Explicitly mesh-sharded: the corpus lives on the chips;
+                # always answer there (exact, no IVF approximation).
+                scores, idx = self._query_device(q, mask, k)
+            elif (self.ivf_threshold is not None and not where
                     and self.space == "cosine" and n >= self.ivf_threshold):
                 scores, idx = self._query_ivf(q, k)
             else:
@@ -561,6 +601,25 @@ class Collection:
         qd = jnp.asarray(q)
         if self.space == "cosine":
             qd = l2_normalize(qd)
+        if self._device_mesh is not None:
+            from vit_research_tpu.ops.sharded_topk import (
+                sharded_masked_topk, sharded_masked_topk_int8)
+
+            n = len(self._ids)
+            if self.device_quant == "int8":
+                corpus_q, corpus_scale = corpus
+                qq, qscale = quantize_int8(qd)
+                scores, idx = sharded_masked_topk_int8(
+                    qq, qscale, corpus_q, corpus_scale,
+                    jnp.asarray(mask)[None, :], k=k, mesh=self._device_mesh,
+                    axis=self._device_axis, n_valid=n)
+            else:
+                metric = "ip" if self.space == "cosine" else self.space
+                scores, idx = sharded_masked_topk(
+                    qd, corpus, jnp.asarray(mask)[None, :], k=k,
+                    mesh=self._device_mesh, axis=self._device_axis,
+                    metric=metric, n_valid=n)
+            return np.asarray(scores), np.asarray(idx)
         if self.device_quant == "int8":
             corpus_q, corpus_scale = corpus
             qq, qscale = quantize_int8(qd)
