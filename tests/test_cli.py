@@ -204,6 +204,93 @@ def test_multivid_training_has_live_retrieval(tmp_path, capsys):
     assert "best val acc" in out and "best f1" in out
 
 
+def _labeled_world(tmp_path):
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("none", 4), ("left", 30), ("none", 4),
+                        ("right", 30), ("none", 4)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    mi.intervals["none"].append((1, 1, 4))
+    mi.intervals["left"].append((1, 5, 34))
+    mi.intervals["none"].append((1, 35, 38))
+    mi.intervals["right"].append((1, 39, 68))
+    mi.intervals["none"].append((1, 69, 72))
+    csv_path = str(tmp_path / "manual_intervals.csv")
+    mi.to_csv(csv_path)
+    return frames_dir, csv_path
+
+
+def test_labeling_and_knn_segmentation_cli_flow(tmp_path, capsys):
+    """The script-parity verbs added around the labeled-corpus workflow:
+    write-frame-db -> segment --method knn-hmm -> finalize-clips ->
+    merge-clips -> clustering -> fresh-test -> self-label ->
+    write-embeddings (reference scripts:
+    write_per_vid_embeddings_chroma.py, generate_clips_hmm.py,
+    finalize_clips.py, merge_clips.py, clustering.py, fresh_test.py,
+    chroma.py, write_embeddings.py)."""
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "db")
+
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "1_p32_embeddings",
+              "--batch-size", "16"])
+    assert "labeled frame embeddings" in capsys.readouterr().out
+
+    # kNN+HMM segmentation against the labeled corpus, with write-back
+    clips_root = str(tmp_path / "clips_knn")
+    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "1_p32_embeddings", "--k", "5",
+              "--out", clips_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16", "--write-back"])
+    clip_dirs = [d for d in os.listdir(clips_root)
+                 if d.startswith("vid1_clip")]
+    assert clip_dirs, "knn-hmm segmentation produced no clips"
+    sides = {d.rsplit("_", 1)[-1] for d in clip_dirs}
+    assert sides <= {"left", "right"}
+
+    # per-clip refinement then merge
+    fin_root = str(tmp_path / "clips_final")
+    cli.main(["finalize-clips", "--clips", clips_root, "--db", db,
+              "--collection", "1_p32_embeddings", "--out", fin_root,
+              "--k", "3", "--batch-size", "16"])
+    assert any(d.startswith("vid1_clip") for d in os.listdir(fin_root))
+    merged_root = str(tmp_path / "clips_merged")
+    cli.main(["merge-clips", "--clips", fin_root, "--frame-pool",
+              frames_dir, "--out", merged_root, "--max-gap", "5"])
+    merged = [d for d in os.listdir(merged_root)
+              if d.startswith("vid1_clip")]
+    assert merged and all(os.listdir(os.path.join(merged_root, d))
+                          for d in merged)
+
+    # clustering study + side classifier -> fresh-test with it
+    side_npz = str(tmp_path / "side_nn.npz")
+    cli.main(["clustering", "--db", db, "--collection", "1_p32_embeddings",
+              "--out", side_npz, "--epochs", "30", "--batch-size", "16"])
+    out = capsys.readouterr().out
+    assert "class-mean L2" in out and os.path.exists(side_npz)
+    ft_root = str(tmp_path / "fresh")
+    cli.main(["fresh-test", frames_dir, "--params", side_npz,
+              "--out", ft_root, "--batch-size", "16"])
+    assert sorted(os.listdir(ft_root)) == ["left", "none", "right"]
+
+    # two-pass self-labeling over the same frames
+    labels_csv = str(tmp_path / "self_labels.csv")
+    cli.main(["self-label", frames_dir, "--db", db, "--collection",
+              "1_p32_embeddings", "--out", labels_csv, "--k", "5",
+              "--min-votes", "4", "--batch-size", "16", "--upsert"])
+    with open(labels_csv) as f:
+        rows = f.read().strip().splitlines()
+    assert len(rows) == 1 + len(os.listdir(frames_dir))
+
+    # per-class npz export
+    cli.main(["write-embeddings", frames_dir, "--manual-csv", csv_path,
+              "--out-template", str(tmp_path / "{cls}_embeddings.npz"),
+              "--batch-size", "16"])
+    left = np.load(str(tmp_path / "left_embeddings.npz"))
+    assert left["embeddings"].ndim == 3  # (N, 1, D) reference layout
+    assert len(left["frame_ids"]) == 30
+
+
 def test_smoke_command(capsys):
     cli.main(["smoke"])
     out = capsys.readouterr().out

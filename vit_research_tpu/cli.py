@@ -6,7 +6,15 @@ same operations as subcommands of one program::
 
     python -m vit_research_tpu.cli smoke
     python -m vit_research_tpu.cli extract-frames game.mp4 --vid 1 --out frames/
+    python -m vit_research_tpu.cli write-frame-db frames/ --manual-csv data/manual_intervals.csv --db db/ --collection 1_p32_embeddings
     python -m vit_research_tpu.cli segment frames/ --manual-csv data/manual_intervals.csv --vid 1 --out clips/
+    python -m vit_research_tpu.cli segment frames/ --method knn-hmm --db db/ --corpus-collection 1_p32_embeddings --vid 1 --out clips/
+    python -m vit_research_tpu.cli self-label frames/ --db db/ --collection 1_p32_embeddings --out labels.csv --upsert
+    python -m vit_research_tpu.cli finalize-clips --clips clips/ --db db/ --collection 1_p32_embeddings --out clips_final/
+    python -m vit_research_tpu.cli merge-clips --clips clips_final/ --frame-pool frames/ --out clips_merged/
+    python -m vit_research_tpu.cli clustering --db db/ --collection 1_p32_embeddings --out side_nn.npz
+    python -m vit_research_tpu.cli fresh-test frames/ --params side_nn.npz --out fresh/
+    python -m vit_research_tpu.cli write-embeddings frames/ --manual-csv data/manual_intervals.csv --out-template '{cls}_embeddings.npz'
     python -m vit_research_tpu.cli build-frame-store --clip-root 'clips_hmm_smooth_{vid}_smart' --vids 1 2 --out store/
     python -m vit_research_tpu.cli train-stage1 --store store/ --ckpt ckpts/
     python -m vit_research_tpu.cli write-ratt-db --store store/ --ckpt ckpts/ --db db/
@@ -213,6 +221,238 @@ def cmd_serve(args):
     server.serve(args.socket)
 
 
+def _labeled_frames(frames_dir: str, manual_csv: str):
+    """Sorted frame names with manual-interval side labels ('ignore' for
+    unlabeled)."""
+    from vit_research_tpu.data import naming
+    from vit_research_tpu.data.labels import ManualIntervals
+
+    frames = sorted(os.listdir(frames_dir), key=naming.frame_sort_key)
+    mi = ManualIntervals.from_csv(manual_csv)
+    return frames, [mi.class_from_frame(f) for f in frames]
+
+
+def _corpus_from_collection(col):
+    """Read a labeled frame collection (write-frame-db / self-label
+    write-backs) into the kNN corpus dict shape used by segment/*:
+    {'embeddings' (M, D), 'labels' (M,) int ids, 'probs' (M, 3)}."""
+    import numpy as np
+
+    from vit_research_tpu.segment.knn import SIDES
+
+    got = col.get(include=("embeddings", "metadatas"))
+    if not got["ids"]:
+        raise SystemExit(f"collection {col.name!r} is empty — build it "
+                         "with write-frame-db first")
+    labels, probs = [], []
+    for m in got["metadatas"]:
+        label = str(m.get("label", "none"))
+        if label not in SIDES:
+            raise SystemExit(f"collection {col.name!r} has non-side label "
+                             f"{label!r}; not a labeled frame collection")
+        labels.append(SIDES.index(label))
+        probs.append([float(m.get(f"{s}_prob", 0.0)) for s in SIDES])
+    return {"embeddings": np.asarray(got["embeddings"], np.float32),
+            "labels": np.asarray(labels, np.int64),
+            "probs": np.asarray(probs, np.float32)}
+
+
+def cmd_write_frame_db(args):
+    """Manually-labeled frames -> labeled frame collection with one-hot
+    prob metadata (reference:
+    nba_proj/write_per_vid_embeddings_chroma.py:203-278)."""
+    from vit_research_tpu.db.builders import write_labeled_frame_collection
+    from vit_research_tpu.segment.knn import SIDES
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    frames, sides = _labeled_frames(args.frames, args.manual_csv)
+    keep = [(f, s) for f, s in zip(frames, sides) if s != "ignore"]
+    if not keep:
+        raise SystemExit("no frames fall inside the manual intervals")
+    paths = [os.path.join(args.frames, f) for f, _ in keep]
+    labels = [s for _, s in keep]
+    probs = [[1.0 if s == t else 0.0 for t in SIDES] for s in labels]
+    eng = _engine(batch_size=args.batch_size)
+    client = PersistentClient(args.db)
+    col = client.get_or_create_collection(
+        args.collection, metadata={"hnsw:space": "l2"})
+    n = write_labeled_frame_collection(paths, labels, probs, eng.embed_paths,
+                                       col, batch_size=args.batch_size)
+    client.flush()
+    print(f"wrote {n} labeled frame embeddings into {args.collection}")
+
+
+def cmd_write_embeddings(args):
+    """Per-class npz artifacts ({cls}_embeddings.npz)
+    (reference: nba_proj/write_embeddings.py:177-243,
+    nba_proj/write_per_video_embeddings.py:167-232)."""
+    from vit_research_tpu.db.builders import write_class_npz
+
+    frames, sides = _labeled_frames(args.frames, args.manual_csv)
+    by_class: dict = {}
+    for f, s in zip(frames, sides):
+        if s != "ignore":
+            by_class.setdefault(s, []).append(os.path.join(args.frames, f))
+    if not by_class:
+        raise SystemExit("no frames fall inside the manual intervals")
+    eng = _engine(batch_size=args.batch_size)
+    out = write_class_npz(by_class, eng.embed_paths, args.out_template)
+    for cls, path in sorted(out.items()):
+        print(f"{cls}: {len(by_class[cls])} frames -> {path}")
+
+
+def cmd_self_label(args):
+    """Two-pass kNN self-labeling against a labeled seed collection
+    (reference: nba_proj/chroma.py:36-134,196-309). Writes a labels CSV;
+    --upsert also writes accepted pass-1 frames back into the
+    collection, enlarging the corpus like the reference's re-upserts."""
+    import csv
+
+    import numpy as np
+
+    from vit_research_tpu.data import naming
+    from vit_research_tpu.segment.knn import SIDES, two_pass_self_label
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
+    if not frames:
+        raise SystemExit(f"no frames under {args.frames}")
+    client = PersistentClient(args.db)
+    col = client.get_collection(args.collection)
+    corpus = _corpus_from_collection(col)
+    eng = _engine(batch_size=args.batch_size)
+    embs = np.asarray(
+        eng.embed_paths([os.path.join(args.frames, f) for f in frames]))
+    labels, probs, accepted = two_pass_self_label(
+        embs, corpus["embeddings"], corpus["labels"], k=args.k,
+        min_votes=args.min_votes, temperature=args.temperature)
+    with open(args.out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["frame", "label", "pass", "left_prob", "right_prob",
+                    "none_prob"])
+        for i, frame in enumerate(frames):
+            w.writerow([frame, SIDES[int(labels[i])],
+                        1 if accepted[i] else 2] +
+                       [f"{p:.6f}" for p in probs[i]])
+    if args.upsert and accepted.any():
+        sel = np.nonzero(accepted)[0]
+        col.upsert([frames[i] for i in sel], embs[sel],
+                   [{"label": SIDES[int(labels[i])],
+                     **{f"{s}_prob": float(probs[i][j])
+                        for j, s in enumerate(SIDES)}} for i in sel])
+        client.flush()
+    print(f"labeled {len(frames)} frames ({int(accepted.sum())} pass-1, "
+          f"{len(frames) - int(accepted.sum())} pass-2) -> {args.out}")
+
+
+def cmd_finalize_clips(args):
+    """Per-clip refinement: re-embed each clip's frames, 5-NN vote, a
+    fresh HMM per clip, keep frames whose decoded state matches the clip
+    label (reference: nba_proj/finalize_clips.py:134-192)."""
+    import numpy as np
+
+    from vit_research_tpu.segment import knn as knn_mod
+    from vit_research_tpu.segment.clips import finalize_clip_dirs
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    clip_dirs = _list_clip_dirs(args.clips)
+    col = PersistentClient(args.db).get_collection(args.collection)
+    corpus = _corpus_from_collection(col)
+    eng = _engine(batch_size=args.batch_size)
+
+    def frame_probs(paths):
+        embs = np.asarray(eng.embed_paths(paths))
+        nl, _, _ = knn_mod.knn_labels(embs, corpus["embeddings"],
+                                      corpus["labels"], args.k)
+        return knn_mod.vote_counts(nl) / args.k
+
+    out = finalize_clip_dirs(clip_dirs, frame_probs, args.out)
+    print(f"finalized {len(out)} clips -> {args.out}")
+
+
+def cmd_merge_clips(args):
+    """Merge adjacent same-side clips with gap <= --max-gap, rebuilding
+    merged dirs from the full frame pool
+    (reference: nba_proj/merge_clips.py:17-113)."""
+    from vit_research_tpu.segment.clips import merge_clip_dirs
+
+    clip_dirs = _list_clip_dirs(args.clips)
+    out = merge_clip_dirs(clip_dirs, args.frame_pool, args.out,
+                          max_gap=args.max_gap)
+    print(f"merged {len(clip_dirs)} clips -> {len(out)} under {args.out}")
+
+
+def _list_clip_dirs(root: str) -> list:
+    from vit_research_tpu.data import naming
+
+    dirs = []
+    for d in sorted(os.listdir(root)):
+        if not os.path.isdir(os.path.join(root, d)):
+            continue
+        try:
+            naming.parse_clip_dir(d)
+        except (IndexError, ValueError):
+            continue
+        dirs.append(os.path.join(root, d))
+    if not dirs:
+        raise SystemExit(f"no vid*_clip_* directories under {root}")
+    return dirs
+
+
+def cmd_clustering(args):
+    """Embedding-space study + side classifier: class-mean separation
+    distances, KMeans seeded at class means, and a Dense(512)->Dense(128)
+    MLP saved as portable npz (reference: nba_proj/clustering.py:43-160
+    saved side_nn.keras)."""
+    from vit_research_tpu.segment.clustering import (
+        SIDES, class_mean_separation, kmeans_with_class_means,
+        train_side_classifier)
+    from vit_research_tpu.store.vector_store import PersistentClient
+    from vit_research_tpu.train.checkpoint import save_params_npz
+
+    col = PersistentClient(args.db).get_collection(args.collection)
+    corpus = _corpus_from_collection(col)
+    embs, labels = corpus["embeddings"], corpus["labels"]
+    sep = class_mean_separation(embs, labels)
+    for (a, b), d in sorted(sep.items()):
+        print(f"class-mean L2 {SIDES[a]}<->{SIDES[b]}: {d:.3f}")
+    _, assign = kmeans_with_class_means(embs, labels)
+    agree = float((assign == labels).mean())
+    print(f"kmeans(class-mean init) label agreement: {agree:.3f}")
+    model, params, history = train_side_classifier(
+        embs, labels, num_epochs=args.epochs, batch_size=args.batch_size,
+        seed=args.seed)
+    if history:
+        print(f"side MLP final train acc {history[-1]['acc']:.3f}")
+    save_params_npz(params, args.out)
+    print(f"saved side classifier params -> {args.out}")
+
+
+def cmd_fresh_test(args):
+    """Qualitative eval: classify unseen frames with the saved side
+    classifier and copy them into left/right/none dirs
+    (reference: nba_proj/fresh_test.py:64-101)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.data import naming
+    from vit_research_tpu.evaluate.fresh_test import dump_classified_frames
+    from vit_research_tpu.segment.clustering import SideMLP, classify_sides
+    from vit_research_tpu.train.checkpoint import load_params_npz
+
+    eng = _engine(batch_size=args.batch_size)
+    model = SideMLP()
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, eng.out_dim)))
+    params = load_params_npz(template, args.params)
+    frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
+    buckets = dump_classified_frames(
+        [os.path.join(args.frames, f) for f in frames], eng.embed_paths,
+        lambda e: classify_sides(model, params, e), args.out)
+    counts = " ".join(f"{s}={len(v)}" for s, v in sorted(buckets.items()))
+    print(f"classified {len(frames)} frames -> {args.out} ({counts})")
+
+
 def cmd_extract_frames(args):
     from vit_research_tpu.data.video import extract_frames
 
@@ -222,20 +462,47 @@ def cmd_extract_frames(args):
 
 
 def cmd_segment(args):
+    """Frames -> possession clips. ``--method temporal`` (default) is the
+    reference's modern path (TemporalHead CNN + HMM,
+    nba_proj/smarter_generate_clips.py:349-423); ``--method knn-hmm`` is
+    the kNN-vote streaming path (nba_proj/generate_clips_hmm.py:367-490)
+    against a labeled frame collection (--db/--corpus-collection, built
+    by write-frame-db), with optional confident write-back."""
     from vit_research_tpu.data import naming
     from vit_research_tpu.data.labels import ManualIntervals
-    from vit_research_tpu.segment.pipeline import segment_with_temporal_head
+    from vit_research_tpu.segment.pipeline import (segment_with_knn_hmm,
+                                                   segment_with_temporal_head)
 
     os.makedirs(args.out, exist_ok=True)
     frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
     eng = _engine(batch_size=args.batch_size)
     embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
-    mi = ManualIntervals.from_csv(args.manual_csv)
-    decoded, clip_dirs, _ = segment_with_temporal_head(
-        frames, embs, mi, out_root=args.out, src_dir=args.frames,
-        vid=args.vid, epochs=args.epochs, min_len=args.min_len,
-        pad=args.pad,
-        params_path=os.path.join(args.out, "temporal_head.npz"))
+    if args.method == "knn-hmm":
+        if not (args.db and args.corpus_collection):
+            raise SystemExit("--method knn-hmm needs --db and "
+                             "--corpus-collection (see write-frame-db)")
+        from vit_research_tpu.store.vector_store import PersistentClient
+
+        client = PersistentClient(args.db)
+        col = client.get_collection(args.corpus_collection)
+        corpus = _corpus_from_collection(col)
+        decoded, clip_dirs, _ = segment_with_knn_hmm(
+            frames, embs, corpus, out_root=args.out, src_dir=args.frames,
+            vid=args.vid, k=args.k,
+            confidence_threshold=args.confidence_threshold,
+            min_len=args.min_len, pad=args.pad,
+            collection=col if args.write_back else None)
+        if args.write_back:
+            client.flush()
+    else:
+        if not args.manual_csv:
+            raise SystemExit("--method temporal needs --manual-csv")
+        mi = ManualIntervals.from_csv(args.manual_csv)
+        decoded, clip_dirs, _ = segment_with_temporal_head(
+            frames, embs, mi, out_root=args.out, src_dir=args.frames,
+            vid=args.vid, epochs=args.epochs, min_len=args.min_len,
+            pad=args.pad,
+            params_path=os.path.join(args.out, "temporal_head.npz"))
     print(f"decoded {len(decoded)} frames -> {len(clip_dirs)} clips")
 
 
@@ -613,7 +880,19 @@ def main(argv=None):
 
     sg = sub.add_parser("segment")
     sg.add_argument("frames")
-    sg.add_argument("--manual-csv", required=True)
+    sg.add_argument("--method", choices=["temporal", "knn-hmm"],
+                    default="temporal")
+    sg.add_argument("--manual-csv", default=None,
+                    help="manual intervals (temporal method)")
+    sg.add_argument("--db", default=None,
+                    help="vector-store root (knn-hmm method)")
+    sg.add_argument("--corpus-collection", default=None,
+                    help="labeled frame collection (knn-hmm method)")
+    sg.add_argument("--k", type=int, default=50,
+                    help="kNN neighbors (knn-hmm method)")
+    sg.add_argument("--confidence-threshold", type=float, default=0.7)
+    sg.add_argument("--write-back", action="store_true",
+                    help="upsert confident frames back into the corpus")
     sg.add_argument("--out", required=True)
     sg.add_argument("--vid", type=int, required=True)
     sg.add_argument("--epochs", type=int, default=3000)
@@ -621,6 +900,81 @@ def main(argv=None):
     sg.add_argument("--min-len", type=int, default=100)
     sg.add_argument("--pad", type=int, default=100)
     sg.set_defaults(fn=cmd_segment)
+
+    wf = sub.add_parser(
+        "write-frame-db",
+        help="manually-labeled frames -> labeled frame collection")
+    wf.add_argument("frames")
+    wf.add_argument("--manual-csv", required=True)
+    wf.add_argument("--db", required=True)
+    wf.add_argument("--collection", required=True)
+    wf.add_argument("--batch-size", type=int, default=128)
+    wf.set_defaults(fn=cmd_write_frame_db)
+
+    we = sub.add_parser(
+        "write-embeddings",
+        help="per-class npz artifacts ({cls}_embeddings.npz)")
+    we.add_argument("frames")
+    we.add_argument("--manual-csv", required=True)
+    we.add_argument("--out-template", required=True,
+                    help="e.g. 'out/{cls}_embeddings.npz'")
+    we.add_argument("--batch-size", type=int, default=256)
+    we.set_defaults(fn=cmd_write_embeddings)
+
+    sl = sub.add_parser(
+        "self-label", help="two-pass kNN self-labeling vs a seed corpus")
+    sl.add_argument("frames")
+    sl.add_argument("--db", required=True)
+    sl.add_argument("--collection", required=True)
+    sl.add_argument("--out", required=True, help="labels CSV")
+    sl.add_argument("--k", type=int, default=25)
+    sl.add_argument("--min-votes", type=int, default=20)
+    sl.add_argument("--temperature", type=float, default=7.0)
+    sl.add_argument("--upsert", action="store_true",
+                    help="write accepted pass-1 frames back to the corpus")
+    sl.add_argument("--batch-size", type=int, default=256)
+    sl.set_defaults(fn=cmd_self_label)
+
+    fc = sub.add_parser(
+        "finalize-clips", help="per-clip kNN+HMM refinement")
+    fc.add_argument("--clips", required=True, help="clip-dirs root")
+    fc.add_argument("--db", required=True)
+    fc.add_argument("--collection", required=True,
+                    help="labeled frame collection for the kNN vote")
+    fc.add_argument("--out", required=True)
+    fc.add_argument("--k", type=int, default=5)
+    fc.add_argument("--batch-size", type=int, default=256)
+    fc.set_defaults(fn=cmd_finalize_clips)
+
+    mc = sub.add_parser(
+        "merge-clips", help="merge adjacent same-side clips")
+    mc.add_argument("--clips", required=True, help="clip-dirs root")
+    mc.add_argument("--frame-pool", required=True,
+                    help="full frame dir to rebuild merged clips from")
+    mc.add_argument("--out", required=True)
+    mc.add_argument("--max-gap", type=int, default=30)
+    mc.set_defaults(fn=cmd_merge_clips)
+
+    cl = sub.add_parser(
+        "clustering",
+        help="class-mean separation + kmeans + side-MLP training")
+    cl.add_argument("--db", required=True)
+    cl.add_argument("--collection", required=True)
+    cl.add_argument("--out", required=True, help="side classifier npz")
+    cl.add_argument("--epochs", type=int, default=50)
+    cl.add_argument("--batch-size", type=int, default=64)
+    cl.add_argument("--seed", type=int, default=0)
+    cl.set_defaults(fn=cmd_clustering)
+
+    ft = sub.add_parser(
+        "fresh-test",
+        help="classify unseen frames into left/right/none dirs")
+    ft.add_argument("frames")
+    ft.add_argument("--params", required=True,
+                    help="side classifier npz from 'clustering'")
+    ft.add_argument("--out", required=True)
+    ft.add_argument("--batch-size", type=int, default=256)
+    ft.set_defaults(fn=cmd_fresh_test)
 
     def world_args(sp):
         sp.add_argument("--clip-root", dest="clip_root", required=True)
