@@ -26,12 +26,18 @@ import numpy as np
 
 
 def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
-                             iters: int = 16, **cfg_overrides) -> dict:
+                             iters: int = 16, scan_len: int = 0,
+                             **cfg_overrides) -> dict:
     """Shared harness: returns {frames_per_sec, compile_s}. Defaults are
     the parity configuration; examples/bench_tome.py reuses this with
     tome_r>0 (and other ViTConfig overrides, e.g. num_heads=6 for the
     dh=128 attention variant) so non-parity numbers stay
-    methodology-comparable to the headline."""
+    methodology-comparable to the headline.
+
+    ``scan_len=S`` groups S batches into one `lax.scan` dispatch
+    (device-resident stacked buffers, one checksum readback per group) —
+    the megabatch form a production feeder would use, amortizing
+    per-dispatch overhead that the per-batch form pays 16 times."""
     import dataclasses
 
     import jax
@@ -63,6 +69,30 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
             rng.integers(0, 256, size=(batch, 224, 224, 3)).astype(np.uint8))
         for _ in range(n_buffers)
     ]
+
+    if scan_len:
+        import jax.numpy as jnp
+
+        assert iters % scan_len == 0, (iters, scan_len)
+        stacked = jnp.stack(batches[:scan_len])  # (S, B, H, W, C) on device
+
+        @jax.jit
+        def fwd_scan(params, stacked):
+            def body(acc, images):
+                return acc + fwd_checksum(params, images), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), stacked)
+            return acc
+
+        t0 = time.time()
+        _ = float(fwd_scan(eng.params, stacked))  # warmup / compile
+        compile_s = time.time() - t0
+        t0 = time.time()
+        sums = [fwd_scan(eng.params, stacked)
+                for _ in range(iters // scan_len)]
+        _ = [float(s) for s in sums]
+        dt = time.time() - t0
+        return {"frames_per_sec": round(batch * iters / dt, 1),
+                "compile_s": round(compile_s, 1)}
 
     t0 = time.time()
     _ = float(fwd_checksum(eng.params, batches[0]))  # warmup / compile
