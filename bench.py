@@ -74,6 +74,9 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
         import jax.numpy as jnp
 
         assert iters % scan_len == 0, (iters, scan_len)
+        # A scan_len beyond the staged buffers would silently stack fewer
+        # batches than frames_per_sec divides by — inflating the number.
+        assert scan_len <= n_buffers, (scan_len, n_buffers)
         stacked = jnp.stack(batches[:scan_len])  # (S, B, H, W, C) on device
 
         @jax.jit

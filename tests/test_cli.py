@@ -291,6 +291,56 @@ def test_labeling_and_knn_segmentation_cli_flow(tmp_path, capsys):
     assert len(left["frame_ids"]) == 30
 
 
+def test_two_class_clustering_fresh_test_handoff(tmp_path, capsys):
+    """clustering sizes the MLP by max(label)+1; fresh-test must size its
+    restore template from the npz, not assume 3 classes."""
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("left", 20), ("right", 20)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    mi.intervals["left"].append((1, 1, 20))
+    mi.intervals["right"].append((1, 21, 40))
+    csv_path = str(tmp_path / "mi.csv")
+    mi.to_csv(csv_path)
+    db = str(tmp_path / "db")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "lr", "--batch-size", "16"])
+    side_npz = str(tmp_path / "side_nn.npz")
+    cli.main(["clustering", "--db", db, "--collection", "lr",
+              "--out", side_npz, "--epochs", "20", "--batch-size", "8"])
+    saved = np.load(side_npz)
+    assert saved["params/out/kernel"].shape[1] == 2  # two classes saved
+    ft_root = str(tmp_path / "fresh")
+    cli.main(["fresh-test", frames_dir, "--params", side_npz,
+              "--out", ft_root, "--batch-size", "16"])
+    out = capsys.readouterr().out
+    assert "classified 40 frames" in out
+
+
+def test_self_label_upsert_preserves_seed_rows(tmp_path, capsys):
+    """--upsert must only ADD new frames; ids colliding with the manually
+    labeled seed corpus keep their original metadata."""
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "db")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "seed", "--batch-size", "16"])
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    col = PersistentClient(db).get_collection("seed")
+    n_before = col.count()
+    seed_id = col.get()["ids"][0]
+    meta_before = dict(col.get(ids=[seed_id])["metadatas"][0])
+    cli.main(["self-label", frames_dir, "--db", db, "--collection", "seed",
+              "--out", str(tmp_path / "sl.csv"), "--k", "5",
+              "--min-votes", "4", "--batch-size", "16", "--upsert"])
+    assert "kept" in capsys.readouterr().out  # collisions were skipped
+    # Re-load from disk: the CLI ran its own client, so the pre-loaded
+    # `col` object would not observe an overwrite.
+    col2 = PersistentClient(db).get_collection("seed")
+    assert col2.count() >= n_before
+    assert col2.get(ids=[seed_id])["metadatas"][0] == meta_before
+
+
 def test_smoke_command(capsys):
     cli.main(["smoke"])
     out = capsys.readouterr().out

@@ -335,12 +335,22 @@ def cmd_self_label(args):
                         1 if accepted[i] else 2] +
                        [f"{p:.6f}" for p in probs[i]])
     if args.upsert and accepted.any():
-        sel = np.nonzero(accepted)[0]
-        col.upsert([frames[i] for i in sel], embs[sel],
-                   [{"label": SIDES[int(labels[i])],
-                     **{f"{s}_prob": float(probs[i][j])
-                        for j, s in enumerate(SIDES)}} for i in sel])
-        client.flush()
+        # Enlarge the corpus with NEW frames only: ids are frame
+        # basenames, and overwriting an existing row would replace
+        # manually-labeled seed metadata with a kNN-derived guess
+        # (one >=min_votes misvote would silently corrupt ground truth).
+        existing = set(col.get(ids=frames)["ids"])
+        sel = [i for i in np.nonzero(accepted)[0]
+               if frames[i] not in existing]
+        if sel:
+            col.upsert([frames[i] for i in sel], embs[sel],
+                       [{"label": SIDES[int(labels[i])],
+                         **{f"{s}_prob": float(probs[i][j])
+                            for j, s in enumerate(SIDES)}} for i in sel])
+            client.flush()
+        skipped = int(accepted.sum()) - len(sel)
+        if skipped:
+            print(f"kept {skipped} existing corpus rows (not overwritten)")
     print(f"labeled {len(frames)} frames ({int(accepted.sum())} pass-1, "
           f"{len(frames) - int(accepted.sum())} pass-2) -> {args.out}")
 
@@ -434,6 +444,7 @@ def cmd_fresh_test(args):
     (reference: nba_proj/fresh_test.py:64-101)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from vit_research_tpu.data import naming
     from vit_research_tpu.evaluate.fresh_test import dump_classified_frames
@@ -441,9 +452,19 @@ def cmd_fresh_test(args):
     from vit_research_tpu.train.checkpoint import load_params_npz
 
     eng = _engine(batch_size=args.batch_size)
-    model = SideMLP()
+    # Size the template from the npz itself: `clustering` builds the MLP
+    # as max(label)+1 classes over input dim D, so a 2-class or
+    # non-default-D save must load back without a shape mismatch.
+    with np.load(args.params) as saved:
+        in_dim, _ = saved["params/fc1/kernel"].shape
+        _, n_classes = saved["params/out/kernel"].shape
+    if in_dim != eng.out_dim:
+        raise SystemExit(
+            f"{args.params} was trained on {in_dim}-d embeddings but the "
+            f"engine produces {eng.out_dim}-d (check VRT_TINY)")
+    model = SideMLP(num_classes=n_classes)
     template = model.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1, eng.out_dim)))
+                          jnp.zeros((1, in_dim)))
     params = load_params_npz(template, args.params)
     frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
     buckets = dump_classified_frames(

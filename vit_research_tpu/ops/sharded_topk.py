@@ -58,66 +58,76 @@ def place_sharded(x, mesh: Mesh, axis: str = "data", dim: int = 0):
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
-def _pad_mask(mask, n: int, n_padded: int):
-    """Normalize ``mask`` to a 2-D (1|Q, n_padded) boolean array with
-    padded columns False."""
+def _pad_mask(mask, n_padded: int):
+    """Normalize a caller mask to 2-D (1|Q, n_padded), padding columns
+    False. ``None`` stays ``None`` — padded rows are rejected inside the
+    kernel by an index comparison against ``n_valid``, so the unfiltered
+    path never materializes (or ships) an all-ones (Q, N) mask."""
     if mask is None:
-        m = jnp.ones((1, n), bool)
-    else:
-        m = jnp.asarray(mask, bool)
-        if m.ndim == 1:
-            m = m[None]
-    if n_padded != n:
+        return None
+    m = jnp.asarray(mask, bool)
+    if m.ndim == 1:
+        m = m[None]
+    if n_padded != m.shape[1]:
         m = jnp.concatenate(
-            [m, jnp.zeros((m.shape[0], n_padded - n), bool)], axis=1)
+            [m, jnp.zeros((m.shape[0], n_padded - m.shape[1]), bool)],
+            axis=1)
     return m
 
 
-def _merge(s_local, i_local, axis: str, k: int):
-    """All-gather each shard's (Q, k_local) winners and re-top-k."""
-    s_all = jax.lax.all_gather(s_local, axis, axis=1, tiled=True)
-    i_all = jax.lax.all_gather(i_local, axis, axis=1, tiled=True)
+def _local_topk_merge(s, m, axis: str, k: int, n_valid: int):
+    """Mask invalid columns (caller mask + index-based padding-row
+    rejection), take the local top-k, then all-gather each shard's
+    winners and re-top-k."""
+    local_n = s.shape[1]
+    start = jax.lax.axis_index(axis) * local_n
+    valid = start + jnp.arange(local_n) < n_valid
+    if m is not None:
+        valid = valid[None, :] & m
+    s = jnp.where(valid, s, NEG_INF)
+    s_l, i_l = jax.lax.top_k(s, min(k, local_n))
+    i_l = i_l + start
+    s_all = jax.lax.all_gather(s_l, axis, axis=1, tiled=True)
+    i_all = jax.lax.all_gather(i_l, axis, axis=1, tiled=True)
     top_s, pos = jax.lax.top_k(s_all, k)
     return top_s, jnp.take_along_axis(i_all, pos, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "mesh", "axis"))
-def _sharded_impl(queries, corpus, mask, *, k, metric, mesh, axis):
-    def local(q, c, m):
-        local_n = c.shape[0]
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "mesh", "axis", "n_valid"))
+def _sharded_impl(queries, corpus, mask, *, k, metric, mesh, axis, n_valid):
+    def local(q, c, *m):
         s = _scores(q.astype(jnp.float32), c.astype(jnp.float32), metric)
-        s = jnp.where(m, s, NEG_INF)
-        s_l, i_l = jax.lax.top_k(s, min(k, local_n))
-        i_l = i_l + jax.lax.axis_index(axis) * local_n
-        return _merge(s_l, i_l, axis, k)
+        return _local_topk_merge(s, m[0] if m else None, axis, k, n_valid)
 
+    mask_spec = () if mask is None else (P(None, axis),)
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(None, axis)),
+        in_specs=(P(), P(axis, None)) + mask_spec,
         out_specs=(P(), P()),
         # all_gather makes every shard's output identical; the static
         # replication checker can't see that through the index math.
-        check_vma=False)(queries, corpus, mask)
+        check_vma=False)(queries, corpus,
+                         *(() if mask is None else (mask,)))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh", "axis"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "mesh", "axis", "n_valid"))
 def _sharded_int8_impl(queries_q, queries_scale, corpus_q, corpus_scale,
-                       mask, *, k, mesh, axis):
-    def local(qq, qs, cq, cs, m):
-        local_n = cq.shape[0]
+                       mask, *, k, mesh, axis, n_valid):
+    def local(qq, qs, cq, cs, *m):
         s32 = jax.lax.dot_general(qq, cq, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         s = s32.astype(jnp.float32) * (qs[:, None] * cs[None, :])
-        s = jnp.where(m, s, NEG_INF)
-        s_l, i_l = jax.lax.top_k(s, min(k, local_n))
-        i_l = i_l + jax.lax.axis_index(axis) * local_n
-        return _merge(s_l, i_l, axis, k)
+        return _local_topk_merge(s, m[0] if m else None, axis, k, n_valid)
 
+    mask_spec = () if mask is None else (P(None, axis),)
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis), P(None, axis)),
-        out_specs=(P(), P()), check_vma=False)(queries_q, queries_scale,
-                              corpus_q, corpus_scale, mask)
+        in_specs=(P(), P(), P(axis, None), P(axis)) + mask_spec,
+        out_specs=(P(), P()), check_vma=False)(
+            queries_q, queries_scale, corpus_q, corpus_scale,
+            *(() if mask is None else (mask,)))
 
 
 def sharded_masked_topk(queries, corpus, mask=None, *, k: int, mesh: Mesh,
@@ -144,9 +154,9 @@ def sharded_masked_topk(queries, corpus, mask=None, *, k: int, mesh: Mesh,
         n = n_valid  # pre-padded corpus: only the first n rows are real
     if n == 0:
         raise ValueError("empty corpus")
-    m = _pad_mask(mask, n, corpus_p.shape[0])
+    m = _pad_mask(mask, corpus_p.shape[0])
     return _sharded_impl(queries, corpus_p, m, k=min(k, n), metric=metric,
-                         mesh=mesh, axis=axis)
+                         mesh=mesh, axis=axis, n_valid=n)
 
 
 def sharded_masked_topk_int8(queries_q, queries_scale, corpus_q,
@@ -164,7 +174,7 @@ def sharded_masked_topk_int8(queries_q, queries_scale, corpus_q,
     if n == 0:
         raise ValueError("empty corpus")
     scale_p, _ = pad_corpus(jnp.asarray(corpus_scale), n_dev)
-    m = _pad_mask(mask, n, corpus_p.shape[0])
+    m = _pad_mask(mask, corpus_p.shape[0])
     return _sharded_int8_impl(queries_q, jnp.asarray(queries_scale),
                               corpus_p, scale_p, m, k=min(k, n),
-                              mesh=mesh, axis=axis)
+                              mesh=mesh, axis=axis, n_valid=n)

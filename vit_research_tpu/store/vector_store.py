@@ -500,40 +500,69 @@ class Collection:
             self._device_cache = None
 
     def _device_corpus(self):
+        if self._device_cache is None:
+            if self._device_mesh is not None:
+                self._device_cache = self._sharded_corpus()
+            else:
+                self._device_cache = self._single_device_corpus()
+        return self._device_cache
+
+    def _single_device_corpus(self):
         import jax.numpy as jnp
 
-        if self._device_cache is None:
-            emb = jnp.asarray(self._embeddings)
+        emb = jnp.asarray(self._embeddings)
+        if self.space == "cosine":
+            from vit_research_tpu.ops.topk import l2_normalize
+
+            emb = l2_normalize(emb)
+        if self.device_quant == "int8":
+            import jax
+
+            from vit_research_tpu.ops.topk import quantize_int8
+
+            return jax.jit(quantize_int8)(emb)
+        return emb
+
+    def _sharded_corpus(self, block: int = 1 << 20):
+        """Mesh-sharded placement for corpora bigger than one chip's HBM:
+        normalize/quantize HOST-side in blocks (numpy round matches
+        jnp.round — both half-to-even), pad, and `device_put` the host
+        array with the row-sharded NamedSharding so each chip receives
+        only its shard. The corpus is never staged whole on one device
+        (at the 10M-80M-row scale this path exists for, a full f32
+        staging copy would OOM the very chip the sharding is meant to
+        relieve)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh, axis = self._device_mesh, self._device_axis
+        n_dev = mesh.shape[axis]
+        emb = self._embeddings
+        n, d = emb.shape
+        n_pad = ((n + n_dev - 1) // n_dev) * n_dev
+        row_sh = NamedSharding(mesh, P(axis, None))
+        if self.device_quant == "int8":
+            q = np.zeros((n_pad, d), np.int8)
+            scale = np.zeros(n_pad, np.float32)
+            for s in range(0, n, block):
+                blk = np.asarray(emb[s:s + block], np.float32)
+                if self.space == "cosine":
+                    blk = blk / np.maximum(
+                        np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+                sc = np.max(np.abs(blk), axis=1) / 127.0
+                q[s:s + len(blk)] = np.round(
+                    blk / np.maximum(sc, 1e-12)[:, None]).astype(np.int8)
+                scale[s:s + len(blk)] = sc
+            return (jax.device_put(q, row_sh),
+                    jax.device_put(scale, NamedSharding(mesh, P(axis))))
+        arr = np.zeros((n_pad, d), np.float32)
+        for s in range(0, n, block):
+            blk = np.asarray(emb[s:s + block], np.float32)
             if self.space == "cosine":
-                from vit_research_tpu.ops.topk import l2_normalize
-
-                emb = l2_normalize(emb)
-            if self.device_quant == "int8":
-                from vit_research_tpu.ops.topk import quantize_int8
-
-                import jax
-
-                cache = jax.jit(quantize_int8)(emb)
-            else:
-                cache = emb
-            if self._device_mesh is not None:
-                from vit_research_tpu.ops.sharded_topk import (pad_corpus,
-                                                               place_sharded)
-
-                n_dev = self._device_mesh.shape[self._device_axis]
-                if self.device_quant == "int8":
-                    q, scale = cache
-                    cache = (
-                        place_sharded(pad_corpus(q, n_dev)[0],
-                                      self._device_mesh, self._device_axis),
-                        place_sharded(pad_corpus(scale, n_dev)[0],
-                                      self._device_mesh, self._device_axis))
-                else:
-                    cache = place_sharded(pad_corpus(cache, n_dev)[0],
-                                          self._device_mesh,
-                                          self._device_axis)
-            self._device_cache = cache
-        return self._device_cache
+                blk = blk / np.maximum(
+                    np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+            arr[s:s + len(blk)] = blk
+        return jax.device_put(arr, row_sh)
 
     def query(self, query_embeddings, n_results: int = 10, where=None,
               include=("metadatas", "distances")) -> dict:
@@ -606,17 +635,21 @@ class Collection:
                 sharded_masked_topk, sharded_masked_topk_int8)
 
             n = len(self._ids)
+            # Unfiltered queries ship NO mask: padding rows are rejected
+            # in-kernel via n_valid, so the common path never moves an
+            # N-byte mask to device (10-80 MB at this path's scale).
+            m = None if mask.all() else jnp.asarray(mask)[None, :]
             if self.device_quant == "int8":
                 corpus_q, corpus_scale = corpus
                 qq, qscale = quantize_int8(qd)
                 scores, idx = sharded_masked_topk_int8(
-                    qq, qscale, corpus_q, corpus_scale,
-                    jnp.asarray(mask)[None, :], k=k, mesh=self._device_mesh,
-                    axis=self._device_axis, n_valid=n)
+                    qq, qscale, corpus_q, corpus_scale, m, k=k,
+                    mesh=self._device_mesh, axis=self._device_axis,
+                    n_valid=n)
             else:
                 metric = "ip" if self.space == "cosine" else self.space
                 scores, idx = sharded_masked_topk(
-                    qd, corpus, jnp.asarray(mask)[None, :], k=k,
+                    qd, corpus, m, k=k,
                     mesh=self._device_mesh, axis=self._device_axis,
                     metric=metric, n_valid=n)
             return np.asarray(scores), np.asarray(idx)
