@@ -341,6 +341,74 @@ def test_self_label_upsert_preserves_seed_rows(tmp_path, capsys):
     assert col2.get(ids=[seed_id])["metadatas"][0] == meta_before
 
 
+def test_search_and_rebuild_db_cli(tmp_path, capsys):
+    """`search` prints JSON neighbor lines (frames and --npz inputs,
+    --where filters); `rebuild-db` rewrites a collection standalone."""
+    import json
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "db")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+
+    some = sorted(os.listdir(frames_dir))[:3]
+    cli.main(["search"] + [os.path.join(frames_dir, f) for f in some]
+             + ["--db", db, "--collection", "corpus", "--k", "4"])
+    lines = [json.loads(line) for line in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert all(len(r["neighbors"]) == 4 for r in lines)
+    # each frame is its own nearest neighbor (it is in the corpus)
+    assert lines[0]["neighbors"][0]["id"] == some[0]
+
+    # --where filter restricts the candidate set
+    cli.main(["search", os.path.join(frames_dir, some[0]), "--db", db,
+              "--collection", "corpus", "--k", "4", "--where",
+              '{"label": "left"}'])
+    row = json.loads(capsys.readouterr().out.strip())
+    assert all(n["metadata"]["label"] == "left" for n in row["neighbors"])
+
+    # --npz input: the (N, 1, D) class-npz layout round-trips
+    cli.main(["write-embeddings", frames_dir, "--manual-csv", csv_path,
+              "--out-template", str(tmp_path / "{cls}_embeddings.npz"),
+              "--batch-size", "16"])
+    capsys.readouterr()
+    cli.main(["search", "--npz", str(tmp_path / "left_embeddings.npz"),
+              "--npz-key", "embeddings", "--db", db,
+              "--collection", "corpus", "--k", "2"])
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 30  # 30 left frames in the world
+
+    # standalone rebuild-db: build clips world first (needs samples)
+    clips_root = str(tmp_path / "clips_hmm_smooth_1_smart")
+    cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+              "--out", clips_root, "--vid", "1", "--epochs", "80",
+              "--batch-size", "16", "--min-len", "20", "--pad", "2"])
+    clip_labels = {os.path.join(clips_root, d): 1 if "left" in d else 0
+                   for d in sorted(os.listdir(clips_root))
+                   if d.startswith("vid1_clip")}
+    labels_mod.save_clip_labels(clip_labels, str(tmp_path / "labels.csv"))
+    store_dir = str(tmp_path / "store")
+    cli.main(["build-frame-store", "--clip-root",
+              str(tmp_path / "clips_hmm_smooth_{vid}_smart"),
+              "--vids", "1", "--clip-labels", str(tmp_path / "labels.csv"),
+              "--out", store_dir, "--chunk-size", "6", "--chunk-stride", "3",
+              "--batch-size", "16"])
+    capsys.readouterr()
+    cli.main(["rebuild-db", "--clip-root",
+              str(tmp_path / "clips_hmm_smooth_{vid}_smart"),
+              "--vids", "1", "--clip-labels", str(tmp_path / "labels.csv"),
+              "--store", store_dir, "--db", db, "--collection", "ragdb",
+              "--chunk-size", "6", "--chunk-stride", "3"])
+    out = capsys.readouterr().out
+    assert "rebuilt ragdb" in out
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    assert PersistentClient(db).get_collection("ragdb").count() > 0
+
+
 def test_smoke_command(capsys):
     cli.main(["smoke"])
     out = capsys.readouterr().out

@@ -474,6 +474,94 @@ def cmd_fresh_test(args):
     print(f"classified {len(frames)} frames -> {args.out} ({counts})")
 
 
+def cmd_rebuild_db(args):
+    """Standalone frame-level DB rebuild, optionally re-projecting with a
+    trained rag run's ProjectionHead (reference:
+    nba_proj/db_maintainence/db_rebuild.py:100-232 — run standalone there,
+    and every REBUILD_EVERY epochs from training.py:479-480; the
+    in-training equivalents are train-rag --rebuild sync and
+    train/async_rebuild.py)."""
+    from vit_research_tpu.db.builders import rebuild_frame_db
+    from vit_research_tpu.db.frame_store import FrameStore
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    recs, _ = _load_world(args)
+    store = FrameStore(args.store).open()
+
+    def embed(paths):
+        return store.gather_paths([[p] for p in paths])[:, 0]
+
+    project_fn = None
+    if args.run_id:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vit_research_tpu.models.heads import ProjectionHead
+        from vit_research_tpu.train.checkpoint import CheckpointManager
+
+        if not os.path.isdir(os.path.join(args.ckpt or "", args.run_id)):
+            raise SystemExit(f"--run-id {args.run_id}: no such run under "
+                             f"{args.ckpt!r} (pass --ckpt)")
+        restored = CheckpointManager(args.ckpt, args.run_id).restore_best()
+        if restored is None or "proj" not in restored.get("params", {}):
+            raise SystemExit(f"--run-id {args.run_id}: no best checkpoint "
+                             "with ProjectionHead params (expect a "
+                             "train-rag run)")
+        proj_params = restored["params"]["proj"]
+        proj = ProjectionHead(input_dim=store.dim, proj_dim=store.dim)
+
+        def project_fn(x):
+            return np.asarray(proj.apply(proj_params, jnp.asarray(x)))
+
+    client = PersistentClient(args.db)
+    col = client.get_or_create_collection(
+        args.collection, metadata={"hnsw:space": "cosine"})
+    n = rebuild_frame_db(recs, embed, project_fn, col,
+                         batch_size=args.batch_size)
+    client.flush()
+    print(f"rebuilt {args.collection}: {n} frame embeddings"
+          + (" (re-projected)" if project_fn else ""))
+
+
+def cmd_search(args):
+    """Ad-hoc neighbor lookup: embed frames (or take rows from an .npz)
+    and query a collection, printing one JSON line per query. The
+    scriptable face of the store's exact device top-k."""
+    import json
+
+    import numpy as np
+
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    col = PersistentClient(args.db).get_collection(args.collection)
+    if args.npz:
+        with np.load(args.npz) as data:
+            key = args.npz_key or data.files[0]
+            q = np.asarray(data[key], np.float32)
+        if q.ndim == 3:  # (N, 1, D): the reference's class-npz layout
+            q = q[:, 0]
+        elif q.ndim == 1:
+            q = q[None]
+        names = [f"{args.npz}[{key}][{i}]" for i in range(len(q))]
+    elif args.frames:
+        eng = _engine(batch_size=args.batch_size)
+        q = np.asarray(eng.embed_paths(args.frames))
+        names = list(args.frames)
+    else:
+        raise SystemExit("pass frame paths or --npz")
+    where = json.loads(args.where) if args.where else None
+    got = col.query(q, n_results=args.k, where=where,
+                    include=("metadatas", "distances"))
+    for name, ids, dists, metas in zip(names, got["ids"],
+                                       got["distances"], got["metadatas"]):
+        print(json.dumps({
+            "query": name,
+            "neighbors": [{"id": i, "distance": round(float(d), 6),
+                           "metadata": m}
+                          for i, d, m in zip(ids, dists, metas)],
+        }))
+
+
 def cmd_extract_frames(args):
     from vit_research_tpu.data.video import extract_frames
 
@@ -1125,6 +1213,33 @@ def main(argv=None):
     ec.add_argument("--future-step", type=int, default=2)
     ec.add_argument("--zeros-query", action="store_true")
     ec.set_defaults(fn=cmd_eval_clips)
+
+    rb = sub.add_parser(
+        "rebuild-db", help="standalone frame-level DB rebuild")
+    world_args(rb)
+    rb.add_argument("--store", required=True)
+    rb.add_argument("--db", required=True)
+    rb.add_argument("--collection", default="ragdb")
+    rb.add_argument("--ckpt", default=None)
+    rb.add_argument("--run-id", default=None,
+                    help="train-rag run whose ProjectionHead re-projects "
+                         "the embeddings")
+    rb.add_argument("--batch-size", type=int, default=256)
+    rb.set_defaults(fn=cmd_rebuild_db)
+
+    se = sub.add_parser(
+        "search", help="embed frames (or .npz rows) and print neighbors")
+    se.add_argument("frames", nargs="*", help="frame image paths")
+    se.add_argument("--db", required=True)
+    se.add_argument("--collection", required=True)
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--where", default=None,
+                    help='metadata filter as JSON, e.g. \'{"side": "left"}\'')
+    se.add_argument("--npz", default=None,
+                    help="query embeddings from an .npz instead of frames")
+    se.add_argument("--npz-key", default=None)
+    se.add_argument("--batch-size", type=int, default=256)
+    se.set_defaults(fn=cmd_search)
 
     mt = sub.add_parser("metrics", help="inspect run metrics.jsonl ledgers")
     mt.add_argument("dir", help="a run dir (prints the curve) or a "

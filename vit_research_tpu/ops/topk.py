@@ -26,7 +26,12 @@ def _qct(queries, corpus):
     # equivalent to the transpose form on v5e at (256, 1M, 768) — XLA
     # fuses the transpose either way (BENCH_NOTES.md 2026-08-17) — but
     # this form states the layout intent directly.
-    return jax.lax.dot_general(queries, corpus, (((1,), (1,)), ((), ())))
+    # Precision HIGHEST: the TPU default lowers f32 matmuls to bf16
+    # passes, whose ~2e-4 score error reorders near-ties (measured 3.3%
+    # of top-8 ids flipped at 131k random rows, 2026-08-17) — this store
+    # advertises EXACT search, and the scan is top_k-bound anyway.
+    return jax.lax.dot_general(queries, corpus, (((1,), (1,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _scores(queries, corpus, metric: str):
