@@ -147,6 +147,46 @@ def test_segment_with_knn_hmm_end_to_end():
             "none_prob"} <= set(meta)
 
 
+def test_segment_with_knn_streaks_end_to_end(tmp_path):
+    corpus, labels, centers = clustered_corpus(spread=0.1)
+    probs = np.full((len(labels), 3), 0.05)
+    probs[np.arange(len(labels)), labels] = 0.9
+    rng = np.random.default_rng(5)
+    segs = [("none", 30), ("left", 150), ("none", 30), ("right", 150),
+            ("none", 20)]
+    side_ids = {"left": 0, "right": 1, "none": 2}
+    frames, truth = [], []
+    for side, n in segs:
+        c = side_ids[side]
+        frames.append(centers[c] + 0.1 * rng.normal(size=(n, 16)))
+        truth += [side] * n
+    frames = np.concatenate(frames).astype(np.float32)
+    names = [f"vid9_frame_{i+1}.jpg" for i in range(len(truth))]
+
+    from vit_research_tpu.store.vector_store import Collection
+
+    col = Collection("frames", space="l2")
+    csv_path = str(tmp_path / "clip_intervals.csv")
+    decoded, _, intervals = seg_pipeline.segment_with_knn_streaks(
+        names, frames, {"embeddings": corpus, "labels": labels,
+                        "probs": probs},
+        k=25, collection=col, vid=9, intervals_csv=csv_path)
+    agree = np.mean([d == t for d, t in zip(decoded, truth)])
+    assert agree > 0.9
+    # Two possession intervals found, one per side, in order.
+    sides = [s for s, _, _ in intervals]
+    assert sides == [0, 1]
+    # CSV uses frame NUMBERS from the names (1-based), header included.
+    with open(csv_path) as f:
+        rows = f.read().strip().splitlines()
+    assert rows[0] == "side,start_frame,end_frame"
+    assert len(rows) == 3
+    side, start, end = rows[1].split(",")
+    assert side == "left" and 20 <= int(start) <= 45
+    # Confident frames were written back.
+    assert col.count() > 0
+
+
 def test_segment_with_temporal_head_end_to_end(tmp_path):
     from vit_research_tpu.data import labels as labels_mod
 

@@ -575,8 +575,10 @@ def cmd_segment(args):
     reference's modern path (TemporalHead CNN + HMM,
     nba_proj/smarter_generate_clips.py:349-423); ``--method knn-hmm`` is
     the kNN-vote streaming path (nba_proj/generate_clips_hmm.py:367-490)
-    against a labeled frame collection (--db/--corpus-collection, built
-    by write-frame-db), with optional confident write-back."""
+    and ``--method streaks`` the pre-HMM sliding-window classifier
+    (nba_proj/generate_clips.py:99-368, also writes clip_intervals.csv) —
+    both run against a labeled frame collection (--db/--corpus-collection,
+    built by write-frame-db), with optional confident write-back."""
     from vit_research_tpu.data import naming
     from vit_research_tpu.data.labels import ManualIntervals
     from vit_research_tpu.segment.pipeline import (segment_with_knn_hmm,
@@ -586,21 +588,33 @@ def cmd_segment(args):
     frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
     eng = _engine(batch_size=args.batch_size)
     embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
-    if args.method == "knn-hmm":
+    if args.method in ("knn-hmm", "streaks"):
         if not (args.db and args.corpus_collection):
-            raise SystemExit("--method knn-hmm needs --db and "
+            raise SystemExit(f"--method {args.method} needs --db and "
                              "--corpus-collection (see write-frame-db)")
         from vit_research_tpu.store.vector_store import PersistentClient
 
         client = PersistentClient(args.db)
         col = client.get_collection(args.corpus_collection)
         corpus = _corpus_from_collection(col)
-        decoded, clip_dirs, _ = segment_with_knn_hmm(
-            frames, embs, corpus, out_root=args.out, src_dir=args.frames,
-            vid=args.vid, k=args.k,
-            confidence_threshold=args.confidence_threshold,
-            min_len=args.min_len, pad=args.pad,
-            collection=col if args.write_back else None)
+        if args.method == "streaks":
+            from vit_research_tpu.segment.pipeline import (
+                segment_with_knn_streaks)
+
+            decoded, clip_dirs, _ = segment_with_knn_streaks(
+                frames, embs, corpus, out_root=args.out,
+                src_dir=args.frames, vid=args.vid, k=args.k,
+                confidence_threshold=args.confidence_threshold,
+                window=args.window, min_len=args.min_len, pad=args.pad,
+                collection=col if args.write_back else None,
+                intervals_csv=os.path.join(args.out, "clip_intervals.csv"))
+        else:
+            decoded, clip_dirs, _ = segment_with_knn_hmm(
+                frames, embs, corpus, out_root=args.out,
+                src_dir=args.frames, vid=args.vid, k=args.k,
+                confidence_threshold=args.confidence_threshold,
+                min_len=args.min_len, pad=args.pad,
+                collection=col if args.write_back else None)
         if args.write_back:
             client.flush()
     else:
@@ -989,8 +1003,10 @@ def main(argv=None):
 
     sg = sub.add_parser("segment")
     sg.add_argument("frames")
-    sg.add_argument("--method", choices=["temporal", "knn-hmm"],
+    sg.add_argument("--method", choices=["temporal", "knn-hmm", "streaks"],
                     default="temporal")
+    sg.add_argument("--window", type=int, default=50,
+                    help="sliding window (streaks method)")
     sg.add_argument("--manual-csv", default=None,
                     help="manual intervals (temporal method)")
     sg.add_argument("--db", default=None,

@@ -1,20 +1,24 @@
 """End-to-end possession segmentation pipelines.
 
-Two orchestrations, mirroring the reference's evolution:
+Three orchestrations, mirroring the reference's evolution:
 
-1. :func:`segment_with_knn_hmm` — the generate_clips_hmm path
+1. :func:`segment_with_knn_streaks` — the earliest path
+   (reference: nba_proj/generate_clips.py:99-368): per-frame k-NN vote
+   with stored-prob averaging, sliding-window streak detection with
+   flagged re-checks, `clip_intervals.csv` plus confident self-upserts.
+2. :func:`segment_with_knn_hmm` — the generate_clips_hmm path
    (reference: nba_proj/generate_clips_hmm.py:367-490): embed every frame,
    k-NN fused-confidence emissions against a labeled corpus, Viterbi
    smooth, extract padded clips; confident frames are upserted back into
    the corpus collection. The reference did 3 device/DB crossings per
    frame (its slowest loop, SURVEY.md section 3.2); here each stage is one
    batched pass.
-2. :func:`segment_with_temporal_head` — the "smarter" path
+3. :func:`segment_with_temporal_head` — the "smarter" path
    (reference: nba_proj/smarter_generate_clips.py:349-423): embed, label
    from manual intervals, train (or reuse) the TemporalHead CNN, softmax
    probs, Viterbi smooth, write clips.
 
-Both return the decoded sequence and the clip directories written.
+All return the decoded sequence and the clip directories written.
 """
 
 from __future__ import annotations
@@ -54,21 +58,7 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
     path = smooth_probabilities(fused["emissions"])
     decoded = [STATES[i] for i in path]
 
-    if collection is not None and fused["confident"].any():
-        sel = np.nonzero(fused["confident"])[0]
-        metas = []
-        for i in sel:
-            p = fused["upsert_probs"][i]
-            metas.append({
-                "label": STATES[fused["decision"][i]],
-                "video": vid if vid is not None
-                else naming.vid_num(frame_names[i]),
-                "left_prob": float(p[0]),
-                "right_prob": float(p[1]),
-                "none_prob": float(p[2]),
-            })
-        collection.upsert([frame_names[i] for i in sel],
-                          np.asarray(embeddings)[sel], metas)
+    _confident_writeback(collection, fused, frame_names, embeddings, vid)
 
     clip_dirs = []
     if out_root is not None and src_dir is not None:
@@ -76,6 +66,82 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
             decoded, list(frame_names), src_dir, out_root,
             min_len=min_len, pad=pad, vid=vid)
     return decoded, clip_dirs, fused
+
+
+def _confident_writeback(collection, fused, frame_names, embeddings, vid):
+    """Upsert confident frames back into the corpus collection
+    (reference: nba_proj/generate_clips_hmm.py:459-471,
+    nba_proj/generate_clips.py:345-368)."""
+    if collection is None or not fused["confident"].any():
+        return
+    sel = np.nonzero(fused["confident"])[0]
+    metas = []
+    for i in sel:
+        p = fused["upsert_probs"][i]
+        metas.append({
+            "label": STATES[fused["decision"][i]],
+            "video": vid if vid is not None
+            else naming.vid_num(frame_names[i]),
+            "left_prob": float(p[0]),
+            "right_prob": float(p[1]),
+            "none_prob": float(p[2]),
+        })
+    collection.upsert([frame_names[i] for i in sel],
+                      np.asarray(embeddings)[sel], metas)
+
+
+def segment_with_knn_streaks(frame_names, embeddings, corpus, *,
+                             out_root: str | None = None,
+                             src_dir: str | None = None,
+                             k: int = 25,
+                             confidence_threshold: float = 0.85,
+                             window: int = 50, dominance: float = 0.8,
+                             min_len: int = 50, pad: int = 0,
+                             collection=None, vid: int | None = None,
+                             metric: str = "l2",
+                             intervals_csv: str | None = None):
+    """The pre-HMM streaming classifier as one batched pass
+    (reference: nba_proj/generate_clips.py:99-368): k-NN fused decisions,
+    sliding-window streak detection with flagged re-checks
+    (segment/streaks.py), optional `clip_intervals.csv`, optional clip
+    dirs, and confident (>= threshold) self-upserts.
+
+    Returns (decoded list[str], clip_dirs, intervals) where ``intervals``
+    is the raw list of (side_id, start, end)."""
+    from vit_research_tpu.segment.streaks import streak_intervals
+
+    nl, idx, _ = knn_mod.knn_labels(
+        embeddings, corpus["embeddings"], corpus["labels"], k, metric=metric)
+    neighbor_probs = np.asarray(corpus["probs"])[np.asarray(idx)]
+    fused = knn_mod.fused_confidence(
+        nl, neighbor_probs, top_n=k,
+        confidence_threshold=confidence_threshold)
+
+    conf = np.max(fused["fused"], axis=1)
+    intervals = streak_intervals(
+        fused["decision"], conf, window=window, dominance=dominance,
+        conf_threshold=confidence_threshold, min_len=min_len)
+
+    decoded = ["none"] * len(frame_names)
+    for side, s, e in intervals:
+        decoded[s:e + 1] = [STATES[side]] * (e - s + 1)
+
+    _confident_writeback(collection, fused, frame_names, embeddings, vid)
+
+    if intervals_csv is not None:
+        with open(intervals_csv, "w") as f:
+            f.write("side,start_frame,end_frame\n")
+            for side, s, e in intervals:
+                f.write(f"{STATES[side]},"
+                        f"{naming.frame_num(frame_names[s])},"
+                        f"{naming.frame_num(frame_names[e])}\n")
+
+    clip_dirs = []
+    if out_root is not None and src_dir is not None:
+        clip_dirs = clips_mod.save_clips_from_sequence(
+            decoded, list(frame_names), src_dir, out_root,
+            min_len=min_len, pad=pad, vid=vid)
+    return decoded, clip_dirs, intervals
 
 
 def segment_with_temporal_head(frame_names, embeddings, manual_intervals, *,

@@ -42,11 +42,17 @@ def streak_intervals(decisions, confidences, *, window: int = 50,
             side = int(decisions[start])
             length = i - start
             if side in (0, 1) and length >= min_len:
-                # Require window dominance around the run.
+                # Require window dominance around the run, normalized by
+                # the best achievable fraction when the +-window/2
+                # margins are all non-side: a clean run bordered by
+                # 'none' scores exactly best_frac and must not be
+                # rejected for its margins, while interior impurity
+                # pushes frac below dominance * best_frac.
                 lo = max(0, start - window // 2)
                 hi = min(t, i + window // 2)
                 frac = np.mean(decisions[lo:hi] == side)
-                if frac >= dominance * min(1.0, length / window):
+                best_frac = length / (hi - lo)
+                if frac >= dominance * best_frac:
                     intervals.append((side, start, i - 1))
             start = i
     return intervals
