@@ -248,6 +248,16 @@ def test_labeling_and_knn_segmentation_cli_flow(tmp_path, capsys):
     sides = {d.rsplit("_", 1)[-1] for d in clip_dirs}
     assert sides <= {"left", "right"}
 
+    # streaks method: same corpus, writes clip_intervals.csv
+    streaks_root = str(tmp_path / "clips_streaks")
+    cli.main(["segment", frames_dir, "--method", "streaks", "--db", db,
+              "--corpus-collection", "1_p32_embeddings", "--k", "5",
+              "--window", "10", "--out", streaks_root, "--vid", "1",
+              "--min-len", "15", "--pad", "2", "--batch-size", "16"])
+    with open(os.path.join(streaks_root, "clip_intervals.csv")) as f:
+        iv_rows = f.read().strip().splitlines()
+    assert iv_rows[0] == "side,start_frame,end_frame" and len(iv_rows) >= 3
+
     # per-clip refinement then merge
     fin_root = str(tmp_path / "clips_final")
     cli.main(["finalize-clips", "--clips", clips_root, "--db", db,

@@ -153,6 +153,21 @@ def test_streak_intervals():
     assert len(left_ivs) == 1
 
 
+def test_global_profiler_env_gate(monkeypatch):
+    from vit_research_tpu.utils import profiling
+
+    monkeypatch.setattr(profiling, "_GLOBAL", None)
+    monkeypatch.delenv("VRT_PROFILE", raising=False)
+    with profiling.span("x"):
+        pass
+    assert profiling.active() is None  # no-op without the env var
+    monkeypatch.setenv("VRT_PROFILE", "1")
+    with profiling.span("x"):
+        pass
+    assert profiling.active().counts["x"] == 1
+    monkeypatch.setattr(profiling, "_GLOBAL", None)
+
+
 def test_profiler_and_fileops(tmp_path):
     prof = Profiler()
     with prof.span("work"):

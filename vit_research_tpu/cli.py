@@ -1273,7 +1273,14 @@ def main(argv=None):
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    finally:
+        # VRT_PROFILE=1: per-stage span report (embed.decode/dispatch/
+        # readback, store.query, ... — utils/profiling.py).
+        from vit_research_tpu.utils.profiling import print_global_report
+
+        print_global_report()
 
 
 if __name__ == "__main__":

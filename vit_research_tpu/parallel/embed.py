@@ -144,9 +144,8 @@ class EmbeddingEngine:
             return np.zeros((0, self.out_dim), np.float32)
 
         if prefetch <= 0:
-            batches = (load_frames(paths[s:s + self.batch_size], self.spec,
-                                   num_workers=num_workers,
-                                   use_native=use_native)
+            batches = (_timed_load(paths[s:s + self.batch_size], self.spec,
+                                   num_workers, use_native)
                        for s in range(0, len(paths), self.batch_size))
             return self._drain(batches)
 
@@ -166,10 +165,9 @@ class EmbeddingEngine:
         def produce():
             try:
                 for s in range(0, len(paths), self.batch_size):
-                    if not _put(load_frames(
+                    if not _put(_timed_load(
                             paths[s:s + self.batch_size], self.spec,
-                            num_workers=num_workers,
-                            use_native=use_native)):
+                            num_workers, use_native)):
                         return
                 _put(_done)
             except BaseException as e:  # surfaced on the consumer side
@@ -204,17 +202,33 @@ class EmbeddingEngine:
     def _drain(self, batches) -> np.ndarray:
         """Dispatch an iterable of uint8 batches, keeping one batch in
         flight on the device while the next is produced."""
+        from vit_research_tpu.utils import profiling
+
         outs, pending = [], None
         for batch in batches:
             if pending is not None:
                 dev_out, n = pending
-                outs.append(np.asarray(dev_out)[:n])
-            pending = self._dispatch(batch)
+                with profiling.span("embed.readback"):
+                    outs.append(np.asarray(dev_out)[:n])
+            with profiling.span("embed.dispatch"):
+                pending = self._dispatch(batch)
         if pending is not None:
             dev_out, n = pending
-            outs.append(np.asarray(dev_out)[:n])
+            with profiling.span("embed.readback"):
+                outs.append(np.asarray(dev_out)[:n])
         return (np.concatenate(outs, axis=0) if outs
                 else np.zeros((0, self.out_dim), np.float32))
+
+
+def _timed_load(paths, spec, num_workers, use_native):
+    """load_frames under a 'embed.decode' profiling span (SURVEY.md
+    section 5.1: per-stage timing in the embedding engine; no-op unless
+    VRT_PROFILE is set)."""
+    from vit_research_tpu.utils import profiling
+
+    with profiling.span("embed.decode"):
+        return load_frames(paths, spec, num_workers=num_workers,
+                           use_native=use_native)
 
 
 def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,

@@ -567,7 +567,9 @@ class Collection:
     def query(self, query_embeddings, n_results: int = 10, where=None,
               include=("metadatas", "distances")) -> dict:
         """Exact top-k. Returns Chroma-shaped dict of per-query lists."""
-        with self._lock:
+        from vit_research_tpu.utils import profiling
+
+        with self._lock, profiling.span("store.query"):
             q = np.asarray(query_embeddings, dtype=np.float32)
             if q.ndim == 1:
                 q = q[None]

@@ -53,6 +53,38 @@ class Profiler:
         self.counts.clear()
 
 
+_GLOBAL: Profiler | None = None
+
+
+def active() -> Profiler | None:
+    """The process-wide profiler, created on first use when the
+    ``VRT_PROFILE`` env var is set (else None). The CLI prints its
+    report at exit; library code adds spans via :func:`span`."""
+    global _GLOBAL
+    import os
+
+    if _GLOBAL is None and os.environ.get("VRT_PROFILE"):
+        _GLOBAL = Profiler()
+    return _GLOBAL
+
+
+@contextlib.contextmanager
+def span(name: str):
+    """No-op unless VRT_PROFILE is set — hot paths can instrument
+    unconditionally at zero cost in production."""
+    p = active()
+    if p is None:
+        yield
+    else:
+        with p.span(name):
+            yield
+
+
+def print_global_report() -> None:
+    if _GLOBAL is not None and _GLOBAL.totals:
+        _GLOBAL.print_report()
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str):
     """XLA device trace (jax.profiler) around a region."""
