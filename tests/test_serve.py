@@ -109,6 +109,38 @@ def test_query_by_embedding(server):
     assert all(int(i[2:]) % 2 == 0 for i in resp["ids"][0])
 
 
+def test_query_with_sharded_collection(engine, tmp_path):
+    """The daemon answers identically when the collection's device
+    corpus is sharded over the (virtual) mesh — cli serve --shard-device."""
+    from vit_research_tpu.parallel.mesh import make_mesh
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    coll = PersistentClient(str(tmp_path / "db")).get_or_create_collection(
+        "served", metadata={"hnsw:space": "cosine"})
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(21, engine.out_dim)).astype(np.float32)
+    coll.upsert([f"id{i}" for i in range(21)], base)
+    q = base[5] + 0.01 * rng.normal(size=engine.out_dim)
+    expected = coll.query(q[None], n_results=3)["ids"]
+    coll.shard_device(make_mesh())
+
+    srv = EmbedServer(engine, collection=coll)
+    sock = str(tmp_path / "shard.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    try:
+        res = request(sock, {"op": "query", "embeddings": [q.tolist()],
+                             "n_results": 3})
+        assert res["ids"] == expected
+        assert res["ids"][0][0] == "id5"
+    finally:
+        srv.stop()
+        t.join(timeout=10)
+
+
 def test_bad_requests_keep_connection(server):
     sock, _, _, _ = server
     assert not request(sock, {"op": "nope"})["ok"]

@@ -213,6 +213,13 @@ def cmd_serve(args):
         from vit_research_tpu.store.vector_store import PersistentClient
 
         coll = PersistentClient(args.db).get_collection(args.collection)
+        if args.shard_device:
+            from vit_research_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            coll.shard_device(mesh)
+            print(f"collection {args.collection} sharded over "
+                  f"{mesh.devices.size} device(s)", flush=True)
     server = EmbedServer(_engine(batch_size=args.batch_size),
                          collection=coll)
     print(f"serving on {args.socket}"
@@ -1270,6 +1277,10 @@ def main(argv=None):
     sv.add_argument("--batch-size", type=int, default=256)
     sv.add_argument("--db", default=None)
     sv.add_argument("--collection", default=None)
+    sv.add_argument("--shard-device", action="store_true",
+                    help="shard the collection's device corpus across "
+                         "all local chips (exact results; >1-chip-HBM "
+                         "capacity — ops/sharded_topk.py)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
