@@ -26,12 +26,17 @@ def _qct(queries, corpus):
     # equivalent to the transpose form on v5e at (256, 1M, 768) — XLA
     # fuses the transpose either way (BENCH_NOTES.md 2026-08-17) — but
     # this form states the layout intent directly.
-    # Precision HIGHEST: the TPU default lowers f32 matmuls to bf16
-    # passes, whose ~2e-4 score error reorders near-ties (measured 3.3%
-    # of top-8 ids flipped at 131k random rows, 2026-08-17) — this store
-    # advertises EXACT search, and the scan is top_k-bound anyway.
-    return jax.lax.dot_general(queries, corpus, (((1,), (1,)), ((), ())),
-                               precision=jax.lax.Precision.HIGHEST)
+    # Matmul precision stays at the platform default ON PURPOSE
+    # (measured 2026-08-17, BENCH_NOTES.md): TPU default (bf16x3-class,
+    # ~2.4e-4 cosine-score error) flips ~3% of top-8 ids among genuine
+    # near-ties (within 2.4e-4) at 131k random rows — semantically
+    # irrelevant for retrieval — while Precision.HIGHEST made the
+    # (64, 131k, 768) dot+top_k COMPILE exceed 480 s on this backend
+    # (pathological lowering; don't retry). "Exact" here means no ANN
+    # approximation; scores carry f32-accumulated default-matmul
+    # precision. CPU runs pin highest via test config and are bitwise
+    # against numpy.
+    return jax.lax.dot_general(queries, corpus, (((1,), (1,)), ((), ())))
 
 
 def _scores(queries, corpus, metric: str):
