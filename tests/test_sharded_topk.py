@@ -161,6 +161,32 @@ def test_collection_sharded_int8(rng, mesh):
     assert got["ids"] == expected["ids"]
 
 
+def test_collection_sharded_after_disk_roundtrip(rng, mesh, tmp_path):
+    """shard_device composes with persistence: flush, reload from disk,
+    shard the reloaded collection, same answers."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    client = PersistentClient(str(tmp_path / "db"), autoflush=False)
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine"})
+    emb = rng.normal(size=(40, 16)).astype(np.float32)
+    col.upsert([f"id{i}" for i in range(40)], emb)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    expected = col.query(q, n_results=5)["ids"]
+    quant = client.get_or_create_collection(
+        "cq", metadata={"hnsw:space": "cosine",
+                        "vrt:device_quant": "int8"})
+    quant.upsert(["a"], emb[:1])
+    client.flush()
+
+    reloaded = PersistentClient(str(tmp_path / "db"))
+    col2 = reloaded.get_collection("c")
+    col2.shard_device(mesh)
+    assert col2.query(q, n_results=5)["ids"] == expected
+    # device_quant round-trips through config.json
+    assert reloaded.get_collection("cq").device_quant == "int8"
+
+
 def test_collection_sharded_survives_upsert(rng, mesh):
     col, _ = _mk_collection(rng, "cosine")
     col.shard_device(mesh)
