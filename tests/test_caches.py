@@ -1,6 +1,6 @@
 """Retrieval caches: greedy diversity, bin cache, stage-2 branches."""
 
-from collections import Counter
+from collections import Counter, defaultdict
 
 import numpy as np
 
@@ -74,6 +74,62 @@ def test_greedy_select_constraints():
         cands, 10, gc2, max_per_video=2, max_global_appearances=5,
         min_time_gap=0.05)
     assert kept2 == []
+
+
+def test_greedy_backfill_carries_constraint_state():
+    """A backfill call continuing a selection must honor the per-video
+    caps / time gaps against the already-kept picks (shared state)."""
+    cands = [{"sig": ("a", i), "vid": 7, "t_center": 0.5 + i * 1e-4,
+              "base_score": -float(i), "label": 1, "emb": np.zeros(4),
+              "side": "left"} for i in range(6)]
+    gc = Counter()
+    state = dict(video_counts={}, video_times=defaultdict(list))
+    first = CB.greedy_select_candidates(
+        cands, 1, gc, max_per_video=1, max_global_appearances=9,
+        min_time_gap=0.01, **state)
+    assert len(first) == 1
+    # Same vid (cap 1) and within min_time_gap of the kept pick: with
+    # carried state the backfill must return nothing.
+    again = CB.greedy_select_candidates(
+        [c for c in cands if c["sig"] != first[0]["sig"]], 2, gc,
+        max_per_video=1, max_global_appearances=9, min_time_gap=0.01,
+        **state)
+    assert again == []
+
+
+def test_hard_negative_ratio_zero_disables_negatives():
+    chunks, col = build_world()
+    cache = CB.build_bin_cache(
+        chunks, embed_anchor, col, train_vids=[1, 2, 3],
+        candidates_per_bin=6, query_mult=20, max_per_video=10,
+        max_global_appearances=50, min_time_gap=0.0,
+        hard_negative_ratio=0.0, delta_t=0.5, seed=0)
+    any_rows = False
+    for pool in cache.values():
+        if len(pool["label"]):
+            any_rows = True
+            assert not pool["is_hard_negative"].any()
+    assert any_rows
+
+
+def test_stage2_diff_branch_excludes_unlabeled():
+    from vit_research_tpu.retrieval.cache_stage2 import _select_branch
+
+    q_meta = {"vid": 1, "clip": 0, "side": "left", "label": 1,
+              "t_center": 0.5, "start_idx": 0}
+    cands = []
+    for i, lbl in enumerate([0, -1, 1]):
+        m = {"vid_num": 2 + i, "clip_num": 5, "side": "left",
+             "t_center": 0.3, "start_idx": 8}
+        if i != 1:
+            m["label"] = lbl
+        # i == 1 has NO label key at all (unlabeled candidate).
+        cands.append({"emb": np.full(4, float(i + 1), np.float32),
+                      "meta": m})
+    embs, metas = _select_branch(cands, q_meta, want="diff", k=3, dim=4)
+    # Only the label-0 candidate qualifies; unlabeled and same-label don't.
+    assert (embs[0] == 1.0).all()
+    assert (embs[1:] == 0.0).all()
 
 
 def embed_anchor(ch):

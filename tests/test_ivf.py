@@ -189,6 +189,19 @@ def test_collection_switches_to_ivf_above_threshold(monkeypatch):
     assert col._ivf is None
 
 
+def test_device_quant_takes_precedence_over_ivf(monkeypatch):
+    """device_quant exists to keep huge corpora on the exact int8 device
+    path; crossing ivf_threshold must not silently reroute unfiltered
+    queries to approximate IVF."""
+    monkeypatch.setattr(Collection, "ivf_threshold", 1_000)
+    col = Collection("bigq", space="cosine", device_quant="int8")
+    x = clustered(1_200, seed=5)
+    col.upsert([f"v{i}" for i in range(len(x))], x)
+    res = col.query(x[:4] + 0.01, n_results=3)
+    assert col._ivf is None  # IVF never engaged
+    assert [r[0] for r in res["ids"]] == [f"v{i}" for i in range(4)]
+
+
 def test_collection_ivf_distances_are_cosine():
     col = Collection("c", space="cosine")
     col.ivf_threshold = 100

@@ -103,6 +103,44 @@ def test_view_refresh_after_upsert():
     assert cos > 0.999
 
 
+def test_view_refresh_after_inplace_update():
+    """Re-upserting an EXISTING id replaces its row in place — neither
+    count() nor the array object changes — and the retriever must still
+    see the new vector (mutation-counter versioning)."""
+    col, emb, metas = build_collection(n=16)
+    ret = FrameRetriever(col, top_k=1)
+    q = np.random.default_rng(6).normal(size=(1, 32)).astype(np.float32)
+    md = metadata_for([9], ["left"], [0.5], [1.0])
+    _ = ret(q, md)  # snapshot taken
+    target = (q[0] / np.linalg.norm(q[0])).astype(np.float32)
+    # Overwrite an existing row (id e0: side left, t_norm 0.0 -> move it
+    # into the window too).
+    col.upsert(["e0"], target[None],
+               [{"vid_num": 0, "side": "left", "t_norm": 0.5,
+                 "clip_num": 0}])
+    out = ret(q, md)
+    assert out[0, 0] @ target > 0.999
+
+
+def test_l2_collection_ranks_by_l2():
+    """Retrievers honor the collection's space: on an l2 collection the
+    nearest row by L2 wins even when a farther row has higher cosine."""
+    col = Collection("frames", space="l2")
+    d = 8
+    q = np.zeros((1, d), np.float32)
+    q[0, 0] = 1.0
+    # row A: same direction as q but huge norm -> cosine 1.0, L2 far.
+    a = np.zeros(d, np.float32); a[0] = 50.0
+    # row B: different direction, small -> lower cosine, L2 near.
+    b = np.zeros(d, np.float32); b[0] = 0.9; b[1] = 0.5
+    meta = {"vid_num": 1, "side": "left", "t_norm": 0.5, "clip_num": 0}
+    col.upsert(["a", "b"], np.stack([a, b]), [dict(meta), dict(meta)])
+    out = FrameRetriever(col, top_k=1)(q, metadata_for(
+        [9], ["left"], [0.5], [1.0]))
+    bn = b / np.linalg.norm(b)
+    assert out[0, 0] @ bn > 0.999  # L2-nearest (b), not cosine-nearest (a)
+
+
 def test_empty_collection():
     col = Collection("ragdb", space="cosine")
     ret = RattChunkRetriever(col, top_k=3)

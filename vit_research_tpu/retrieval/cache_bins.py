@@ -22,10 +22,12 @@ All randomness is seeded (the reference used the global RNG).
 
 from __future__ import annotations
 
-import pickle
 from collections import Counter, defaultdict
 
 import numpy as np
+
+from vit_research_tpu.retrieval.cache_io import (load_cache,  # noqa: F401
+                                                 save_cache)
 
 KEY_PRECISION = 5
 
@@ -41,13 +43,20 @@ def make_key(vid, side, t_center) -> tuple:
 def greedy_select_candidates(candidates, k, global_counts, *,
                              max_per_video: int, max_global_appearances: int,
                              min_time_gap: float,
-                             lambda_global: float = 0.5) -> list:
+                             lambda_global: float = 0.5,
+                             video_counts: dict | None = None,
+                             video_times=None) -> list:
     """Pick up to k candidates maximizing (base_score - lambda * global
-    frequency) subject to diversity constraints. Mutates global_counts."""
+    frequency) subject to diversity constraints. Mutates global_counts.
+
+    ``video_counts`` / ``video_times`` let a caller carry per-video caps
+    and time-gap state across multiple calls (e.g. a quota backfill must
+    honor the constraints against the already-kept set, not restart
+    them); both are mutated."""
     kept = []
     selected = set()
-    video_counts: dict = {}
-    video_times = defaultdict(list)
+    video_counts = {} if video_counts is None else video_counts
+    video_times = defaultdict(list) if video_times is None else video_times
 
     while len(kept) < k:
         best_idx, best_score = None, -1e18
@@ -177,14 +186,23 @@ def build_bin_cache(all_chunks, embed_anchor_fn, collection, *,
         neg = [x for x in candidates
                if x["label"] not in (-1, anchor_label)]
 
-        c_neg = max(1, int(round(c * hard_negative_ratio)))
+        # hard_negative_ratio=0.0 must actually disable hard negatives;
+        # reserve the minimum one slot only for a positive ratio.
+        c_neg = int(round(c * hard_negative_ratio))
+        if hard_negative_ratio > 0:
+            c_neg = max(1, c_neg)
         c_neg = min(c_neg, c - 1) if c > 1 else 0
         c_pos = c - c_neg
         sel = dict(global_counts=global_counts, max_per_video=max_per_video,
                    max_global_appearances=max_global_appearances,
                    min_time_gap=min_time_gap, lambda_global=lambda_global)
-        kept_pos = greedy_select_candidates(pos, c_pos, **sel)
-        kept_neg = greedy_select_candidates(neg, c_neg, **sel)
+        # Per-pool diversity state persists into the backfill calls so a
+        # backfilled pick still honors the caps/time gaps against what
+        # that pool already kept.
+        pos_state = dict(video_counts={}, video_times=defaultdict(list))
+        neg_state = dict(video_counts={}, video_times=defaultdict(list))
+        kept_pos = greedy_select_candidates(pos, c_pos, **sel, **pos_state)
+        kept_neg = greedy_select_candidates(neg, c_neg, **sel, **neg_state)
 
         # Backfill underfilled quotas from the other pool.
         total_kept = len(kept_pos) + len(kept_neg)
@@ -192,14 +210,14 @@ def build_bin_cache(all_chunks, embed_anchor_fn, collection, *,
             used = {x["sig"] for x in kept_pos + kept_neg}
             extra_pos = greedy_select_candidates(
                 [x for x in pos if x["sig"] not in used],
-                c - total_kept, **sel)
+                c - total_kept, **sel, **pos_state)
             kept_pos += extra_pos
             used.update(x["sig"] for x in extra_pos)
             total_kept = len(kept_pos) + len(kept_neg)
             if total_kept < c:
                 kept_neg += greedy_select_candidates(
                     [x for x in neg if x["sig"] not in used],
-                    c - total_kept, **sel)
+                    c - total_kept, **sel, **neg_state)
 
         kept = kept_pos + kept_neg
         flags = [0] * len(kept_pos) + [1] * len(kept_neg)
@@ -257,11 +275,4 @@ def get_retrieval_cache(metadata, cache, *, top_k: int, delta_t: float = 0.1,
     return retrieved, out_labels, out_neg
 
 
-def save_cache(cache: dict, path: str) -> None:
-    with open(path, "wb") as f:
-        pickle.dump(cache, f)
 
-
-def load_cache(path: str) -> dict:
-    with open(path, "rb") as f:
-        return pickle.load(f)

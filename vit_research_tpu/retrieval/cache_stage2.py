@@ -18,9 +18,11 @@ Equivalent of the reference's stage-2 cache
 
 from __future__ import annotations
 
-import pickle
 
 import numpy as np
+
+from vit_research_tpu.retrieval.cache_io import (load_cache,  # noqa: F401
+                                                 save_cache)
 
 PAD_META = {
     "label": -1, "side": "PAD", "vid": -1, "clip": -1,
@@ -92,7 +94,10 @@ def _select_branch(candidates, query_meta, *, want, k, dim):
         lbl = int(m.get("label", -1))
         if want == "same" and lbl != q_label:
             continue
-        if want == "diff" and lbl == q_label:
+        if want == "diff" and (lbl == q_label or lbl < 0):
+            # Unlabeled candidates (label -1 / missing metadata) are NOT
+            # hard negatives — their label is unknown, not different
+            # (cache_bins applies the same exclusion to its neg pool).
             continue
         items.append(cand)
         seen.add(sig)
@@ -229,11 +234,4 @@ def _stack_entries(entries) -> dict:
     }
 
 
-def save_cache(cache: dict, path: str) -> None:
-    with open(path, "wb") as f:
-        pickle.dump(cache, f)
 
-
-def load_cache(path: str) -> dict:
-    with open(path, "rb") as f:
-        return pickle.load(f)

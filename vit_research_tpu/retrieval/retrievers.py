@@ -27,10 +27,15 @@ from vit_research_tpu.ops.topk import masked_topk  # noqa: F401 (re-export)
 
 
 @functools.partial(
-    __import__("jax").jit, static_argnames=("k",))
+    __import__("jax").jit, static_argnames=("k", "metric"))
 def _masked_query(q, corpus, c_vids, c_sides, c_times, q_vids, q_sides,
-                  t_min, t_max, *, k: int):
-    """Metadata mask built in-graph: only the (B,) query columns upload."""
+                  t_min, t_max, *, k: int, metric: str = "ip"):
+    """Metadata mask built in-graph: only the (B,) query columns upload.
+
+    ``metric`` follows the collection's space: 'ip' (dot over the
+    pre-normalized corpus) for cosine collections, negated squared L2
+    over the raw corpus for l2 collections — so ranking matches what the
+    reference's Chroma space would return for the same collection."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -40,7 +45,13 @@ def _masked_query(q, corpus, c_vids, c_sides, c_times, q_vids, q_sides,
         & (c_times[None, :] >= t_min[:, None])
         & (c_times[None, :] <= t_max[:, None])
     )
-    s = q.astype(jnp.float32) @ corpus.T
+    q = q.astype(jnp.float32)
+    if metric == "l2":
+        q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+        c2 = jnp.sum(corpus * corpus, axis=-1)
+        s = -(q2 - 2.0 * (q @ corpus.T) + c2[None, :])
+    else:
+        s = q @ corpus.T
     s = jnp.where(mask, s, -1e30)
     return lax.top_k(s, k)
 
@@ -73,9 +84,11 @@ class _StoreView:
     def refresh(self):
         col = self.collection
         n = col.count()
-        # Collections mutate between epochs (db_rebuild); re-snapshot when
-        # the underlying arrays changed.
-        version = (n, id(col._embeddings))
+        # Collections mutate between epochs (db_rebuild); re-snapshot
+        # when anything changed. Keyed on the collection's mutation
+        # counter — (count, array id) misses in-place same-id upserts,
+        # which replace rows without changing either.
+        version = col._mutations
         if version == self._version:
             return
         self._version = version
@@ -87,7 +100,14 @@ class _StoreView:
         # (B, N) bool mask per call dominates at 100k-vector scale).
         import jax.numpy as jnp
 
-        self.normalized_dev = jnp.asarray(self.normalized)
+        # Ranking follows the collection's space: l2 collections rank by
+        # true L2 over the raw rows (reference hnsw:space semantics),
+        # cosine/ip by dot over the normalized rows. Returned vectors
+        # are L2-normalized either way (reference contract).
+        self.metric = "l2" if col.space == "l2" else "ip"
+        self.rank_dev = jnp.asarray(
+            self.embeddings.astype(np.float32) if self.metric == "l2"
+            else self.normalized)
         if n:
             self.vids = np.asarray(
                 [int(v) for v in col._column("vid_num")], np.int64)
@@ -138,9 +158,9 @@ class _BatchedRetriever:
         side_ids = np.asarray([view.side_ids.get(s, -1) for s in sides],
                               np.int32)
         scores, idx = _masked_query(
-            q, view.normalized_dev, view.vids_dev, view.sides_dev,
+            q, view.rank_dev, view.vids_dev, view.sides_dev,
             view.times_dev, vids.astype(np.int32), side_ids, t_min, t_max,
-            k=min(self.top_k, n))
+            k=min(self.top_k, n), metric=view.metric)
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         valid = scores > -1e29

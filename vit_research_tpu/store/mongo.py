@@ -8,13 +8,19 @@ persistence layer.
 
 from __future__ import annotations
 
+_clients: dict = {}
+
 
 def get_client(uri: str = "mongodb://localhost:27017/"):
+    """One cached MongoClient per uri — each client owns a connection
+    pool and monitor threads, so per-call construction leaks both."""
     try:
         from pymongo import MongoClient
     except ImportError:
         return None
-    return MongoClient(uri)
+    if uri not in _clients:
+        _clients[uri] = MongoClient(uri)
+    return _clients[uri]
 
 
 def insert_one(collection_name: str, doc: dict, *, db_name: str = "nba",

@@ -134,6 +134,7 @@ class Collection:
         # per-row scales) when device_quant == "int8".
         self._device_cache = None
         self._dirty = False
+        self._mutations = 0  # bumped by _invalidate; snapshot cache key
         self._lock = threading.RLock()
         # Append-log state: ids touched / removed since the last flush,
         # the on-disk segment list, and how many logged rows the segments
@@ -409,6 +410,10 @@ class Collection:
         self._columns = {}
         self._device_cache = None
         self._dirty = True
+        # Monotone mutation counter: snapshot consumers (the retrievers'
+        # _StoreView) key their caches on this, NOT on (count, array id) —
+        # an in-place same-id upsert changes neither of those.
+        self._mutations += 1
 
     # --------------------------------------------------------------- reads
 
@@ -589,14 +594,33 @@ class Collection:
                 # always answer there (exact, no IVF approximation).
                 scores, idx = self._query_device(q, mask, k)
             elif (self.ivf_threshold is not None and not where
-                    and self.space == "cosine" and n >= self.ivf_threshold):
+                    and self.space == "cosine"
+                    # device_quant exists precisely to keep huge corpora
+                    # on the exact device path — IVF must not override it.
+                    and self.device_quant is None
+                    and n >= self.ivf_threshold):
                 scores, idx = self._query_ivf(q, k)
             else:
                 use_device = n * q.shape[0] >= 1 << 14
                 if use_device:
                     try:
                         scores, idx = self._query_device(q, mask, k)
-                    except Exception:
+                    except Exception as e:  # noqa: BLE001 - deliberate
+                        # Degrade to the host scan, but never silently:
+                        # at this branch's scale the numpy fallback is
+                        # orders of magnitude slower and can allocate a
+                        # (Q, N) f32 score matrix, so a persistent device
+                        # failure must be visible. Warn once per
+                        # collection.
+                        if not getattr(self, "_device_fail_warned", False):
+                            self._device_fail_warned = True
+                            import warnings
+
+                            warnings.warn(
+                                f"collection {self.name!r}: device query "
+                                f"path failed ({type(e).__name__}: {e}); "
+                                "falling back to host numpy scoring",
+                                RuntimeWarning, stacklevel=2)
                         use_device = False
                 if not use_device:
                     scores, idx = self._query_numpy(q, mask, k)
@@ -655,16 +679,18 @@ class Collection:
                     mesh=self._device_mesh, axis=self._device_axis,
                     metric=metric, n_valid=n)
             return np.asarray(scores), np.asarray(idx)
+        # Same no-mask shortcut as the sharded branch: an unfiltered
+        # query over a 1M-row corpus would otherwise ship ~1 MB of bool
+        # per call (~40 ms over the dev tunnel).
+        m = None if mask.all() else jnp.asarray(mask)[None, :]
         if self.device_quant == "int8":
             corpus_q, corpus_scale = corpus
             qq, qscale = quantize_int8(qd)
             scores, idx = masked_topk_int8(
-                qq, qscale, corpus_q, corpus_scale,
-                jnp.asarray(mask)[None, :], k=k)
+                qq, qscale, corpus_q, corpus_scale, m, k=k)
         else:
             metric = "ip" if self.space == "cosine" else self.space
-            scores, idx = masked_topk(
-                qd, corpus, jnp.asarray(mask)[None, :], k=k, metric=metric)
+            scores, idx = masked_topk(qd, corpus, m, k=k, metric=metric)
         return np.asarray(scores), np.asarray(idx)
 
     def _query_ivf(self, q, k):

@@ -60,6 +60,18 @@ class SwappableCollection:
 
     # retrievers snapshot these internals (retrieval/retrievers._StoreView)
     @property
+    def space(self):
+        return self.active.space
+
+    @property
+    def _mutations(self):
+        # The snapshot version must change on swap() even if both
+        # collections happen to share a counter value — pair the counter
+        # with the active object's identity.
+        active = self.active
+        return (id(active), active._mutations)
+
+    @property
     def _embeddings(self):
         return self.active._embeddings
 
