@@ -82,6 +82,33 @@ def test_enricher_deterministic_and_side_sensitive():
     assert np.abs(a - d).max() > 1e-3
 
 
+def test_enriched_ragdb_write_is_batch_size_invariant():
+    """The frame-index normalizer is corpus-level, so the same frame gets
+    the same enriched embedding no matter how the write was batched."""
+    from vit_research_tpu.db.builders import write_frame_ragdb
+    from vit_research_tpu.store.vector_store import Collection
+
+    samples = [{"pth": f"vid1_frame_{i + 1}.jpg", "side": "left",
+                "t_norm": i / 10.0, "clip_num": 0, "vid_num": 1}
+               for i in range(10)]
+    rng = np.random.default_rng(0)
+    table = {s["pth"]: rng.normal(size=D).astype(np.float32)
+             for s in samples}
+
+    def embed(paths):
+        return np.stack([table[p] for p in paths])
+
+    enr = Enricher(base_dim=D, enrich_dim=8, side_dim=8, hidden=D, seed=0)
+    outs = []
+    for bs in (3, 10):
+        col = Collection("ragdb", space="cosine")
+        write_frame_ragdb(samples, embed, col, enricher=enr, batch_size=bs)
+        got = col.get(ids=[s["pth"] for s in samples],
+                      include=("embeddings",))
+        outs.append(np.asarray(got["embeddings"]))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+
 def test_chunk_stats_numpy_jax_agree():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(3, 8, D)).astype(np.float32)

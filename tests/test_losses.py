@@ -112,6 +112,30 @@ def test_two_phase_schedule_and_optimizer():
     assert float(jnp.abs(updates["w"]).sum()) > 0
 
 
+def test_phase2_lr_engages_under_accumulation():
+    """The phase boundary must be expressed in accumulated-update units:
+    MultiSteps advances the inner schedule once per accum cycle, so a
+    micro-step boundary would never be reached (the original bug trained
+    entire runs at lr_phase1)."""
+    cfg = TrainConfig(accum_steps=4, num_epochs=2, lr_phase1=1e-3,
+                      lr_phase2=1e-5, phase_split=0.5)
+    steps_per_epoch = 20  # micro-batches: 40 total -> 10 updates, b'dry 5
+    tx = make_optimizer(cfg, steps_per_epoch)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    cycle_deltas = []
+    for micro in range(40):
+        updates, state = tx.update(g, state, params)
+        delta = float(jnp.abs(updates["w"]).max())
+        if delta > 0:  # the applying micro-step of each accum cycle
+            cycle_deltas.append(delta)
+    assert len(cycle_deltas) == 10
+    # Adam step magnitude tracks the lr: phase 1 ~1e-3, phase 2 ~1e-5.
+    assert all(d > 3e-4 for d in cycle_deltas[:5]), cycle_deltas
+    assert all(d < 3e-5 for d in cycle_deltas[5:]), cycle_deltas
+
+
 def test_checkpoint_roundtrip(tmp_path):
     state = {"params": {"w": jnp.arange(6.0).reshape(2, 3)},
              "step": jnp.asarray(3)}

@@ -33,12 +33,10 @@ def test_train_rag_with_async_rebuild():
     sw = SwappableCollection(base)
     retriever = FrameRetriever(sw, top_k=4)
 
-    project_holder = {}
-
-    def rebuild(shadow):
-        # Re-embed all chunks through the *current* projection — the
-        # reference's db_rebuild with the trained ProjectionHead.
-        proj = project_holder["fn"]
+    def rebuild(shadow, project_fn):
+        # Re-embed all chunks through the *current* projection — passed
+        # live by train_rag's kick(project_np) — the reference's
+        # db_rebuild with the trained ProjectionHead.
         samples = [{
             "pth": f"v{c['vid']}c{c['clip']}s{c['start_idx']}",
             "side": c["side"], "t_norm": c["t_center"],
@@ -52,7 +50,7 @@ def test_train_rag_with_async_rebuild():
             by_id = {s["pth"]: c for s, c in zip(samples, chunks)}
             return chunk_embed_fn([by_id[p] for p in paths])
 
-        write_frame_ragdb(samples, embed, shadow, project_fn=proj,
+        write_frame_ragdb(samples, embed, shadow, project_fn=project_fn,
                           batch_size=32)
 
     sched = RebuildScheduler(
@@ -60,27 +58,6 @@ def test_train_rag_with_async_rebuild():
 
     cfg = ExperimentConfig(name="rag", head=HEAD, train=TRAIN,
                            retrieval=RetrievalConfig(top_k=4))
-
-    # train_rag passes project_np to rebuild_fn in sync mode; for async we
-    # capture it via a wrapper scheduler kick.
-    orig_kick = sched.kick
-
-    def kick_with_proj():
-        return orig_kick()
-
-    sched.kick = kick_with_proj
-
-    # Provide the projection through the holder before the first kick: we
-    # grab it by wrapping maybe_swap-time state. Simpler: run one tiny
-    # pre-pass to build project_holder via rebuild_fn path.
-    def capture_project(project_np):
-        project_holder["fn"] = project_np
-
-    # First capture the projection synchronously, then train async.
-    params, history = train_rag(
-        train, val, chunk_embed_fn, retriever, cfg=cfg,
-        rebuild_fn=capture_project)
-    assert "fn" in project_holder
 
     params, history = train_rag(
         train, val, chunk_embed_fn, retriever, cfg=cfg,

@@ -49,6 +49,15 @@ def write_frame_ragdb(samples, embed_fn, collection, *, enricher=None,
       project_fn: optional callable (e.g. trained ProjectionHead apply).
     Returns number of rows upserted."""
     total = 0
+    max_frame_idx = None
+    if enricher is not None:
+        from vit_research_tpu.data import naming
+
+        # Corpus-level normalizer, computed ONCE: the index encoding must
+        # not depend on how the write is batched (db/enrich.py).
+        all_idx = [naming.frame_num(s["pth"].rsplit("/", 1)[-1])
+                   for s in samples]
+        max_frame_idx = max(all_idx) if all_idx else 1
     for _, batch in _batched(samples, batch_size):
         paths = [s["pth"] for s in batch]
         embs = np.asarray(embed_fn(paths), np.float32)
@@ -58,7 +67,8 @@ def write_frame_ragdb(samples, embed_fn, collection, *, enricher=None,
             frame_idx = [naming.frame_num(p.rsplit("/", 1)[-1])
                          for p in paths]
             embs = enricher(embs, [s["t_norm"] for s in batch],
-                            [s["side"] for s in batch], frame_idx)
+                            [s["side"] for s in batch], frame_idx,
+                            max_frame_idx=max_frame_idx)
         if project_fn is not None:
             embs = np.asarray(project_fn(embs), np.float32)
         metas = [{

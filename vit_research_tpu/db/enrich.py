@@ -51,11 +51,23 @@ class Enricher:
         t = np.asarray(idx, np.float64)[..., None] / max(total_frames, 1)
         return np.cos(2 * np.pi * self.index_freqs * t)
 
-    def __call__(self, base_embs, t_norms, sides, frame_indices) -> np.ndarray:
-        """(B, 768) base + metadata -> (B, HIDDEN) enriched embeddings."""
+    def __call__(self, base_embs, t_norms, sides, frame_indices,
+                 max_frame_idx: int | None = None) -> np.ndarray:
+        """(B, 768) base + metadata -> (B, HIDDEN) enriched embeddings.
+
+        ``max_frame_idx`` is the corpus-level frame-index normalizer;
+        callers that write in batches MUST pass it (db/builders computes
+        it once over all samples) or the same frame's encoding would
+        depend on how the write was batched — breaking the 'same seed =>
+        same enrichment space' reproducibility contract. Defaults to the
+        per-call max (the reference's per-call behavior,
+        nba_proj/write_clips_to_ragdb.py:156-224) for single-shot use.
+        """
         base = np.asarray(base_embs, np.float64)
         b = base.shape[0]
-        max_idx = int(np.max(frame_indices)) if len(frame_indices) else 1
+        max_idx = (int(max_frame_idx) if max_frame_idx
+                   else (int(np.max(frame_indices)) if len(frame_indices)
+                         else 1))
         w0, w1, w2, w3 = WEIGHTS
         concat = np.concatenate([
             w0 * base,

@@ -32,6 +32,7 @@ class SwappableCollection:
     def __init__(self, collection):
         self._active = collection
         self._lock = threading.Lock()
+        self._swap_gen = 0  # snapshot-version component; see _mutations
 
     @property
     def active(self):
@@ -41,6 +42,7 @@ class SwappableCollection:
     def swap(self, new_collection) -> None:
         with self._lock:
             self._active = new_collection
+            self._swap_gen += 1
 
     # -- retriever surface -------------------------------------------------
     def query(self, *a, **k):
@@ -65,11 +67,11 @@ class SwappableCollection:
 
     @property
     def _mutations(self):
-        # The snapshot version must change on swap() even if both
-        # collections happen to share a counter value — pair the counter
-        # with the active object's identity.
-        active = self.active
-        return (id(active), active._mutations)
+        # The snapshot version must change on swap() even if the two
+        # collections share a counter value. A monotone swap generation
+        # (NOT id(active) — CPython reuses ids after GC) guarantees it.
+        with self._lock:
+            return (self._swap_gen, self._active._mutations)
 
     @property
     def _embeddings(self):
@@ -77,10 +79,6 @@ class SwappableCollection:
 
     def _column(self, field):
         return self.active._column(field)
-
-    @property
-    def space(self):
-        return self.active.space
 
 
 class RebuildScheduler:
@@ -103,8 +101,13 @@ class RebuildScheduler:
         self._lock = threading.Lock()
         self.swaps = 0
 
-    def kick(self) -> bool:
-        """Start a rebuild if none is in flight. Returns True if started."""
+    def kick(self, *args) -> bool:
+        """Start a rebuild if none is in flight. Returns True if started.
+
+        Extra ``args`` are forwarded to ``rebuild_fn(shadow, *args)`` —
+        the training loop passes its CURRENT projection so the rebuild
+        embeds with the live weights, not the ones from scheduler
+        construction time."""
         with self._lock:
             if self._thread is not None and self._thread.is_alive():
                 return False
@@ -112,7 +115,7 @@ class RebuildScheduler:
 
             def work():
                 try:
-                    self.rebuild_fn(shadow)
+                    self.rebuild_fn(shadow, *args)
                     with self._lock:
                         self._ready = shadow
                 except Exception:  # surfaced at the next maybe_swap
@@ -123,12 +126,19 @@ class RebuildScheduler:
             self._thread.start()
             return True
 
-    def maybe_swap(self) -> bool:
+    def maybe_swap(self, raise_on_error: bool = True) -> bool:
         """Swap in a completed rebuild (epoch-boundary call). Returns True
-        when a swap happened. Raises if the rebuild thread failed."""
+        when a swap happened. Raises if the rebuild thread failed —
+        pass ``raise_on_error=False`` after training has finished, where
+        a failed auxiliary DB write must not discard the trained state
+        (the error is printed instead)."""
         with self._lock:
             if self._error is not None:
                 err, self._error = self._error, None
+                if not raise_on_error:
+                    print(f"[async_rebuild] final rebuild failed "
+                          f"(ignored):\n{err}")
+                    return False
                 raise RuntimeError(f"async rebuild failed:\n{err}")
             if self._ready is None:
                 return False

@@ -124,8 +124,15 @@ class CheckpointManager:
     def restore_best(self, template: Any = None) -> Any:
         best = os.path.join(self.dir, "best.json")
         if os.path.exists(best):
-            with open(best) as f:
-                return self.restore(json.load(f)["step"], template)
+            try:
+                with open(best) as f:
+                    step = json.load(f)["step"]
+            except (ValueError, KeyError):
+                # Torn write from a crash (same tolerance as __init__):
+                # fall back to the latest checkpoint.
+                step = None
+            if step is not None:
+                return self.restore(step, template)
         return self.restore(template=template)
 
     def latest_step(self) -> int | None:

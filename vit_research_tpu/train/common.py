@@ -68,11 +68,26 @@ def chunk_metadata_batch(batch_chunks) -> dict:
 def batch_iterator(items, batch_size: int, *, shuffle: bool = True,
                    seed: int = 0, drop_remainder: bool = True):
     """Seeded-shuffle batch iterator (reference: seeded dataset shuffle,
-    nba_proj/dataset.py:460; drop_remainder keeps shapes static for jit)."""
+    nba_proj/dataset.py:460; drop_remainder keeps shapes static for jit).
+
+    Note: without drop_remainder the LAST batch can be ragged, which
+    costs one extra jit compile per distinct tail size — acceptable for
+    validation (the tail shape is stable across epochs), never used for
+    training."""
     idx = np.arange(len(items))
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
     end = len(idx) - (len(idx) % batch_size) if drop_remainder else len(idx)
+    if items and end == 0:
+        # A dataset smaller than one batch would otherwise "train" for
+        # zero steps per epoch while still validating and checkpointing
+        # — a complete-looking run that never optimized.
+        import warnings
+
+        warnings.warn(
+            f"batch_iterator: {len(items)} items < batch_size="
+            f"{batch_size} with drop_remainder — yielding NO batches",
+            RuntimeWarning, stacklevel=2)
     for start in range(0, end, batch_size):
         yield [items[i] for i in idx[start:start + batch_size]]
 

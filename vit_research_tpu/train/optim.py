@@ -26,9 +26,17 @@ def two_phase_schedule(lr1: float, lr2: float, total_steps: int,
 
 
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
-    """Adam + clip + two-phase LR + accumulation, from one TrainConfig."""
+    """Adam + clip + two-phase LR + accumulation, from one TrainConfig.
+
+    ``steps_per_epoch`` is in MICRO-batches (what the training loop
+    iterates); with accumulation the inner schedule only advances once
+    per ``accum_steps`` micro-steps (optax.MultiSteps), so the phase
+    boundary is converted to accumulated-update units — otherwise the
+    phase-2 LR would never engage (the count ends at total/accum)."""
     total = max(cfg.num_epochs * steps_per_epoch, 1)
-    sched = two_phase_schedule(cfg.lr_phase1, cfg.lr_phase2, total,
+    accum = cfg.accum_steps if cfg.accum_steps and cfg.accum_steps > 1 else 1
+    total_updates = max(total // accum, 1)
+    sched = two_phase_schedule(cfg.lr_phase1, cfg.lr_phase2, total_updates,
                                cfg.phase_split)
     chain = [optax.clip_by_global_norm(cfg.grad_clip_norm)] \
         if cfg.grad_clip_norm else []

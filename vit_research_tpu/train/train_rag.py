@@ -192,13 +192,17 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
             if swapped and verbose:
                 print(f"epoch {epoch}: swapped in async DB rebuild")
             if t.rebuild_every and (epoch + 1) % t.rebuild_every == 0:
-                rebuild_scheduler.kick()
+                # Forward the LIVE projection: the scheduler's rebuild_fn
+                # signature is (shadow, project_fn).
+                rebuild_scheduler.kick(project_np)
         elif rebuild_fn is not None and t.rebuild_every and \
                 (epoch + 1) % t.rebuild_every == 0:
             rebuild_fn(project_np)
     if rebuild_scheduler is not None:
         rebuild_scheduler.wait()
-        rebuild_scheduler.maybe_swap()
+        # Training is done — a failed final rebuild must not raise past
+        # the trained params.
+        rebuild_scheduler.maybe_swap(raise_on_error=False)
     return state.params, history
 
 
