@@ -146,3 +146,39 @@ def test_temporal_head_and_masked_ce():
     # All-ignored is finite (no NaN division).
     loss2 = masked_cross_entropy(logits, -jnp.ones((1, 20), jnp.int32))
     assert float(loss2) == 0.0
+
+
+def test_chunk_encoder_rejects_over_length_chunks():
+    from vit_research_tpu.utils.configs import ChunkEncoderConfig
+
+    cfg = ChunkEncoderConfig(embed_dim=16, mlp_dim=32, max_len=4,
+                             num_layers=1, num_heads=2)
+    model = ChunkEncoder(cfg)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_len"):
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 6, 16)))
+
+
+def test_attention_dropout_applies_even_with_pallas_enabled():
+    """use_pallas routes to a kernel without dropout support; training
+    with attention dropout must fall back to the XLA path so the
+    regularization is actually applied (outputs vary across rng keys)."""
+    from vit_research_tpu.models.vit import MultiHeadSelfAttention
+
+    m = MultiHeadSelfAttention(num_heads=2, dropout_rate=0.9,
+                               use_pallas=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 16)),
+                    jnp.float32)
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    outs = []
+    for i in (1, 2):
+        o, _ = m.apply(params, x, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(i)})
+        outs.append(np.asarray(o))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-4
+    # Inference stays deterministic and dropout-free.
+    o1, _ = m.apply(params, x, train=False)
+    o2, _ = m.apply(params, x, train=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))

@@ -23,6 +23,25 @@ def test_pallas_attention_matches_xla():
     assert float(np.abs(np.asarray(got) - np.asarray(ref)).mean()) < 3e-4
 
 
+def test_pallas_attention_interpret_is_differentiable():
+    """interpret=True must route through the custom_vjp wrapper (XLA
+    backward) — CPU CI exercises the kernel's gradient wiring."""
+    rng = np.random.default_rng(1)
+    b, h, t, d = 1, 2, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+
+    def f(q):
+        return A.multi_head_attention(q, k, v, use_pallas=True,
+                                      interpret=True).sum()
+
+    g = jax.grad(f)(q)
+    g_ref = jax.grad(lambda q: A.xla_attention(q, k, v).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=3e-3, rtol=0)
+
+
 def test_pallas_attention_padding_independence():
     # t=197 pads to 256 inside the kernel; padded keys must not leak.
     rng = np.random.default_rng(1)

@@ -99,6 +99,19 @@ def test_preplaced_padded_corpus_needs_n_valid(rng, mesh):
     assert (np.asarray(i) < n).all()
 
 
+def test_broadcastable_column_mask_matches_flat(rng, mesh):
+    """A (Q, 1) mask is broadcastable to (Q, N) under the flat contract;
+    the sharded path must broadcast it, not pad it with False."""
+    q = rng.normal(size=(3, 8)).astype(np.float32)
+    c = rng.normal(size=(16, 8)).astype(np.float32)
+    mask = np.ones((3, 1), bool)
+    mask[1, 0] = False  # query 1 sees nothing
+    _flat_vs_sharded(q, c, mask, 4, "ip", mesh)
+    with pytest.raises(ValueError, match="columns"):
+        sharded_masked_topk(q, c, np.ones((3, 7), bool), k=4, mesh=mesh,
+                            metric="ip")
+
+
 def test_int8_parity(rng, mesh):
     q = rng.normal(size=(5, 32)).astype(np.float32)
     c = rng.normal(size=(50, 32)).astype(np.float32)

@@ -37,12 +37,11 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vit_research_tpu.ops.topk import l2_normalize
+
 from vit_research_tpu.models.vit import EncoderBlock
 from vit_research_tpu.utils.configs import ChunkEncoderConfig, HeadConfig
 
-
-def l2_normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
 
 
 class RetrievalMultiQueryPooler(nn.Module):
@@ -105,6 +104,10 @@ class ChunkEncoder(nn.Module):
             raise ValueError(f"expected dim {c.embed_dim}, got {d}")
         x = frame_embeddings.astype(dtype)
 
+        if t > c.max_len:
+            raise ValueError(
+                f"chunk has {t} frames but ChunkEncoderConfig.max_len is "
+                f"{c.max_len}; raise max_len (the pos table is sized to it)")
         cls = self.param("cls_token", nn.initializers.normal(0.02),
                          (1, 1, c.embed_dim), jnp.float32)
         pos = self.param("pos_embedding", nn.initializers.normal(0.02),

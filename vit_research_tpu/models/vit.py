@@ -76,7 +76,10 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     dropout_rate: float = 0.0
-    use_pallas: bool = True
+    # Default False: XLA measured faster than the Pallas kernel family at
+    # every sequence length this repo uses (CLAUDE.md / BENCH_NOTES.md);
+    # the backbone plumbs ViTConfig.use_flash_attention explicitly.
+    use_pallas: bool = False
     interpret_pallas: bool = False
 
     @nn.compact
@@ -97,7 +100,13 @@ class MultiHeadSelfAttention(nn.Module):
         v = dense("value")(x).transpose(0, 2, 1, 3)
 
         scores = None
-        if output_scores or log_size is not None or not self.use_pallas:
+        # The Pallas kernel has no dropout support — training with
+        # attention dropout must take the XLA path or the regularization
+        # is silently skipped.
+        needs_xla = (output_scores or log_size is not None
+                     or not self.use_pallas
+                     or (train and self.dropout_rate > 0.0))
+        if needs_xla:
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh ** -0.5)
             if log_size is not None:
                 s = s + log_size[:, None, None, :].astype(s.dtype)
@@ -127,7 +136,7 @@ class EncoderBlock(nn.Module):
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.float32
     gelu_approximate: bool = False
-    use_pallas: bool = True
+    use_pallas: bool = False  # see MultiHeadSelfAttention
     interpret_pallas: bool = False
 
     @nn.compact

@@ -27,6 +27,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from vit_research_tpu.ops.common import round_up as _round_up
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,8 +37,6 @@ _Q_BLOCK = 256
 _NEG_INF = -1e30
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def xla_attention(q, k, v, *, scale=None):
@@ -104,16 +104,17 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float, interpret: bool = False):
     return out.reshape(b, h, t_pad, d)[:, :, :t, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pallas_attention(q, k, v, scale):
-    return _pallas_attention_fwd_impl(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pallas_attention(q, k, v, scale, interpret=False):
+    return _pallas_attention_fwd_impl(q, k, v, scale, interpret=interpret)
 
 
-def _pallas_attention_fwd(q, k, v, scale):
-    return _pallas_attention_fwd_impl(q, k, v, scale), (q, k, v)
+def _pallas_attention_fwd(q, k, v, scale, interpret=False):
+    return (_pallas_attention_fwd_impl(q, k, v, scale, interpret=interpret),
+            (q, k, v))
 
 
-def _pallas_attention_bwd(scale, res, g):
+def _pallas_attention_bwd(scale, interpret, res, g):
     q, k, v = res
     _, vjp = jax.vjp(lambda q, k, v: xla_attention(q, k, v, scale=scale), q, k, v)
     return vjp(g)
@@ -143,8 +144,8 @@ def multi_head_attention(q, k, v, *, scale=None, use_pallas: bool = True,
     scale = float(d ** -0.5) if scale is None else float(scale)
     t = q.shape[2]
     if use_pallas and t <= MAX_KV_LEN and (on_tpu() or interpret):
-        if interpret:
-            # Interpreter-mode twin of the production kernel for CPU CI.
-            return _pallas_attention_fwd_impl(q, k, v, scale, interpret=True)
-        return _pallas_attention(q, k, v, scale)
+        # interpret=True is the interpreter-mode twin for CPU CI; it goes
+        # through the same custom_vjp wrapper so gradients work (the
+        # kernel itself has no reverse rule — the vjp falls back to XLA).
+        return _pallas_attention(q, k, v, scale, interpret)
     return xla_attention(q, k, v, scale=scale)

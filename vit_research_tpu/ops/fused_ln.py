@@ -37,15 +37,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from vit_research_tpu.ops.common import (VMEM_BUDGET as _VMEM_BUDGET,
+                                          round_up as _round_up)
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _M_BLOCK = 256
-_VMEM_BUDGET = 6 << 20  # per-weight-block budget, matches ops/patch_embed
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _erf(x):

@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from vit_research_tpu.ops.common import (VMEM_BUDGET as _VMEM_BUDGET,
+                                          round_up as _round_up)
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -29,8 +32,6 @@ from jax.experimental.pallas import tpu as pltpu
 _ROW_BLOCK = 256
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def patchify(images: jax.Array, patch_size: int) -> jax.Array:
@@ -84,7 +85,7 @@ def _pallas_rows_project(rows, w, a_vec, b_vec, bias, out_dtype,
     if n_pad != n:
         rows = jnp.pad(rows, ((0, n_pad - n), (0, 0)))
     # Tile the output dim so the weight block fits VMEM even at K=3072.
-    d_block = d if (k * d * 4) <= (6 << 20) else _round_up(d // 2, 128)
+    d_block = d if (k * d * 4) <= _VMEM_BUDGET else _round_up(d // 2, 128)
     grid = (n_pad // _ROW_BLOCK, pl.cdiv(d, d_block))
     out = pl.pallas_call(
         _kernel,

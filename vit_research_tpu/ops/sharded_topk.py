@@ -58,8 +58,9 @@ def place_sharded(x, mesh: Mesh, axis: str = "data", dim: int = 0):
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
-def _pad_mask(mask, n_padded: int):
-    """Normalize a caller mask to 2-D (1|Q, n_padded), padding columns
+def _pad_mask(mask, n: int, n_padded: int):
+    """Normalize a caller mask (broadcastable to (Q, N), like the flat
+    masked_topk contract) to 2-D (1|Q, n_padded) with padding columns
     False. ``None`` stays ``None`` — padded rows are rejected inside the
     kernel by an index comparison against ``n_valid``, so the unfiltered
     path never materializes (or ships) an all-ones (Q, N) mask."""
@@ -68,17 +69,25 @@ def _pad_mask(mask, n_padded: int):
     m = jnp.asarray(mask, bool)
     if m.ndim == 1:
         m = m[None]
-    if n_padded != m.shape[1]:
+    if m.shape[1] == 1 and n != 1:
+        # Broadcast column masks to full width BEFORE padding; padding a
+        # (Q, 1) mask directly would silently mask out every row but 0.
+        m = jnp.broadcast_to(m, (m.shape[0], n))
+    if m.shape[1] != n:
+        raise ValueError(
+            f"mask has {m.shape[1]} columns; expected 1 or {n}")
+    if n_padded != n:
         m = jnp.concatenate(
-            [m, jnp.zeros((m.shape[0], n_padded - m.shape[1]), bool)],
-            axis=1)
+            [m, jnp.zeros((m.shape[0], n_padded - n), bool)], axis=1)
     return m
 
 
-def _local_topk_merge(s, m, axis: str, k: int, n_valid: int):
+def _local_topk_merge(s, m, axis: str, k: int, n_valid):
     """Mask invalid columns (caller mask + index-based padding-row
     rejection), take the local top-k, then all-gather each shard's
-    winners and re-top-k."""
+    winners and re-top-k. ``n_valid`` is a TRACED scalar so a growing
+    corpus only recompiles when the padded shape changes, not on every
+    row-count change (cold compiles cost minutes over the dev tunnel)."""
     local_n = s.shape[1]
     start = jax.lax.axis_index(axis) * local_n
     valid = start + jnp.arange(local_n) < n_valid
@@ -94,39 +103,39 @@ def _local_topk_merge(s, m, axis: str, k: int, n_valid: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "mesh", "axis", "n_valid"))
-def _sharded_impl(queries, corpus, mask, *, k, metric, mesh, axis, n_valid):
-    def local(q, c, *m):
+                   static_argnames=("k", "metric", "mesh", "axis"))
+def _sharded_impl(queries, corpus, mask, n_valid, *, k, metric, mesh, axis):
+    def local(q, c, nv, *m):
         s = _scores(q.astype(jnp.float32), c.astype(jnp.float32), metric)
-        return _local_topk_merge(s, m[0] if m else None, axis, k, n_valid)
+        return _local_topk_merge(s, m[0] if m else None, axis, k, nv)
 
     mask_spec = () if mask is None else (P(None, axis),)
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(axis, None)) + mask_spec,
+        in_specs=(P(), P(axis, None), P()) + mask_spec,
         out_specs=(P(), P()),
         # all_gather makes every shard's output identical; the static
         # replication checker can't see that through the index math.
-        check_vma=False)(queries, corpus,
+        check_vma=False)(queries, corpus, n_valid,
                          *(() if mask is None else (mask,)))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "mesh", "axis", "n_valid"))
+                   static_argnames=("k", "mesh", "axis"))
 def _sharded_int8_impl(queries_q, queries_scale, corpus_q, corpus_scale,
-                       mask, *, k, mesh, axis, n_valid):
-    def local(qq, qs, cq, cs, *m):
+                       mask, n_valid, *, k, mesh, axis):
+    def local(qq, qs, cq, cs, nv, *m):
         s32 = jax.lax.dot_general(qq, cq, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         s = s32.astype(jnp.float32) * (qs[:, None] * cs[None, :])
-        return _local_topk_merge(s, m[0] if m else None, axis, k, n_valid)
+        return _local_topk_merge(s, m[0] if m else None, axis, k, nv)
 
     mask_spec = () if mask is None else (P(None, axis),)
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis)) + mask_spec,
+        in_specs=(P(), P(), P(axis, None), P(axis), P()) + mask_spec,
         out_specs=(P(), P()), check_vma=False)(
-            queries_q, queries_scale, corpus_q, corpus_scale,
+            queries_q, queries_scale, corpus_q, corpus_scale, n_valid,
             *(() if mask is None else (mask,)))
 
 
@@ -154,9 +163,9 @@ def sharded_masked_topk(queries, corpus, mask=None, *, k: int, mesh: Mesh,
         n = n_valid  # pre-padded corpus: only the first n rows are real
     if n == 0:
         raise ValueError("empty corpus")
-    m = _pad_mask(mask, corpus_p.shape[0])
-    return _sharded_impl(queries, corpus_p, m, k=min(k, n), metric=metric,
-                         mesh=mesh, axis=axis, n_valid=n)
+    m = _pad_mask(mask, n, corpus_p.shape[0])
+    return _sharded_impl(queries, corpus_p, m, jnp.int32(n),
+                         k=min(k, n), metric=metric, mesh=mesh, axis=axis)
 
 
 def sharded_masked_topk_int8(queries_q, queries_scale, corpus_q,
@@ -174,7 +183,7 @@ def sharded_masked_topk_int8(queries_q, queries_scale, corpus_q,
     if n == 0:
         raise ValueError("empty corpus")
     scale_p, _ = pad_corpus(jnp.asarray(corpus_scale), n_dev)
-    m = _pad_mask(mask, corpus_p.shape[0])
+    m = _pad_mask(mask, n, corpus_p.shape[0])
     return _sharded_int8_impl(queries_q, jnp.asarray(queries_scale),
-                              corpus_p, scale_p, m, k=min(k, n),
-                              mesh=mesh, axis=axis, n_valid=n)
+                              corpus_p, scale_p, m, jnp.int32(n),
+                              k=min(k, n), mesh=mesh, axis=axis)
