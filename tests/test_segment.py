@@ -147,6 +147,62 @@ def test_segment_with_knn_hmm_end_to_end():
             "none_prob"} <= set(meta)
 
 
+def test_merge_clip_dirs_never_merges_across_vids(tmp_path):
+    """Frame numbers overlap freely between videos; merge must be
+    per-vid and name outputs with each clip's own vid."""
+    import os
+
+    pool = tmp_path / "pool"
+    os.makedirs(pool)
+    clips_root = tmp_path / "clips"
+    for vid, lo, hi in [(1, 1, 40), (2, 20, 60)]:
+        cdir = clips_root / f"vid{vid}_clip_1_left"
+        os.makedirs(cdir)
+        for n in range(lo, hi + 1):
+            name = f"vid{vid}_frame_{n}.jpg"
+            (pool / name).write_text("x")
+            (cdir / name).write_text("x")
+    from vit_research_tpu.segment.clips import merge_clip_dirs
+
+    out = merge_clip_dirs(
+        [str(clips_root / d) for d in sorted(os.listdir(clips_root))],
+        str(pool), str(tmp_path / "merged"), max_gap=30)
+    names = sorted(os.path.basename(d) for d in out)
+    assert names == ["vid1_clip_1_left", "vid2_clip_1_left"]
+    # Each merged clip holds only its own vid's frames and range.
+    v1 = sorted(os.listdir(tmp_path / "merged" / "vid1_clip_1_left"))
+    assert len(v1) == 40 and all(f.startswith("vid1_") for f in v1)
+    v2 = sorted(os.listdir(tmp_path / "merged" / "vid2_clip_1_left"))
+    assert len(v2) == 41 and all(f.startswith("vid2_") for f in v2)
+
+
+def test_confident_writeback_preserves_existing_rows():
+    """segment --write-back must only ADD frames; seed rows keep their
+    manual metadata (same contract as self-label --upsert)."""
+    corpus, labels, centers = clustered_corpus(spread=0.1)
+    probs = np.full((len(labels), 3), 0.05)
+    probs[np.arange(len(labels)), labels] = 0.9
+    from vit_research_tpu.store.vector_store import Collection
+
+    col = Collection("frames", space="l2")
+    seed_id = "vid9_frame_1.jpg"
+    col.upsert([seed_id], centers[1][None].astype(np.float32),
+               [{"label": "right", "left_prob": 0.0, "right_prob": 1.0,
+                 "none_prob": 0.0}])
+    # Frames near the LEFT center, including a name colliding with the
+    # seed row; the kNN vote will confidently say 'left'.
+    rng = np.random.default_rng(0)
+    frames = (centers[0] + 0.05 * rng.normal(size=(5, 16))).astype(
+        np.float32)
+    names = [f"vid9_frame_{i + 1}.jpg" for i in range(5)]
+    seg_pipeline.segment_with_knn_hmm(
+        names, frames, {"embeddings": corpus, "labels": labels,
+                        "probs": probs}, k=25, collection=col, vid=9)
+    meta = col.get(ids=[seed_id])["metadatas"][0]
+    assert meta["label"] == "right" and meta["right_prob"] == 1.0
+    assert col.count() >= 5  # the new frames were added
+
+
 def test_segment_with_knn_streaks_end_to_end(tmp_path):
     corpus, labels, centers = clustered_corpus(spread=0.1)
     probs = np.full((len(labels), 3), 0.05)

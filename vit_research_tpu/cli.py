@@ -234,7 +234,7 @@ def _labeled_frames(frames_dir: str, manual_csv: str):
     from vit_research_tpu.data import naming
     from vit_research_tpu.data.labels import ManualIntervals
 
-    frames = sorted(os.listdir(frames_dir), key=naming.frame_sort_key)
+    frames = naming.list_frames(frames_dir)
     mi = ManualIntervals.from_csv(manual_csv)
     return frames, [mi.class_from_frame(f) for f in frames]
 
@@ -253,7 +253,14 @@ def _corpus_from_collection(col):
                          "with write-frame-db first")
     labels, probs = [], []
     for m in got["metadatas"]:
-        label = str(m.get("label", "none"))
+        label = m.get("label")
+        if label is None:
+            raise SystemExit(
+                f"collection {col.name!r} rows carry no 'label' metadata "
+                "— not a labeled frame collection (frame RAG collections "
+                "store side/t_norm only; build a corpus with "
+                "write-frame-db)")
+        label = str(label)
         if label not in SIDES:
             raise SystemExit(f"collection {col.name!r} has non-side label "
                              f"{label!r}; not a labeled frame collection")
@@ -321,7 +328,7 @@ def cmd_self_label(args):
     from vit_research_tpu.segment.knn import SIDES, two_pass_self_label
     from vit_research_tpu.store.vector_store import PersistentClient
 
-    frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
+    frames = naming.list_frames(args.frames)
     if not frames:
         raise SystemExit(f"no frames under {args.frames}")
     client = PersistentClient(args.db)
@@ -473,7 +480,7 @@ def cmd_fresh_test(args):
     template = model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, in_dim)))
     params = load_params_npz(template, args.params)
-    frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
+    frames = naming.list_frames(args.frames)
     buckets = dump_classified_frames(
         [os.path.join(args.frames, f) for f in frames], eng.embed_paths,
         lambda e: classify_sides(model, params, e), args.out)
@@ -591,10 +598,9 @@ def cmd_segment(args):
     from vit_research_tpu.segment.pipeline import (segment_with_knn_hmm,
                                                    segment_with_temporal_head)
 
-    os.makedirs(args.out, exist_ok=True)
-    frames = sorted(os.listdir(args.frames), key=naming.frame_sort_key)
-    eng = _engine(batch_size=args.batch_size)
-    embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
+    # Validate method arguments BEFORE the engine spins up: embedding a
+    # whole frames dir (minutes of TPU compile + transfer) only to fail
+    # on a missing flag is hostile.
     if args.method in ("knn-hmm", "streaks"):
         if not (args.db and args.corpus_collection):
             raise SystemExit(f"--method {args.method} needs --db and "
@@ -604,6 +610,14 @@ def cmd_segment(args):
         client = PersistentClient(args.db)
         col = client.get_collection(args.corpus_collection)
         corpus = _corpus_from_collection(col)
+    elif not args.manual_csv:
+        raise SystemExit("--method temporal needs --manual-csv")
+
+    os.makedirs(args.out, exist_ok=True)
+    frames = naming.list_frames(args.frames)
+    eng = _engine(batch_size=args.batch_size)
+    embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
+    if args.method in ("knn-hmm", "streaks"):
         if args.method == "streaks":
             from vit_research_tpu.segment.pipeline import (
                 segment_with_knn_streaks)
@@ -625,8 +639,6 @@ def cmd_segment(args):
         if args.write_back:
             client.flush()
     else:
-        if not args.manual_csv:
-            raise SystemExit("--method temporal needs --manual-csv")
         mi = ManualIntervals.from_csv(args.manual_csv)
         decoded, clip_dirs, _ = segment_with_temporal_head(
             frames, embs, mi, out_root=args.out, src_dir=args.frames,
@@ -743,8 +755,9 @@ def cmd_eval_clips(args):
         if restored is not None:
             h_params = restored["params"]
 
-    col = PersistentClient(args.db, autoflush=False).get_or_create_collection(
-        args.collection)
+    col = PersistentClient(args.db, autoflush=False).get_collection(
+        args.collection)  # strict: a typo'd name must not silently
+    # evaluate against an empty just-created collection
     rows = infer_clip_sequences(
         chunks, lambda q, s, c, tm: head.apply(h_params, q, s, c, tm)[0],
         encode_chunk, col, k_sim=args.k_sim, k_contrast=args.k_contrast,

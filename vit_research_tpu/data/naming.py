@@ -42,6 +42,25 @@ def parse_clip_dir(name: str) -> tuple[int, int, str]:
     return int(m.group(1)), int(m.group(2)), m.group(3)
 
 
+def is_frame_name(name: str) -> bool:
+    """True when ``name`` parses as a vid{N}_frame_{M} filename."""
+    try:
+        parse_frame_name(name)
+        return True
+    except (ValueError, IndexError):
+        return False
+
+
+def list_frames(directory) -> list[str]:
+    """Sorted frame filenames in ``directory``, ignoring strays
+    (.DS_Store, notes.txt, editor backups) that would crash the tolerant
+    frame-name parser with an opaque ValueError."""
+    import os
+
+    return sorted((f for f in os.listdir(directory) if is_frame_name(f)),
+                  key=frame_sort_key)
+
+
 def frame_sort_key(name: str) -> tuple[int, int]:
     return parse_frame_name(name)
 

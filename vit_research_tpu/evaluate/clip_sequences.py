@@ -72,13 +72,18 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
       zeros_query: zero the local query embedding (ablation).
     Returns one row dict per clip (reference row schema)."""
     clip_outputs: dict = {}
+    # Encode the pool ONCE: fetch_live_batch would otherwise re-encode
+    # every chunk per 16-chunk batch (O(N^2/16) device forwards).
+    pool_embs = {CS.make_chunk_key(ch):
+                 np.asarray(encode_fn(ch), np.float32) for ch in chunks}
     for batch in batch_iterator(chunks, batch_size, shuffle=False,
                                 drop_remainder=False):
         raw = CS.fetch_live_batch(
             batch, encode_fn, collection, k_sim=k_sim, k_contrast=k_contrast,
             k_temporal=k_temporal, future_step=future_step,
             search_k_content=search_k_content,
-            search_k_temporal=search_k_temporal, all_chunks=chunks)
+            search_k_temporal=search_k_temporal, all_chunks=chunks,
+            pool_embs=pool_embs)
         query = raw["query_emb"]
         if zeros_query:
             query = np.zeros_like(query)

@@ -115,15 +115,13 @@ class EmbeddingEngine:
         return self._jitted(self.params, batch_u8), n
 
     def embed_batch(self, batch_u8: np.ndarray) -> np.ndarray:
-        """(B, H, W, 3) uint8 -> (B, D) float32 embeddings. B can exceed the
-        engine batch size; sub-batches pipeline through the device."""
-        outs, pending = [], []
-        for start in range(0, len(batch_u8), self.batch_size):
-            pending.append(self._dispatch(batch_u8[start:start + self.batch_size]))
-        for dev_out, n in pending:
-            outs.append(np.asarray(dev_out)[:n])
-        return (np.concatenate(outs, axis=0) if outs
-                else np.zeros((0, self.out_dim), np.float32))
+        """(B, H, W, 3) uint8 -> (B, D) float32 embeddings. B can exceed
+        the engine batch size; sub-batches pipeline through _drain (at
+        most one batch in flight — dispatching ALL sub-batches up front
+        would hold the full input set in HBM at once, an OOM risk for a
+        50k-frame serve request)."""
+        return self._drain(batch_u8[s:s + self.batch_size]
+                           for s in range(0, len(batch_u8), self.batch_size))
 
     def embed_paths(self, paths, num_workers: int = 8,
                     use_native: bool = False,

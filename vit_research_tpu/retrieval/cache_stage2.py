@@ -194,13 +194,19 @@ def fetch_cache_batch(cache, chunks):
 def fetch_live_batch(chunks, encode_fn, collection, *, k_sim, k_contrast,
                      k_temporal, future_step: int = 2,
                      search_k_content: int = 64, search_k_temporal: int = 32,
-                     all_chunks=None):
+                     all_chunks=None, pool_embs: dict | None = None):
     """Live (uncached) retrieval for validation
-    (reference: nba_proj/train/training_stage2.py:894-941)."""
+    (reference: nba_proj/train/training_stage2.py:894-941).
+
+    ``pool_embs`` (chunk key -> (D,) embedding) lets a caller that fetches
+    many batches over the same pool encode it ONCE — without it every
+    call re-encodes the whole pool, which is O(N^2) encodes across a
+    full evaluation loop."""
     pool = all_chunks if all_chunks is not None else chunks
     future = build_future_lookup(pool, future_step)
-    embs = {make_chunk_key(ch): np.asarray(encode_fn(ch), np.float32)
-            for ch in pool}
+    embs = (pool_embs if pool_embs is not None
+            else {make_chunk_key(ch): np.asarray(encode_fn(ch), np.float32)
+                  for ch in pool})
     entries = []
     for ch in chunks:
         key = make_chunk_key(ch)

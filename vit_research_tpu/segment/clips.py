@@ -119,16 +119,16 @@ def finalize_clip_dirs(clip_dirs, frame_probs_fn, out_root: str,
     out_dirs = []
     for cdir in clip_dirs:
         name = os.path.basename(cdir)
+        dest = os.path.join(out_root, name)
+        if os.path.exists(dest):  # idempotent skip, reference behavior —
+            out_dirs.append(dest)  # BEFORE the embed+kNN work, so re-runs
+            continue               # are actually free
         _, _, side = naming.parse_clip_dir(name)
         frames = sorted(os.listdir(cdir), key=naming.frame_sort_key)
         if not frames:
             continue
         probs = frame_probs_fn([os.path.join(cdir, f) for f in frames])
         keep = finalize_clip(probs, side)
-        dest = os.path.join(out_root, name)
-        if os.path.exists(dest):  # idempotent skip, reference behavior
-            out_dirs.append(dest)
-            continue
         os.makedirs(dest, exist_ok=True)
         if copy:
             for f, k in zip(frames, keep):
@@ -161,28 +161,30 @@ def merge_clip_ranges(clips, *, max_gap: int = 30):
 def merge_clip_dirs(clip_dirs, frame_pool_dir: str, out_root: str,
                     *, max_gap: int = 30, copy: bool = True) -> list[str]:
     """Directory-level merge: read clip ranges from dir contents, merge,
-    rebuild merged dirs from the full frame pool."""
-    ranges = []
-    vid = None
+    rebuild merged dirs from the full frame pool. Clips are merged
+    PER VIDEO — frame numbers from different vids overlap freely and
+    must never fuse across videos."""
+    by_vid: dict = {}
     for cdir in clip_dirs:
         v, _, side = naming.parse_clip_dir(os.path.basename(cdir))
-        vid = v
         frames = sorted(os.listdir(cdir), key=naming.frame_sort_key)
         if not frames:
             continue
-        ranges.append((side, naming.frame_num(frames[0]),
-                       naming.frame_num(frames[-1])))
-    merged = merge_clip_ranges(ranges, max_gap=max_gap)
+        by_vid.setdefault(v, []).append(
+            (side, naming.frame_num(frames[0]),
+             naming.frame_num(frames[-1])))
     os.makedirs(out_root, exist_ok=True)
     out = []
-    for k, (side, s, e) in enumerate(merged, start=1):
-        cdir = os.path.join(out_root, naming.clip_dir_name(vid, k, side))
-        os.makedirs(cdir, exist_ok=True)
-        if copy:
-            for num in range(s, e + 1):
-                f = naming.frame_name(vid, num)
-                src = os.path.join(frame_pool_dir, f)
-                if os.path.exists(src):
-                    shutil.copy(src, os.path.join(cdir, f))
-        out.append(cdir)
+    for vid in sorted(by_vid):
+        merged = merge_clip_ranges(by_vid[vid], max_gap=max_gap)
+        for k, (side, s, e) in enumerate(merged, start=1):
+            cdir = os.path.join(out_root, naming.clip_dir_name(vid, k, side))
+            os.makedirs(cdir, exist_ok=True)
+            if copy:
+                for num in range(s, e + 1):
+                    f = naming.frame_name(vid, num)
+                    src = os.path.join(frame_pool_dir, f)
+                    if os.path.exists(src):
+                        shutil.copy(src, os.path.join(cdir, f))
+            out.append(cdir)
     return out

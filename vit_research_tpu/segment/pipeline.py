@@ -71,10 +71,17 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
 def _confident_writeback(collection, fused, frame_names, embeddings, vid):
     """Upsert confident frames back into the corpus collection
     (reference: nba_proj/generate_clips_hmm.py:459-471,
-    nba_proj/generate_clips.py:345-368)."""
+    nba_proj/generate_clips.py:345-368). Only NEW frame ids are written:
+    ids are frame basenames, and overwriting an existing row would
+    replace manually-labeled seed metadata with a kNN-derived guess
+    (same guard as the CLI's self-label --upsert)."""
     if collection is None or not fused["confident"].any():
         return
-    sel = np.nonzero(fused["confident"])[0]
+    existing = set(collection.get(ids=list(frame_names))["ids"])
+    sel = [i for i in np.nonzero(fused["confident"])[0]
+           if frame_names[i] not in existing]
+    if not sel:
+        return
     metas = []
     for i in sel:
         p = fused["upsert_probs"][i]

@@ -97,10 +97,14 @@ class EmbedServer:
                 q = np.asarray(req["embeddings"], np.float32)
             else:
                 q = self._embed_request(req)
-            res = self.collection.query(
-                q, n_results=int(req.get("n_results", 5)),
-                where=req.get("where"),
-                include=("metadatas", "distances"))
+            # Under the device lock: the query's top-k matmul is device
+            # work too, and the documented contract is that device work
+            # from concurrent clients is serialized.
+            with self._lock:
+                res = self.collection.query(
+                    q, n_results=int(req.get("n_results", 5)),
+                    where=req.get("where"),
+                    include=("metadatas", "distances"))
             return {"ok": True, "ids": res["ids"],
                     "distances": res["distances"],
                     "metadatas": res["metadatas"]}

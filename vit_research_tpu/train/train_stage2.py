@@ -137,6 +137,14 @@ def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
                         for k, v in grad_rms.items()})
 
         all_labels, all_probs = [], []
+        # Encode the validation pool once per epoch (the frozen stage-1
+        # encoder makes it reusable across batches; per-batch re-encoding
+        # would be O(N^2) forwards per epoch).
+        val_pool_embs = None
+        if encode_fn is not None and collection is not None:
+            val_pool_embs = {
+                CS.make_chunk_key(ch): np.asarray(encode_fn(ch), np.float32)
+                for ch in val_chunks}
         for batch in batch_iterator(val_chunks, t.batch_size, shuffle=False,
                                     drop_remainder=False):
             if encode_fn is not None and collection is not None:
@@ -147,7 +155,7 @@ def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
                     future_step=r.future_chunk_step,
                     search_k_content=r.search_k_content,
                     search_k_temporal=r.search_k_temporal,
-                    all_chunks=val_chunks)
+                    all_chunks=val_chunks, pool_embs=val_pool_embs)
             else:
                 raw = CS.fetch_cache_batch(cache, batch)
             dev = _device_batch(raw)
