@@ -17,7 +17,15 @@ import os
 import sys
 import tempfile
 
+import jax
 import numpy as np
+
+# CPU-friendly demo: without an explicit VRT_PLATFORM this pins CPU —
+# otherwise an environment whose sitecustomize preselects a TPU backend
+# runs the "laptop" walkthrough over the device tunnel (minutes of
+# compile; a hang if the tunnel is down).
+jax.config.update("jax_platforms",
+                  os.environ.get("VRT_PLATFORM", "cpu"))
 
 
 def main(workdir: str | None = None):
