@@ -66,7 +66,7 @@ def main():
         embs = eng.embed_paths(paths, use_native=True)
         dt = time.time() - t0
         report("per_video_embed_path", len(paths) / dt, "frames/sec",
-               note="1024 frames, native decode+resize+embed, 1 host core")
+               note="1024 frames, native decode+resize+embed, 8 decode threads")
 
     # ---- 3. Viterbi segmentation ------------------------------------------
     from vit_research_tpu.segment.hmm import smooth_probabilities

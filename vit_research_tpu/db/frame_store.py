@@ -39,6 +39,12 @@ class FrameStore:
             EmbeddingEngine.embed_paths — batched, data-parallel).
         """
         unique = list(dict.fromkeys(frame_paths))  # order-preserving dedup
+        if not unique:
+            # Writing paths.npy/meta.json with n=0 but no embeddings.dat
+            # would leave a permanently unopenable store directory.
+            raise ValueError(
+                "FrameStore.build: no frame paths (did the clip filters "
+                "drop everything?)")
         os.makedirs(directory, exist_ok=True)
         n = len(unique)
         mm = None

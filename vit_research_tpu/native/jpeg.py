@@ -43,8 +43,14 @@ def _get_lib():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        # A prebuilt .so shipped without the .c source must still load:
+        # treat a missing source as "not stale" instead of raising.
+        try:
+            stale = (not os.path.exists(_SO)
+                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        except OSError:
+            stale = not os.path.exists(_SO)
+        if stale:
             if not _build():
                 _build_failed = True
                 return None
@@ -99,6 +105,15 @@ def decode_batch(paths, target_hw: tuple, out: np.ndarray | None = None,
     n = len(paths)
     if out is None:
         out = np.empty((n, h, w, 3), np.uint8)
+    elif (not out.flags["C_CONTIGUOUS"] or out.dtype != np.uint8
+          or out.shape != (n, h, w, 3)):
+        # The C decoder writes n*h*w*3 bytes through a raw pointer; a
+        # strided view / wrong dtype / wrong shape would silently
+        # corrupt the caller's memory.
+        raise ValueError(
+            f"out must be C-contiguous uint8 of shape {(n, h, w, 3)}; "
+            f"got {out.dtype} {out.shape} "
+            f"contiguous={out.flags['C_CONTIGUOUS']}")
     status = np.zeros((n,), np.int32)
 
     def run_slice(start, end):

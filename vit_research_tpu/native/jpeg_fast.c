@@ -70,13 +70,15 @@ int decode_resize(const unsigned char *data, long len, int target_h,
                   int target_w, unsigned char *out) {
   struct jpeg_decompress_struct cinfo;
   struct err_mgr jerr;
-  unsigned char *tmp = NULL;
+  /* volatile: modified between setjmp and longjmp; without it the
+   * error path may free() a stale register copy (UB, C11 7.13.2.1). */
+  unsigned char *volatile tmp = NULL;
 
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = err_exit;
   if (setjmp(jerr.jmp)) {
     jpeg_destroy_decompress(&cinfo);
-    free(tmp);
+    free((unsigned char *)tmp);
     return 1;
   }
   jpeg_create_decompress(&cinfo);
@@ -111,8 +113,9 @@ int decode_resize(const unsigned char *data, long len, int target_h,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  resize_bilinear(tmp, sh, sw, out, target_h, target_w);
-  free(tmp);
+  resize_bilinear((const unsigned char *)tmp, sh, sw, out, target_h,
+                  target_w);
+  free((unsigned char *)tmp);
   return 0;
 }
 

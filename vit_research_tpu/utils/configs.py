@@ -20,8 +20,12 @@ from typing import Any
 
 
 def _asdict(obj: Any) -> Any:
+    # dataclasses.asdict already recurses into nested dataclasses; the
+    # only extra normalization needed is tuple -> list for JSON.
     if dataclasses.is_dataclass(obj):
-        return {k: _asdict(v) for k, v in dataclasses.asdict(obj).items()}
+        obj = dataclasses.asdict(obj)
+    if isinstance(obj, dict):
+        return {k: _asdict(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
         return [_asdict(v) for v in obj]
     return obj

@@ -57,7 +57,13 @@ class MetricsLogger:
         for k, v in combined.items():
             if k in ("step", "ts"):
                 continue
-            row[k] = float(v)
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                # The contract is 'an arbitrary dict': string/None
+                # diagnostics ride along as-is instead of killing the
+                # run at checkpoint-save time.
+                row[k] = v if v is None else str(v)
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
         return row
