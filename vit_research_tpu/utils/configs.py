@@ -276,6 +276,18 @@ def preset(name: str) -> ExperimentConfig:
             name="ratt",
             retrieval=RetrievalConfig(collection="ratt_db", top_k=8),
         ),
+        # reference: nba_proj/config_chunks.py (the training_chunk_works
+        # attention-losses line: TOP_K 12, 12 epochs, rebuild every 3,
+        # LRs 1e-5 -> 1e-6, chunk size 12, 6 layers x 8 heads)
+        "chunks": ExperimentConfig(
+            name="chunks",
+            head=HeadConfig(num_layers=6, num_heads=8, num_queries=12),
+            train=TrainConfig(num_epochs=12, rebuild_every=3,
+                              lr_phase1=1e-5, lr_phase2=1e-6,
+                              chunk_size=12),
+            retrieval=RetrievalConfig(collection="ratt_db", top_k=12,
+                                      search_k=300),
+        ),
         # reference: nba_proj/config_chunks_cached.py:1-80
         "chunks_cached": ExperimentConfig(
             name="chunks_cached",
