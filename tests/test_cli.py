@@ -419,6 +419,29 @@ def test_search_and_rebuild_db_cli(tmp_path, capsys):
     assert PersistentClient(db).get_collection("ragdb").count() > 0
 
 
+def test_db_info_command(tmp_path, capsys):
+    import numpy as np_
+
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    client = PersistentClient(str(tmp_path / "db"))
+    col = client.get_or_create_collection(
+        "c1", metadata={"hnsw:space": "cosine"})
+    col.upsert(["a", "b"], np_.ones((2, 4), np_.float32))
+    client.flush()
+    col.upsert(["c"], np_.ones((1, 4), np_.float32))
+    client.flush()  # second flush appends a log segment
+    cli.main(["db-info", str(tmp_path / "db")])
+    out = capsys.readouterr().out
+    assert "c1: 3 rows" in out and "space=cosine" in out
+    assert "log_segments=1" in out
+    cli.main(["db-info", str(tmp_path / "db"), "--compact"])
+    out = capsys.readouterr().out
+    assert "compacted 1 segments" in out
+    cli.main(["db-info", str(tmp_path / "db")])
+    assert "log_segments=0" in capsys.readouterr().out
+
+
 def test_smoke_command(capsys):
     cli.main(["smoke"])
     out = capsys.readouterr().out

@@ -576,6 +576,27 @@ def cmd_search(args):
         }))
 
 
+def cmd_db_info(args):
+    """Inspect a vector-store root: per-collection rows, space, dim,
+    device quantization, and log-segment state (the ops view of
+    store/vector_store.py's snapshot+append-log layout)."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    client = PersistentClient(args.db, autoflush=False)
+    names = client.list_collections()
+    if not names:
+        raise SystemExit(f"no collections under {args.db}")
+    for name in names:
+        col = client.get_collection(name)
+        segs = len(col._segments)
+        print(f"{name}: {col.count()} rows  space={col.space}  "
+              f"dim={col._dim}  device_quant={col.device_quant or '-'}  "
+              f"log_segments={segs}")
+        if args.compact and segs:
+            col.compact()
+            print(f"  compacted {segs} segments into a fresh snapshot")
+
+
 def cmd_extract_frames(args):
     from vit_research_tpu.data.video import extract_frames
 
@@ -1276,6 +1297,14 @@ def main(argv=None):
     se.add_argument("--npz-key", default=None)
     se.add_argument("--batch-size", type=int, default=256)
     se.set_defaults(fn=cmd_search)
+
+    di = sub.add_parser("db-info",
+                        help="inspect a vector-store root's collections")
+    di.add_argument("db")
+    di.add_argument("--compact", action="store_true",
+                    help="merge each collection's append-log into a "
+                         "fresh snapshot")
+    di.set_defaults(fn=cmd_db_info)
 
     mt = sub.add_parser("metrics", help="inspect run metrics.jsonl ledgers")
     mt.add_argument("dir", help="a run dir (prints the curve) or a "
