@@ -127,6 +127,21 @@ def test_int8_parity(rng, mesh):
                                   np.asarray(i1)[valid])
 
 
+def test_2d_mesh_shards_over_named_axis_only(rng):
+    """On a (data x model) mesh the corpus shards over 'data' only and
+    results stay exact — the dryrun_multichip topology as a unit test."""
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh
+
+    devices = np_.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2d = Mesh(devices, ("data", "model"))
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    c = rng.normal(size=(42, 16)).astype(np.float32)
+    mask = rng.random((5, 42)) > 0.3
+    _flat_vs_sharded(q, c, mask, 6, "ip", mesh2d)
+
+
 def test_empty_corpus_raises(mesh):
     with pytest.raises(ValueError, match="empty"):
         sharded_masked_topk(np.zeros((1, 4), np.float32),
