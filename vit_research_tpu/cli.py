@@ -600,8 +600,14 @@ def cmd_db_info(args):
 def cmd_extract_frames(args):
     from vit_research_tpu.data.video import extract_frames
 
+    frame_range = None
+    if args.start is not None or args.end is not None:
+        if args.start is None or args.end is None:
+            raise SystemExit("--start and --end go together")
+        frame_range = (args.start, args.end)
     paths = extract_frames(args.video, args.out, args.vid,
-                           size=(args.height, args.width), every=args.every)
+                           size=(args.height, args.width), every=args.every,
+                           frame_range=frame_range)
     print(f"wrote {len(paths)} frames to {args.out}")
 
 
@@ -1040,6 +1046,11 @@ def main(argv=None):
     ef.add_argument("--height", type=int, default=1080)
     ef.add_argument("--width", type=int, default=1920)
     ef.add_argument("--every", type=int, default=1)
+    ef.add_argument("--start", type=int, default=None,
+                    help="inclusive first frame index (the reference "
+                         "hardcoded per-game windows)")
+    ef.add_argument("--end", type=int, default=None,
+                    help="inclusive last frame index")
     ef.set_defaults(fn=cmd_extract_frames)
 
     sg = sub.add_parser("segment")
