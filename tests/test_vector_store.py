@@ -247,3 +247,73 @@ def test_device_quant_toggle_and_validation():
     with pytest.raises(ValueError, match="l2"):
         Collection("t2", space="l2", device_quant="int8")
 
+
+
+def test_query_fuzz_matches_bruteforce_oracle():
+    """Randomized sweep: every space, random $-operator filters, random
+    k, duplicate rows (ties), deletes and re-upserts — results must
+    match an exact numpy oracle (ids as sets per rank-tier to allow
+    tie reordering, scores exactly)."""
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        space = ("l2", "cosine", "ip")[trial % 3]
+        n = int(rng.integers(3, 60))
+        d = int(rng.integers(2, 12))
+        col = Collection("fuzz", space=space)
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        if trial % 4 == 0 and n > 4:  # force exact ties
+            emb[n // 2] = emb[0]
+        metas = [{"g": int(rng.integers(0, 3)), "v": float(i) / n}
+                 for i in range(n)]
+        ids = [f"r{i}" for i in range(n)]
+        col.upsert(ids, emb, metas)
+        if trial % 3 == 0 and n > 6:  # deletes + re-upserts
+            col.delete(ids=[f"r{i}" for i in range(0, n, 5)])
+            col.upsert([f"r{0}"], rng.normal(size=(1, d)).astype(np.float32),
+                       [{"g": 1, "v": 0.0}])
+        got_ids = col.get()["ids"]
+        cur = {i: j for j, i in enumerate(got_ids)}
+        cur_emb = col.get(include=("embeddings",))["embeddings"]
+        cur_meta = col.get()["metadatas"]
+
+        where = None
+        if trial % 2:
+            where = {"$and": [{"g": {"$ne": 1}},
+                              {"v": {"$lte": float(rng.random())}}]}
+
+        q = rng.normal(size=(3, d)).astype(np.float32)
+        k = int(rng.integers(1, 8))
+        res = col.query(q, n_results=k, where=where)
+
+        # Oracle over the CURRENT rows.
+        def ok_fn(m):
+            if where is None:
+                return True
+            return m["g"] != 1 and m["v"] <= where["$and"][1]["v"]["$lte"]
+
+        mask = np.array([ok_fn(m) for m in cur_meta], bool)
+        if space == "cosine":
+            ce = cur_emb / np.maximum(
+                np.linalg.norm(cur_emb, axis=1, keepdims=True), 1e-12)
+            qe = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                                1e-12)
+            s = qe @ ce.T
+            dist = 1.0 - s
+        elif space == "ip":
+            s = q @ cur_emb.T
+            dist = 1.0 - s
+        else:
+            s = -(((q[:, None, :] - cur_emb[None]) ** 2).sum(-1))
+            dist = -s
+        s = np.where(mask[None, :], s, -np.inf)
+        for qi in range(3):
+            order = np.argsort(-s[qi], kind="stable")
+            valid = [j for j in order if np.isfinite(s[qi, j])][:k]
+            exp_dists = sorted(round(float(dist[qi, j]), 4) for j in valid)
+            got_dists = sorted(round(float(x), 4)
+                               for x in res["distances"][qi])
+            assert got_dists == exp_dists, (trial, space, qi)
+            # id sets match when scores are distinct
+            exp_ids = {got_ids[j] for j in valid}
+            if len({round(float(s[qi, j]), 6) for j in valid}) == len(valid):
+                assert set(res["ids"][qi]) == exp_ids, (trial, space, qi)
