@@ -700,9 +700,8 @@ def cmd_train_stage1(args):
     from vit_research_tpu.db.frame_store import FrameStore, load_chunk_index
     from vit_research_tpu.train.checkpoint import CheckpointManager
     from vit_research_tpu.train.train_chunk_encoder import train_chunk_encoder
-    from vit_research_tpu.utils.configs import preset
-
-    from vit_research_tpu.utils.configs import ChunkEncoderConfig
+    from vit_research_tpu.utils.configs import (ChunkEncoderConfig, preset,
+                                                save_config)
 
     store = FrameStore(args.store).open()
     idx = load_chunk_index(args.store)
@@ -714,6 +713,9 @@ def cmd_train_stage1(args):
         max_len=int(idx["frame_idx"].shape[1]))
     run_id = args.run_id or f"stage1_{cfg.run_id()}"
     mngr = CheckpointManager(args.ckpt, run_id)
+    # Like every other training verb: the run dir records its exact
+    # encoder config for reproducibility.
+    save_config(ce_cfg, os.path.join(mngr.dir, "experiment.json"))
     model, best, history = train_chunk_encoder(
         store, idx, list(range(split)), list(range(split, n)),
         config=ce_cfg, num_epochs=args.epochs, batch_size=args.batch_size,
