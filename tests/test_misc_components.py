@@ -168,6 +168,21 @@ def test_global_profiler_env_gate(monkeypatch):
     monkeypatch.setattr(profiling, "_GLOBAL", None)
 
 
+def test_streak_intervals_reject_contested_margins():
+    """A side run bordered by heavy OPPOSITE-side flicker is contested
+    and must be rejected; the same run bordered by 'none' is kept."""
+    conf = np.ones(120)
+    # left run [40, 90) bordered by right decisions on both sides.
+    contested = np.asarray([1] * 40 + [0] * 50 + [1] * 30)
+    ivs = streak_intervals(contested, conf, window=20, min_len=40,
+                           dominance=0.8)
+    assert not any(s == 0 for s, _, _ in ivs)  # left run rejected
+    clean = np.asarray([2] * 40 + [0] * 50 + [2] * 30)
+    ivs = streak_intervals(clean, conf, window=20, min_len=40,
+                           dominance=0.8)
+    assert any(s == 0 and (e - b + 1) == 50 for s, b, e in ivs)
+
+
 def test_profiler_and_fileops(tmp_path):
     prof = Profiler()
     with prof.span("work"):

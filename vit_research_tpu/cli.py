@@ -513,9 +513,11 @@ def cmd_rebuild_db(args):
         from vit_research_tpu.models.heads import ProjectionHead
         from vit_research_tpu.train.checkpoint import CheckpointManager
 
-        if not os.path.isdir(os.path.join(args.ckpt or "", args.run_id)):
+        if args.ckpt is None:
+            raise SystemExit("--run-id needs --ckpt (the checkpoint root)")
+        if not os.path.isdir(os.path.join(args.ckpt, args.run_id)):
             raise SystemExit(f"--run-id {args.run_id}: no such run under "
-                             f"{args.ckpt!r} (pass --ckpt)")
+                             f"{args.ckpt!r}")
         restored = CheckpointManager(args.ckpt, args.run_id).restore_best()
         if restored is None or "proj" not in restored.get("params", {}):
             raise SystemExit(f"--run-id {args.run_id}: no best checkpoint "

@@ -42,17 +42,23 @@ def streak_intervals(decisions, confidences, *, window: int = 50,
             side = int(decisions[start])
             length = i - start
             if side in (0, 1) and length >= min_len:
-                # Require window dominance around the run, normalized by
-                # the best achievable fraction when the +-window/2
-                # margins are all non-side: a clean run bordered by
-                # 'none' scores exactly best_frac and must not be
-                # rejected for its margins, while interior impurity
-                # pushes frac below dominance * best_frac.
+                # Runs are pure by construction (the loop splits at every
+                # decision change), so any within-run purity test is
+                # vacuous. What the +-window/2 neighborhood CAN tell us
+                # is whether the run borders a contested region: reject
+                # when the OPPOSITE side occupies more than
+                # (1 - dominance) of the margins (the reference's
+                # window-majority gate suppressed exactly these streaks
+                # in flickering left/right regions; 'none' margins are
+                # fine — every clean possession borders 'none').
                 lo = max(0, start - window // 2)
                 hi = min(t, i + window // 2)
-                frac = np.mean(decisions[lo:hi] == side)
-                best_frac = length / (hi - lo)
-                if frac >= dominance * best_frac:
+                margins = np.concatenate(
+                    [decisions[lo:start], decisions[i:hi]])
+                other = 1 - side
+                contested = (np.mean(margins == other) if len(margins)
+                             else 0.0)
+                if contested <= 1.0 - dominance:
                     intervals.append((side, start, i - 1))
             start = i
     return intervals

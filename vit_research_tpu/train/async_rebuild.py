@@ -89,8 +89,11 @@ class RebuildScheduler:
                  rebuild_fn):
         """Args:
           make_collection: callable() -> empty Collection (shadow target).
-          rebuild_fn: callable(collection) -> None; fills the shadow
-            (e.g. functools.partial(db.builders.write_frame_ragdb, ...)).
+          rebuild_fn: callable(collection, *kick_args) -> None; fills the
+            shadow. ``kick_args`` are whatever the training loop passes
+            to :meth:`kick` — train_rag passes its live ``project_np``,
+            so a scheduler built for train_rag must accept
+            ``(shadow, project_fn)``.
         """
         self.swappable = swappable
         self.make_collection = make_collection

@@ -109,9 +109,10 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
       ``rebuild_every`` epochs (reference behavior — training stalls,
       nba_proj/train/training.py:479-480);
     - ``rebuild_scheduler``: a train.async_rebuild.RebuildScheduler whose
-      ``rebuild_fn`` closes over ``project_fn``; rebuilds run on a host
-      thread into a shadow collection and swap in at epoch boundaries —
-      training never stalls."""
+      ``rebuild_fn`` accepts ``(shadow_collection, project_fn)`` — this
+      loop kicks it with the LIVE projection each rebuild; rebuilds run
+      on a host thread into a shadow collection and swap in at epoch
+      boundaries — training never stalls."""
     cfg = cfg or ExperimentConfig(name="rag")
     t = cfg.train
     proj = ProjectionHead(input_dim=cfg.head.embed_dim,

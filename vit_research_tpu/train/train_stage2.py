@@ -121,6 +121,15 @@ def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
     train_step, eval_step = make_step_fns(head, tx, pos_weight)
 
     history = []
+    # Encode the validation pool ONCE: encode_fn is the frozen stage-1
+    # encoder, so the embeddings are identical across batches AND epochs
+    # (per-batch or per-epoch re-encoding wastes O(N) device forwards).
+    val_pool_embs = None
+    if encode_fn is not None and collection is not None:
+        val_pool_embs = {
+            CS.make_chunk_key(ch): np.asarray(encode_fn(ch), np.float32)
+            for ch in val_chunks}
+
     for epoch in range(start_epoch, t.num_epochs):
         key = jax.random.fold_in(base_key, epoch)  # resume-stable RNG
         m = MetricAverager()
@@ -137,14 +146,6 @@ def train_stage2(train_chunks, val_chunks, cache, *, encode_fn=None,
                         for k, v in grad_rms.items()})
 
         all_labels, all_probs = [], []
-        # Encode the validation pool once per epoch (the frozen stage-1
-        # encoder makes it reusable across batches; per-batch re-encoding
-        # would be O(N^2) forwards per epoch).
-        val_pool_embs = None
-        if encode_fn is not None and collection is not None:
-            val_pool_embs = {
-                CS.make_chunk_key(ch): np.asarray(encode_fn(ch), np.float32)
-                for ch in val_chunks}
         for batch in batch_iterator(val_chunks, t.batch_size, shuffle=False,
                                     drop_remainder=False):
             if encode_fn is not None and collection is not None:
