@@ -10,7 +10,9 @@ and prints one JSON object per line:
 3. HMM Viterbi clip-boundary segmentation over per-frame probabilities,
 4. retrieval + RATT head classification step (kNN fused into the head),
 5. multi-video end-to-end: decode -> embed -> kNN+HMM segment -> clip
-   DB write.
+   DB write,
+6. stage-2 training step (RATTHeadV2 fwd+bwd+Adam update over cached
+   sim/contrast/temporal branches — the training_stage2.py hot loop).
 """
 
 import json
@@ -148,6 +150,43 @@ def main():
         dt = time.time() - t0
         report("multi_video_e2e", len(all_paths[2]) / dt, "frames/sec",
                note="decode+embed+kNN+HMM+DB write, 576-frame video")
+
+    # ---- 6. stage-2 train step --------------------------------------------
+    import optax
+
+    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
+    from vit_research_tpu.train.train_stage2 import make_step_fns
+
+    bt, k = 256, 8
+    head2 = RATTHeadV2(HeadConfig(num_layers=2, num_heads=4))
+    batch = {
+        "query_emb": jnp.asarray(rng.normal(size=(bt, 768)), jnp.float32),
+        "sim_embs": jnp.asarray(rng.normal(size=(bt, k, 768)), jnp.float32),
+        "contrast_embs": jnp.asarray(
+            rng.normal(size=(bt, k, 768)), jnp.float32),
+        "temporal_embs": jnp.asarray(
+            rng.normal(size=(bt, k, 768)), jnp.float32),
+        "labels": jnp.asarray(rng.integers(0, 2, size=(bt,)), jnp.float32),
+    }
+    p2 = head2.init(jax.random.PRNGKey(0), batch["query_emb"],
+                    batch["sim_embs"], batch["contrast_embs"],
+                    batch["temporal_embs"])
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(p2)
+    step_fn, _ = make_step_fns(head2, tx, pos_weight=1.0)
+    key = jax.random.PRNGKey(1)
+    p2, opt_state, loss, _, _ = step_fn(p2, opt_state, batch, key)  # compile
+    _ = float(loss)  # real completion barrier over the tunnel
+    t0 = time.time()
+    iters = 20
+    for i in range(iters):
+        p2, opt_state, loss, _, _ = step_fn(
+            p2, opt_state, batch, jax.random.fold_in(key, i))
+    _ = float(loss)
+    dt = (time.time() - t0) / iters
+    report("stage2_train_step", bt / dt, "chunks/sec",
+           note=f"batch {bt}, k={k}/branch, fwd+bwd+Adam; "
+                f"{dt * 1000:.1f} ms/step")
 
 
 if __name__ == "__main__":

@@ -459,6 +459,20 @@ def test_tome_env_engine(monkeypatch, tmp_path):
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
 
 
+def test_gemm_quant_env_engine(monkeypatch):
+    # VRT_GEMM_QUANT=int8 swaps the encoder GEMMs for dynamic int8
+    # (ops/quant.py) in the CLI's frame embedder; outputs stay unit-norm.
+    monkeypatch.setenv("VRT_GEMM_QUANT", "int8")
+    eng = cli._engine(batch_size=8)
+    assert eng.model.config.gemm_quant == "int8"
+    out = eng.embed_batch(np.zeros((3, 32, 32, 3), np.uint8))
+    assert out.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+    monkeypatch.setenv("VRT_GEMM_QUANT", "fp4")
+    with pytest.raises(SystemExit, match="VRT_GEMM_QUANT"):
+        cli._engine(batch_size=8)
+
+
 def test_tome_segmentation_boundaries_match_parity(monkeypatch, tmp_path):
     """Merged-token embeddings drift from parity, but the kNN+HMM
     segmentation consumers absorb the drift: on the synthetic world the

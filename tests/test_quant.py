@@ -1,0 +1,111 @@
+"""Tests for ops/quant.py — dynamic int8 GEMM quantization.
+
+The int8 path is opt-in (``ViTConfig(gemm_quant="int8")``) and off the
+parity path; these tests pin (a) dot_general numerics vs the f32
+contraction, (b) that the quantized ViT keeps the identical parameter
+tree (any checkpoint loads into it), and (c) that its embeddings track
+the f32 model closely enough for this pipeline's retrieval consumers.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from vit_research_tpu.models.vit import init_vit
+from vit_research_tpu.ops.quant import int8_dot_general
+from vit_research_tpu.utils.configs import VIT_B16_224
+
+
+def _rel_err(got, ref):
+    return float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+
+
+class TestInt8DotGeneral:
+    def test_dense_contraction(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(4, 37, 96)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(96, 128)) * 0.05, jnp.float32)
+        dn = (((2,), (0,)), ((), ()))
+        assert _rel_err(int8_dot_general(x, w, dn),
+                        lax.dot_general(x, w, dn)) < 2e-2
+
+    def test_negative_axes_match_positive(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(3, 5, 32)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        a = int8_dot_general(x, w, (((2,), (0,)), ((), ())))
+        b = int8_dot_general(x, w, (((-1,), (0,)), ((), ())))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_multi_axis_contraction(self):
+        # The attention out-projection: (B,T,H,dh) x (H,dh,D).
+        rng = np.random.default_rng(2)
+        o = jnp.asarray(rng.normal(size=(2, 9, 4, 8)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(4, 8, 24)) * 0.1, jnp.float32)
+        dn = (((2, 3), (0, 1)), ((), ()))
+        assert _rel_err(int8_dot_general(o, w, dn),
+                        lax.dot_general(o, w, dn)) < 2e-2
+
+    def test_scale_invariance_per_row(self):
+        # Per-token scales: scaling one token must not perturb another
+        # token's quantized output row.
+        rng = np.random.default_rng(3)
+        x = np.asarray(rng.normal(size=(1, 4, 32)), np.float32)
+        w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+        dn = (((2,), (0,)), ((), ()))
+        base = np.asarray(int8_dot_general(jnp.asarray(x), w, dn))
+        x2 = x.copy()
+        x2[0, 0] *= 1000.0
+        scaled = np.asarray(int8_dot_general(jnp.asarray(x2), w, dn))
+        np.testing.assert_allclose(scaled[0, 1:], base[0, 1:], rtol=1e-6)
+
+    def test_output_dtype_follows_promotion(self):
+        x = jnp.ones((2, 8), jnp.bfloat16)
+        w = jnp.ones((8, 4), jnp.bfloat16)
+        out = int8_dot_general(x, w, (((1,), (0,)), ((), ())))
+        assert out.dtype == jnp.bfloat16
+
+    def test_batch_dims_unsupported(self):
+        x = jnp.ones((2, 3, 4))
+        w = jnp.ones((2, 4, 5))
+        with pytest.raises(NotImplementedError):
+            int8_dot_general(x, w, (((2,), (1,)), ((0,), (0,))))
+
+
+class TestQuantizedViT:
+    def _small(self, **over):
+        return dataclasses.replace(
+            VIT_B16_224, num_layers=3, hidden_size=96, num_heads=4,
+            mlp_dim=192, image_size=(96, 96), **over)
+
+    def test_param_tree_identical_and_outputs_close(self):
+        cfg_f = self._small()
+        cfg_q = self._small(gemm_quant="int8")
+        model_f, params = init_vit(cfg_f, seed=0)
+        model_q, params_q = init_vit(cfg_q, seed=0)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(params_q))
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(size=(2, 96, 96, 3)), jnp.float32)
+        e_f = model_f.apply(params, img)["pre_logits"]
+        e_q = model_q.apply(params, img)["pre_logits"]  # f32 params load as-is
+        cos = jnp.sum(e_f * e_q, -1) / (
+            jnp.linalg.norm(e_f, axis=-1) * jnp.linalg.norm(e_q, axis=-1))
+        assert float(jnp.min(cos)) > 0.98
+
+    def test_composes_with_tome(self):
+        cfg = self._small(gemm_quant="int8", tome_r=2)
+        model, params = init_vit(cfg, seed=0)
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.uniform(size=(2, 96, 96, 3)), jnp.float32)
+        out = model.apply(params, img)
+        assert out["pre_logits"].shape == (2, 96)
+        assert np.isfinite(np.asarray(out["pre_logits"])).all()
+
+    def test_unknown_mode_rejected(self):
+        with pytest.raises(ValueError, match="gemm_quant"):
+            init_vit(self._small(gemm_quant="fp8"), seed=0)

@@ -36,14 +36,19 @@ def _engine(preset: str = "hf", batch_size: int = 256):
     VRT_TOME_R=<int> enables token merging (ops/tome.py) in the frame
     embedder — a speed/accuracy trade (r=13 measured +33% throughput on
     v5e), OFF by default because merged embeddings drift from the
-    reference-parity outputs. All embeddings a pipeline compares must
-    come from the same setting."""
+    reference-parity outputs. VRT_GEMM_QUANT=int8 likewise swaps the
+    encoder GEMMs for dynamic int8 (ops/quant.py); the two compose. All
+    embeddings a pipeline compares must come from the same settings."""
     raw_tome = os.environ.get("VRT_TOME_R", "").strip()
     try:
         tome_r = int(raw_tome) if raw_tome else 0
     except ValueError:
         raise SystemExit(
             f"VRT_TOME_R must be an integer, got {raw_tome!r}")
+    gemm_quant = os.environ.get("VRT_GEMM_QUANT", "").strip() or None
+    if gemm_quant not in (None, "int8"):
+        raise SystemExit(
+            f"VRT_GEMM_QUANT must be 'int8' or unset, got {gemm_quant!r}")
     if os.environ.get("VRT_TINY"):
         from vit_research_tpu.data.preprocess import PreprocessSpec
         from vit_research_tpu.models.vit import init_vit
@@ -52,14 +57,16 @@ def _engine(preset: str = "hf", batch_size: int = 256):
 
         cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
                         num_layers=1, num_heads=2, mlp_dim=64,
-                        use_flash_attention=False, tome_r=tome_r)
+                        use_flash_attention=False, tome_r=tome_r,
+                        gemm_quant=gemm_quant)
         model, params = init_vit(cfg, seed=0)
         return EmbeddingEngine(model, params, PreprocessSpec(size=(32, 32)),
                                batch_size=min(batch_size, 16),
                                use_fused_patch_embed=False)
     from vit_research_tpu.parallel.embed import make_hf_frame_embedder
 
-    return make_hf_frame_embedder(batch_size=batch_size, tome_r=tome_r)
+    return make_hf_frame_embedder(batch_size=batch_size, tome_r=tome_r,
+                                  gemm_quant=gemm_quant)
 
 
 def _load_world(args):

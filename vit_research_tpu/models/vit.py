@@ -58,14 +58,20 @@ class MlpBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
     gelu_approximate: bool = False
+    # Optional lax.dot_general replacement (ops/quant.py int8 path);
+    # None = stock. Injecting here keeps the module structure/param tree
+    # identical — the property BENCH_NOTES.md shows XLA rewards.
+    dot_general: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         d = x.shape[-1]
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.mlp_dim, dtype=self.dtype,
+                     dot_general=self.dot_general, name="fc1")(x)
         x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(d, dtype=self.dtype,
+                     dot_general=self.dot_general, name="fc2")(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         return x
 
@@ -81,6 +87,7 @@ class MultiHeadSelfAttention(nn.Module):
     # the backbone plumbs ViTConfig.use_flash_attention explicitly.
     use_pallas: bool = False
     interpret_pallas: bool = False
+    dot_general: Any = None  # see MlpBlock
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, output_scores: bool = False,
@@ -94,7 +101,8 @@ class MultiHeadSelfAttention(nn.Module):
         h = self.num_heads
         dh = d // h
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
-            (h, dh), axis=-1, dtype=self.dtype, name=name)
+            (h, dh), axis=-1, dtype=self.dtype,
+            dot_general=self.dot_general, name=name)
         q = dense("query")(x).transpose(0, 2, 1, 3)  # (B, H, T, dh)
         k = dense("key")(x).transpose(0, 2, 1, 3)
         v = dense("value")(x).transpose(0, 2, 1, 3)
@@ -119,7 +127,8 @@ class MultiHeadSelfAttention(nn.Module):
             o = attn_ops.multi_head_attention(
                 q, k, v, use_pallas=True, interpret=self.interpret_pallas)
         o = o.transpose(0, 2, 1, 3)  # (B, T, H, dh)
-        out = nn.DenseGeneral(d, axis=(-2, -1), dtype=self.dtype, name="out")(o)
+        out = nn.DenseGeneral(d, axis=(-2, -1), dtype=self.dtype,
+                              dot_general=self.dot_general, name="out")(o)
         if output_metric:
             return out, scores, k.mean(axis=1)
         return out, scores
@@ -138,6 +147,7 @@ class EncoderBlock(nn.Module):
     gelu_approximate: bool = False
     use_pallas: bool = False  # see MultiHeadSelfAttention
     interpret_pallas: bool = False
+    dot_general: Any = None  # see MlpBlock
 
     @nn.compact
     def __call__(self, x, train: bool = False, output_scores: bool = False):
@@ -149,6 +159,7 @@ class EncoderBlock(nn.Module):
             dropout_rate=self.attention_dropout_rate,
             use_pallas=self.use_pallas,
             interpret_pallas=self.interpret_pallas,
+            dot_general=self.dot_general,
             name="attn",
         )(y, train=train, output_scores=output_scores)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
@@ -157,6 +168,7 @@ class EncoderBlock(nn.Module):
         z = MlpBlock(
             mlp_dim=self.mlp_dim, dropout_rate=self.dropout_rate,
             dtype=self.dtype, gelu_approximate=self.gelu_approximate,
+            dot_general=self.dot_general,
             name="mlp",
         )(z, train=train)
         return x + z, scores
@@ -177,6 +189,7 @@ class ToMeEncoderBlock(nn.Module):
     layer_norm_eps: float = 1e-6
     dtype: Any = jnp.float32
     gelu_approximate: bool = False
+    dot_general: Any = None  # see MlpBlock
 
     @nn.compact
     def __call__(self, x, sizes, *, train: bool = False):
@@ -186,7 +199,7 @@ class ToMeEncoderBlock(nn.Module):
         y, _, metric = MultiHeadSelfAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.attention_dropout_rate,
-            use_pallas=False, name="attn",
+            use_pallas=False, dot_general=self.dot_general, name="attn",
         )(y, train=train, log_size=jnp.log(sizes), output_metric=True)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = x + y
@@ -195,6 +208,7 @@ class ToMeEncoderBlock(nn.Module):
         z = MlpBlock(
             mlp_dim=self.mlp_dim, dropout_rate=self.dropout_rate,
             dtype=self.dtype, gelu_approximate=self.gelu_approximate,
+            dot_general=self.dot_general,
             name="mlp",
         )(z, train=train)
         return x + z, sizes
@@ -208,6 +222,14 @@ class VisionTransformer(nn.Module):
         c = self.config
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
+        if c.gemm_quant not in (None, "int8"):
+            raise ValueError(f"unknown gemm_quant {c.gemm_quant!r}")
+        if c.gemm_quant == "int8":
+            from vit_research_tpu.ops.quant import int8_dot_general
+            qdg = int8_dot_general
+        else:
+            qdg = None
+        self._quant_dot_general = qdg
         self.patch_embed = nn.Conv(
             features=c.hidden_size, kernel_size=(c.patch_size, c.patch_size),
             strides=(c.patch_size, c.patch_size), padding="VALID",
@@ -230,6 +252,7 @@ class VisionTransformer(nn.Module):
                     attention_dropout_rate=c.attention_dropout_rate,
                     layer_norm_eps=c.layer_norm_eps, dtype=dtype,
                     gelu_approximate=c.gelu_approximate,
+                    dot_general=qdg,
                     name=f"block_{i}")
                 for i in range(c.num_layers)
             ]
@@ -248,6 +271,7 @@ class VisionTransformer(nn.Module):
                     gelu_approximate=c.gelu_approximate,
                     use_pallas=c.use_flash_attention,
                     interpret_pallas=self.interpret_pallas,
+                    dot_general=qdg,
                     name=f"block_{i}")
                 for i in range(c.num_layers)
             ]

@@ -276,20 +276,23 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
 def make_hf_frame_embedder(params=None, *, spec=None, mesh=None,
                            batch_size: int = 256, seed: int = 0,
                            interpret_pallas: bool = False,
-                           tome_r: int = 0) -> EmbeddingEngine:
+                           tome_r: int = 0,
+                           gemm_quant: str | None = None) -> EmbeddingEngine:
     """The ``hf_vit_embed_batch`` capability as one engine: ViT-B/16 @224,
     CLS token, L2-normalized (reference: nba_proj/train/training.py:37-60).
     Uses imported HF weights when provided, else the seeded-init contract.
-    ``tome_r`` enables token merging (ops/tome.py; non-parity speed knob —
-    the weight tree is unchanged, so imported/seeded params still load)."""
+    ``tome_r`` enables token merging (ops/tome.py) and ``gemm_quant``
+    int8 encoder GEMMs (ops/quant.py) — non-parity speed knobs; the
+    weight tree is unchanged, so imported/seeded params still load."""
     import dataclasses
 
     from vit_research_tpu.data.preprocess import HF_VIT_SPEC
     from vit_research_tpu.models.hf_import import HF_VIT_B16_224
     from vit_research_tpu.models.vit import init_vit
 
-    cfg = (dataclasses.replace(HF_VIT_B16_224, tome_r=tome_r)
-           if tome_r else HF_VIT_B16_224)
+    cfg = (dataclasses.replace(HF_VIT_B16_224, tome_r=tome_r,
+                               gemm_quant=gemm_quant)
+           if (tome_r or gemm_quant) else HF_VIT_B16_224)
     model, init_params = init_vit(cfg, seed=seed,
                                   interpret_pallas=interpret_pallas)
     return EmbeddingEngine(

@@ -108,6 +108,12 @@ class ViTConfig(_Serializable):
     # at ViT-B/16 @224 (197 tokens): r=8 keeps ~2/3 of tokens by the last
     # block, r=13 keeps ~1/3.
     tome_r: int = 0
+    # Dynamic int8 quantization of the encoder-block GEMMs
+    # (ops/quant.py): 'int8' runs qkv/out/mlp contractions as s8xs8->s32
+    # on the MXU (2x bf16 peak on v5e) with per-token/per-channel scales.
+    # None = off (the parity default — quantization perturbs outputs).
+    # Composes with tome_r. Parameter tree is unchanged.
+    gemm_quant: str | None = None
 
     @property
     def grid(self) -> tuple:
