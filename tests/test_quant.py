@@ -69,6 +69,38 @@ class TestInt8DotGeneral:
         out = int8_dot_general(x, w, (((1,), (0,)), ((), ())))
         assert out.dtype == jnp.bfloat16
 
+    def test_straight_through_gradients(self):
+        # round/clip would zero every gradient; the STE backward must
+        # instead match the unquantized dot's gradients exactly.
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(5, 24)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(24, 12)) * 0.1, jnp.float32)
+        dn = (((1,), (0,)), ((), ()))
+
+        def loss_q(x, w):
+            return jnp.sum(jnp.sin(int8_dot_general(x, w, dn)))
+
+        def loss_f(x, w):
+            return jnp.sum(jnp.sin(lax.dot_general(x, w, dn)))
+
+        gq = jax.grad(loss_q, argnums=(0, 1))(x, w)
+        gf = jax.grad(loss_f, argnums=(0, 1))(x, w)
+        for a, b in zip(gq, gf):
+            assert float(jnp.linalg.norm(a)) > 0
+            # sin' is evaluated at the (slightly different) quantized
+            # primal, so allow a small relative difference.
+            assert _rel_err(a, b) < 0.1
+
+    def test_gradients_flow_through_multi_axis(self):
+        rng = np.random.default_rng(5)
+        o = jnp.asarray(rng.normal(size=(2, 7, 4, 8)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(4, 8, 16)) * 0.1, jnp.float32)
+        dn = (((2, 3), (0, 1)), ((), ()))
+        g = jax.grad(lambda a, b: jnp.sum(int8_dot_general(a, b, dn) ** 2),
+                     argnums=(0, 1))(o, w)
+        assert g[0].shape == o.shape and g[1].shape == w.shape
+        assert all(float(jnp.linalg.norm(x)) > 0 for x in g)
+
     def test_batch_dims_unsupported(self):
         x = jnp.ones((2, 3, 4))
         w = jnp.ones((2, 4, 5))
@@ -109,3 +141,42 @@ class TestQuantizedViT:
     def test_unknown_mode_rejected(self):
         with pytest.raises(ValueError, match="gemm_quant"):
             init_vit(self._small(gemm_quant="fp8"), seed=0)
+
+    def test_quantization_aware_training_reduces_loss(self):
+        # The STE backward makes the int8 backbone trainable end-to-end:
+        # a few joint-train steps on one batch must reduce the loss
+        # (without the STE every GEMM gradient would be zero and the
+        # loss would only move through the LN/bias/head params).
+        import optax
+
+        from vit_research_tpu.models.heads import ProjectionHead, RAGHead
+        from vit_research_tpu.train.train_step import make_joint_train_step
+        from vit_research_tpu.utils.configs import HeadConfig
+
+        cfg = dataclasses.replace(
+            self._small(gemm_quant="int8"), image_size=(32, 32),
+            patch_size=8, num_layers=1)
+        vit, vit_params = init_vit(cfg, seed=0)
+        proj = ProjectionHead(input_dim=96, hidden_dim=32, proj_dim=16)
+        head = RAGHead(HeadConfig(embed_dim=16, num_layers=1, num_heads=2,
+                                  num_queries=2))
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(rng.uniform(size=(4, 2, 32, 32, 3)), jnp.float32)
+        retrieved = jnp.asarray(rng.normal(size=(4, 3, 16)), jnp.float32)
+        labels = jnp.asarray([0, 1, 0, 1], jnp.float32)
+        key = jax.random.PRNGKey(0)
+        params = {
+            "vit": vit_params,
+            "proj": proj.init(key, jnp.zeros((1, 96))),
+            "head": head.init(key, jnp.zeros((1, 16)),
+                              jnp.zeros((1, 3, 16))),
+        }
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+        step = make_joint_train_step(vit, proj, head, tx)
+        first = None
+        for _ in range(15):
+            params, opt_state, loss = step(params, opt_state, frames,
+                                           retrieved, labels)
+            first = first if first is not None else float(loss)
+        assert float(loss) < first * 0.8

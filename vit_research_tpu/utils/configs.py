@@ -110,9 +110,11 @@ class ViTConfig(_Serializable):
     tome_r: int = 0
     # Dynamic int8 quantization of the encoder-block GEMMs
     # (ops/quant.py): 'int8' runs qkv/out/mlp contractions as s8xs8->s32
-    # on the MXU (2x bf16 peak on v5e) with per-token/per-channel scales.
-    # None = off (the parity default — quantization perturbs outputs).
-    # Composes with tome_r. Parameter tree is unchanged.
+    # on the MXU with per-token/per-channel scales and straight-through
+    # gradients (QAT). None = off (the parity default — quantization
+    # perturbs outputs). At ViT-B embed shapes throughput ties bf16
+    # (BENCH_NOTES.md); use for QAT / GEMM-dominated configs. Composes
+    # with tome_r. Parameter tree is unchanged.
     gemm_quant: str | None = None
 
     @property
