@@ -171,6 +171,96 @@ def test_concurrent_clients(server, tmp_path):
     assert not errs
 
 
+class _CountingEngine:
+    """Wraps an engine, counting embed_batch invocations."""
+
+    def __init__(self, engine):
+        self._engine = engine
+        self.calls = 0
+
+    def __getattr__(self, name):
+        return getattr(self._engine, name)
+
+    def embed_batch(self, batch):
+        self.calls += 1
+        return self._engine.embed_batch(batch)
+
+
+def test_coalescer_merges_concurrent_requests(engine, tmp_path):
+    """Concurrent small embed requests within the linger window run as
+    ONE device batch (cross-request micro-batching), with per-request
+    rows identical to direct embedding."""
+    counting = _CountingEngine(engine)
+    srv = EmbedServer(counting, coalesce_ms=200.0)
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 32, 32, 3)).astype(np.uint8)
+    direct = engine.embed_batch(frames)
+    counting.calls = 0
+
+    results, errs = {}, []
+
+    def client(i):
+        try:
+            results[i] = srv._coalescer.embed(frames[i:i + 1])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errs
+    assert counting.calls == 1  # 4 requests -> one padded device batch
+    for i in range(4):
+        np.testing.assert_allclose(results[i][0], direct[i], atol=1e-6)
+
+
+def test_coalescer_full_batch_skips_linger(engine):
+    """A request already holding >= batch_size frames must dispatch
+    immediately — the linger is only for filling partial batches."""
+    import time as _time
+
+    counting = _CountingEngine(engine)
+    srv = EmbedServer(counting, coalesce_ms=5000.0)
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 256, size=(4, 32, 32, 3)).astype(np.uint8)
+    t0 = _time.monotonic()
+    out = srv._coalescer.embed(frames)  # == engine batch_size (4)
+    assert _time.monotonic() - t0 < 4.0  # did not sleep the 5 s linger
+    assert out.shape == (4, engine.out_dim)
+
+
+def test_coalescer_propagates_errors(engine):
+    srv = EmbedServer(engine, coalesce_ms=1.0)
+    with pytest.raises(Exception):
+        # Wrong rank: engine.embed_batch raises inside the worker; the
+        # error must surface on the caller, not kill the worker thread.
+        srv._coalescer.embed(np.zeros((2, 7), np.uint8))
+    # Worker survives and still serves good requests.
+    out = srv._coalescer.embed(
+        np.zeros((1, 32, 32, 3), np.uint8))
+    assert out.shape == (1, engine.out_dim)
+
+
+def test_coalesce_disabled_path(engine, tmp_path):
+    srv = EmbedServer(engine, coalesce_ms=0)
+    assert srv._coalescer is None
+    sock = str(tmp_path / "nc.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    try:
+        paths = _write_frames(tmp_path, n=2)
+        resp = request(sock, {"op": "embed", "paths": paths})
+        assert resp["ok"] and len(resp["embeddings"]) == 2
+    finally:
+        srv.stop()
+        t.join(timeout=10)
+
+
 def test_shutdown_op(engine, tmp_path):
     srv = EmbedServer(engine)
     sock = str(tmp_path / "s.sock")

@@ -228,7 +228,7 @@ def cmd_serve(args):
             print(f"collection {args.collection} sharded over "
                   f"{mesh.devices.size} device(s)", flush=True)
     server = EmbedServer(_engine(batch_size=args.batch_size),
-                         collection=coll)
+                         collection=coll, coalesce_ms=args.coalesce_ms)
     print(f"serving on {args.socket}"
           + (f" (collection {args.collection})" if coll else ""),
           flush=True)
@@ -1345,6 +1345,10 @@ def main(argv=None):
                     help="shard the collection's device corpus across "
                          "all local chips (exact results; >1-chip-HBM "
                          "capacity — ops/sharded_topk.py)")
+    sv.add_argument("--coalesce-ms", type=float, default=2.0,
+                    help="micro-batch concurrent embed requests arriving "
+                         "within this window into one device batch "
+                         "(0 disables)")
     sv.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -23,6 +23,15 @@ Concurrency: requests are parsed on per-connection threads; device work
 is serialized by a lock (one chip, one engine — batching inside
 ``embed_batch`` already pipelines sub-batches). Malformed requests get
 ``{"ok": false, "error": ...}`` instead of killing the connection.
+
+Cross-request micro-batching: the engine pads every device batch to its
+static size, so N concurrent small requests would otherwise each pay a
+full padded forward. A coalescer thread gathers requests that arrive
+within ``coalesce_ms`` of each other (or until a full batch of frames
+is pending) and runs them as ONE device batch, splitting the outputs
+back per request — the standard dynamic-batching serving pattern. The
+linger only delays a request while the batch is filling, a few ms
+against the ~tens-of-ms device round trip; ``coalesce_ms=0`` disables.
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ import os
 import socket
 import socketserver
 import threading
+import time
 
 import numpy as np
 
@@ -52,13 +62,81 @@ def _decode_b64_frames(frames_b64, spec) -> np.ndarray:
     return load_frames(imgs, spec)
 
 
+class _Coalescer:
+    """Cross-request micro-batcher (see module docstring).
+
+    Each :meth:`embed` call parks its frames in ``_pending`` and blocks;
+    the worker thread lingers up to ``linger_s`` from the first pending
+    arrival (or until a full engine batch of frames is waiting), then
+    concatenates everything into one ``embed_batch`` call under the
+    device lock and fans the rows back out."""
+
+    def __init__(self, engine, device_lock, linger_s: float):
+        self.engine = engine
+        self.device_lock = device_lock
+        self.linger_s = linger_s
+        self._pending = []  # [(frames, event, slot)]
+        self._mutex = threading.Lock()
+        self._arrived = threading.Condition(self._mutex)
+        self.batches_run = 0  # observability + tests
+        threading.Thread(target=self._run, daemon=True,
+                         name="serve-coalescer").start()
+
+    def embed(self, frames: np.ndarray) -> np.ndarray:
+        done = threading.Event()
+        slot = {}
+        with self._mutex:
+            self._pending.append((frames, done, slot))
+            self._arrived.notify()
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["out"]
+
+    def _run(self):
+        while True:
+            with self._mutex:
+                while not self._pending:
+                    self._arrived.wait()
+            deadline = time.monotonic() + self.linger_s
+            while True:
+                with self._mutex:
+                    if (sum(len(f) for f, _, _ in self._pending)
+                            >= self.engine.batch_size):
+                        break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                time.sleep(min(remaining, 1e-3))
+            with self._mutex:
+                work, self._pending = self._pending, []
+            frames = (work[0][0] if len(work) == 1 else
+                      np.concatenate([w[0] for w in work]))
+            try:
+                with self.device_lock:
+                    out = self.engine.embed_batch(frames)
+                self.batches_run += 1
+                i = 0
+                for f, done, slot in work:
+                    slot["out"] = out[i:i + len(f)]
+                    i += len(f)
+            except Exception as e:
+                for _, done, slot in work:
+                    slot["error"] = e
+            finally:
+                for _, done, slot in work:
+                    done.set()
+
+
 class EmbedServer:
     """Warm-engine embedding (+ optional retrieval) server."""
 
-    def __init__(self, engine, *, collection=None):
+    def __init__(self, engine, *, collection=None, coalesce_ms: float = 2.0):
         self.engine = engine
         self.collection = collection
         self._lock = threading.Lock()  # serialize device work
+        self._coalescer = (_Coalescer(engine, self._lock, coalesce_ms / 1e3)
+                           if coalesce_ms > 0 else None)
         self._server = None
 
     # ---- request handling -------------------------------------------------
@@ -78,6 +156,8 @@ class EmbedServer:
             batch = _decode_b64_frames(req["frames_b64"], self.engine.spec)
         else:
             raise ValueError("embed needs 'paths' or 'frames_b64'")
+        if self._coalescer is not None:
+            return self._coalescer.embed(batch)
         with self._lock:
             return self.engine.embed_batch(batch)
 
