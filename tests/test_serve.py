@@ -243,6 +243,56 @@ def test_coalescer_propagates_errors(engine):
     assert out.shape == (1, engine.out_dim)
 
 
+def test_coalescer_survives_mismatched_concurrent_shapes(engine):
+    """A failed np.concatenate of two coalesced requests must fail THOSE
+    requests and leave the worker alive — not strand later requests in
+    done.wait() forever."""
+    srv = EmbedServer(engine, coalesce_ms=200.0)
+    results = {}
+
+    def client(i, shape):
+        try:
+            results[i] = srv._coalescer.embed(np.zeros(shape, np.uint8))
+        except Exception as e:
+            results[i] = e
+
+    threads = [
+        threading.Thread(target=client, args=(0, (1, 32, 32, 3))),
+        threading.Thread(target=client, args=(1, (1, 16, 16, 3))),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert len(results) == 2  # neither client hung
+    assert any(isinstance(r, Exception) for r in results.values())
+    # Worker alive: a fresh good request completes.
+    out = srv._coalescer.embed(np.zeros((1, 32, 32, 3), np.uint8))
+    assert out.shape == (1, engine.out_dim)
+
+
+def test_coalescer_large_request_bypasses_merge(engine):
+    """Requests already >= the engine batch size dispatch directly (no
+    concatenate copy, no linger) and don't enter the pending queue."""
+    counting = _CountingEngine(engine)
+    srv = EmbedServer(counting, coalesce_ms=5000.0)
+    frames = np.zeros((engine.batch_size + 1, 32, 32, 3), np.uint8)
+    out = srv._coalescer.embed(frames)
+    assert out.shape == (engine.batch_size + 1, engine.out_dim)
+    assert counting.calls == 1
+    assert not srv._coalescer._pending
+
+
+def test_stop_reaps_coalescer_worker(engine):
+    srv = EmbedServer(engine, coalesce_ms=1.0)
+    worker = srv._coalescer._thread
+    assert worker.is_alive()
+    srv.stop()  # no serve() running: must still close the coalescer
+    assert not worker.is_alive()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        srv._coalescer.embed(np.zeros((1, 32, 32, 3), np.uint8))
+
+
 def test_coalesce_disabled_path(engine, tmp_path):
     srv = EmbedServer(engine, coalesce_ms=0)
     assert srv._coalescer is None

@@ -1,7 +1,8 @@
 """Dynamic int8 quantization for the transformer GEMMs (opt-in).
 
-TPU v5e's MXU runs int8 matmuls ~1.8x faster than bf16 (measured 307
-vs 168 TFLOP/s at the ViT-B MLP shape, BENCH_NOTES.md). This module
+TPU v5e's MXU runs int8 matmuls ~1.8x faster than bf16 (measured
+307 TOP/s vs 168 TFLOP/s at the ViT-B MLP shape, BENCH_NOTES.md). This
+module
 provides ``int8_dot_general`` — a drop-in for ``jax.lax.dot_general``
 that dynamically quantizes both operands to symmetric int8 (per-token
 activation scales, per-output-channel weight scales), runs the

@@ -78,14 +78,26 @@ class _Coalescer:
         self._pending = []  # [(frames, event, slot)]
         self._mutex = threading.Lock()
         self._arrived = threading.Condition(self._mutex)
+        self._closed = False
         self.batches_run = 0  # observability + tests
-        threading.Thread(target=self._run, daemon=True,
-                         name="serve-coalescer").start()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="serve-coalescer")
+        self._thread.start()
 
     def embed(self, frames: np.ndarray) -> np.ndarray:
+        if len(frames) >= self.engine.batch_size:
+            # A full batch gains nothing from merging, and concatenating
+            # it with others would copy gigabytes ahead of embed_batch's
+            # own OOM-aware sub-batching — dispatch it directly.
+            with self.device_lock:
+                out = self.engine.embed_batch(frames)
+            self.batches_run += 1
+            return out
         done = threading.Event()
         slot = {}
         with self._mutex:
+            if self._closed:
+                raise RuntimeError("server is shutting down")
             self._pending.append((frames, done, slot))
             self._arrived.notify()
         done.wait()
@@ -93,26 +105,38 @@ class _Coalescer:
             raise slot["error"]
         return slot["out"]
 
+    def close(self):
+        """Stop the worker (drains already-queued requests first)."""
+        with self._mutex:
+            self._closed = True
+            self._arrived.notify()
+        self._thread.join(timeout=30)
+
     def _run(self):
         while True:
             with self._mutex:
-                while not self._pending:
+                while not self._pending and not self._closed:
                     self._arrived.wait()
-            deadline = time.monotonic() + self.linger_s
-            while True:
-                with self._mutex:
-                    if (sum(len(f) for f, _, _ in self._pending)
-                            >= self.engine.batch_size):
+                if not self._pending:  # closed and drained
+                    return
+                # Linger (condition-wait, so arrivals wake us instantly)
+                # until a full batch of frames is pending or the window
+                # closes.
+                deadline = time.monotonic() + self.linger_s
+                while (not self._closed
+                       and sum(len(f) for f, _, _ in self._pending)
+                       < self.engine.batch_size):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
                         break
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                time.sleep(min(remaining, 1e-3))
-            with self._mutex:
+                    self._arrived.wait(timeout=remaining)
                 work, self._pending = self._pending, []
-            frames = (work[0][0] if len(work) == 1 else
-                      np.concatenate([w[0] for w in work]))
             try:
+                # Inside the try: a failed concatenate (shape mismatch,
+                # MemoryError) must fail THESE requests, not kill the
+                # worker and strand every later embed in done.wait().
+                frames = (work[0][0] if len(work) == 1 else
+                          np.concatenate([w[0] for w in work]))
                 with self.device_lock:
                     out = self.engine.embed_batch(frames)
                 self.batches_run += 1
@@ -252,6 +276,8 @@ class EmbedServer:
     def stop(self):
         if self._server is not None:
             self._server.shutdown()
+        if self._coalescer is not None:
+            self._coalescer.close()
 
 
 def request(socket_path: str, req: dict, timeout: float = 60.0) -> dict:
