@@ -142,6 +142,51 @@ class TestQuantizedViT:
         with pytest.raises(ValueError, match="gemm_quant"):
             init_vit(self._small(gemm_quant="fp8"), seed=0)
 
+    def test_int8_dot_under_dp_mesh_is_bit_exact(self):
+        # The quantized dot itself is batch-sharding-invariant: per-row
+        # activation scales (max|x| over the contracted axis) and the
+        # integer multiply-accumulate are order-independent, so sharding
+        # the row axis over the 8-device mesh must reproduce the
+        # single-device result bit-for-bit.
+        import jax.sharding as shd
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.normal(size=(16, 12, 64)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(64, 48)) * 0.05, jnp.float32)
+        dn = (((2,), (0,)), ((), ()))
+        f = jax.jit(lambda a, b: int8_dot_general(a, b, dn))
+        single = np.asarray(f(x, w))
+
+        mesh = shd.Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+        x_s = jax.device_put(
+            x, shd.NamedSharding(mesh, shd.PartitionSpec("data")))
+        w_r = jax.device_put(w, shd.NamedSharding(mesh, shd.PartitionSpec()))
+        np.testing.assert_array_equal(np.asarray(f(x_s, w_r)), single)
+
+    def test_int8_forward_under_dp_mesh_tracks_single_device(self):
+        # Full-model DP forward: NOT bit-exact, because the partitioned
+        # program fuses the f32 pre-GEMM math (LayerNorm etc.) differently,
+        # and ~1e-7 input wobble flips int8 rounding at bucket boundaries;
+        # a handful of +-1-bucket flips compound through the layers.
+        # What we pin: the sharded result stays within a small fraction of
+        # the model's own quantization error vs f32 (>= 1e-1 rel).
+        import jax.sharding as shd
+
+        cfg = self._small(gemm_quant="int8")
+        model, params = init_vit(cfg, seed=0)
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.uniform(size=(8, 96, 96, 3)), jnp.float32)
+        f = jax.jit(lambda p, x: model.apply(p, x)["pre_logits"])
+        single = np.asarray(f(params, img))
+
+        mesh = shd.Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+        img_s = jax.device_put(
+            img, shd.NamedSharding(mesh, shd.PartitionSpec("data")))
+        params_r = jax.device_put(
+            params, shd.NamedSharding(mesh, shd.PartitionSpec()))
+        sharded = np.asarray(f(params_r, img_s))
+        assert _rel_err(jnp.asarray(sharded), jnp.asarray(single)) < 2e-2
+
     def test_quantization_aware_training_reduces_loss(self):
         # The STE backward makes the int8 backbone trainable end-to-end:
         # a few joint-train steps on one batch must reduce the loss
