@@ -35,6 +35,36 @@ def test_manual_intervals_csv_roundtrip(tmp_path):
     assert mi2.class_from_frame("vid3_frame_15.jpg") == "ignore"
 
 
+def test_manual_intervals_skips_malformed_cells(tmp_path):
+    # Ragged/NaN-ish cells (reference CSVs have them) must be skipped,
+    # not crash the load — including a malformed END token ('nan').
+    p = str(tmp_path / "manual_intervals.csv")
+    with open(p, "w") as f:
+        f.write("left_start,left_end,right_start,right_end,"
+                "none_start,none_end\n")
+        f.write("vid1_5,nan,vid1_10,vid1_20,,\n")
+        f.write("vid1_30,vid1_40,nan,vid1_50,vid2_1,vid2_9\n")
+    mi = labels_mod.ManualIntervals.from_csv(p)
+    assert mi.intervals["left"] == [(1, 30, 40)]
+    assert mi.intervals["right"] == [(1, 10, 20)]
+    assert mi.intervals["none"] == [(2, 1, 9)]
+
+
+def test_load_samples_ignores_stray_files_in_clip_dirs(tmp_path):
+    # A .DS_Store (or notes.txt) inside a clip dir must not crash the
+    # scan or inflate num_frames / skew t_norm.
+    import os
+
+    template, clip_labels, events = synthetic.make_mini_dataset(
+        str(tmp_path), vids=(1,), clips_per_vid=1, frames_per_clip=4)
+    clip_dir = next(iter(clip_labels))
+    open(os.path.join(clip_dir, ".DS_Store"), "w").close()
+    open(os.path.join(clip_dir, "notes.txt"), "w").close()
+    recs = samples.load_samples((1,), template, clip_labels, events)
+    assert len(recs) == 4
+    assert recs[-1]["t_norm"] == 1.0  # num_frames not inflated by strays
+
+
 def test_clip_labels_roundtrip(tmp_path):
     p = str(tmp_path / "clips_label.csv")
     labels_mod.save_clip_labels({"/a/clip0": 1, "/a/clip1": -1}, p)

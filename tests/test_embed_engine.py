@@ -77,6 +77,26 @@ def test_sharded_mesh_matches_single_device(model_params):
     np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_token_endpoint_under_mesh(model_params):
+    # Regression: out_shardings/out_dim used to hardcode rank-2 output,
+    # breaking non-pooled endpoints ('encoded_tokens' is (B, T, D)).
+    model, params = model_params
+    mesh = make_mesh((8,), ("data",))
+    eng = EmbeddingEngine(model, params, SPEC, mesh=mesh, batch_size=8,
+                          endpoint="encoded_tokens", l2_normalize=False,
+                          use_fused_patch_embed=False)
+    out = eng.embed_batch(rand_batch(8))
+    assert out.shape == (8, 17, 64)  # CLS + 4x4 patches
+    assert eng.out_trailing == (17, 64) and eng.out_dim == 64
+    single = EmbeddingEngine(model, params, SPEC, batch_size=8,
+                             endpoint="encoded_tokens", l2_normalize=False,
+                             use_fused_patch_embed=False)
+    np.testing.assert_allclose(out, single.embed_batch(rand_batch(8)),
+                               atol=1e-4)
+    # the N == 0 fallback keeps the endpoint's rank too
+    assert eng.embed_paths([]).shape == (0, 17, 64)
+
+
 def test_embed_paths_pipeline(tmp_path, model_params):
     from vit_research_tpu.data import synthetic
 

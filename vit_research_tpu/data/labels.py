@@ -53,7 +53,8 @@ class ManualIntervals:
                 for side in SIDES:
                     start = (row.get(f"{side}_start") or "").strip()
                     end = (row.get(f"{side}_end") or "").strip()
-                    if not start or not end or "_" not in start:
+                    if (not start or not end
+                            or "_" not in start or "_" not in end):
                         continue
                     vid, s = cls._parse_token(start)
                     _, e = cls._parse_token(end)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import concurrent.futures as _fut
 import functools
 import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -166,9 +167,24 @@ def load_frames(paths, spec: PreprocessSpec = HF_VIT_SPEC,
         for item in enumerate(paths):
             work(item)
     else:
-        with _fut.ThreadPoolExecutor(num_workers) as pool:
-            list(pool.map(work, enumerate(paths)))
+        # Reused across calls: load_frames runs once per batch in the
+        # embedding hot loop, so per-call pool spawn/join is pure churn.
+        list(_decode_pool(num_workers).map(work, enumerate(paths)))
     return out
+
+
+_decode_pools: dict[int, "_fut.ThreadPoolExecutor"] = {}
+_decode_pools_lock = threading.Lock()
+
+
+def _decode_pool(num_workers: int) -> "_fut.ThreadPoolExecutor":
+    with _decode_pools_lock:
+        pool = _decode_pools.get(num_workers)
+        if pool is None:
+            pool = _fut.ThreadPoolExecutor(
+                num_workers, thread_name_prefix="vrt-decode")
+            _decode_pools[num_workers] = pool
+        return pool
 
 
 def normalize_host(batch_u8: np.ndarray, spec: PreprocessSpec) -> np.ndarray:

@@ -59,7 +59,7 @@ def load_samples(
         clips = clips[start_clip:end_clip]
         for clip in clips:
             clip_path = os.path.join(clip_root, clip)
-            frames = sorted(os.listdir(clip_path), key=naming.frame_sort_key)
+            frames = naming.list_frames(clip_path)
             clip_vid, clip_num, side = naming.parse_clip_dir(clip)
             label = clip_labels.get(clip_path, -1)
             events = event_template.get(clip_path, {})

@@ -85,7 +85,14 @@ def make_mini_dataset(tmpdir: str, vids=(1, 2), clips_per_vid: int = 3,
                       frames_per_clip: int = 16, size=(48, 64)):
     """Clip dirs + labels + event templates for chunk-pipeline tests.
 
-    Returns (clip_root_template, clip_labels, event_template)."""
+    Returns (clip_root_template, clip_labels, event_template).
+
+    CAVEAT: the default labeling is degenerate on purpose-of-simplicity —
+    ``label = clip % 2 = side``, so make/miss is perfectly predictable
+    from the side tint. Fine for structural tests (shapes, metadata,
+    plumbing), but any test that *trains* on this world and asserts
+    accuracy must relabel first (see tests/test_cli.py's relabel helper)
+    or the model can pass by reading the side feature."""
     clip_labels = {}
     event_template = {}
     for vid in vids:

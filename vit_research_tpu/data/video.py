@@ -53,8 +53,11 @@ def extract_frames(video_path: str, out_dir: str, vid: int, *,
         if not ok:
             break
         i += 1
-        if frame_range and not (frame_range[0] <= i <= frame_range[1]):
-            continue
+        if frame_range:
+            if i > frame_range[1]:
+                break  # don't decode the rest of a 2-hour broadcast
+            if i < frame_range[0]:
+                continue
         if (i - 1) % every:
             continue
         h, w = size

@@ -55,7 +55,8 @@ def initialize(coordinator_address: str | None = None,
     if process_id is None and os.environ.get(_ENV_PID):
         process_id = int(os.environ[_ENV_PID])
     if coordinator_address is None and num_processes in (None, 1):
-        if auto or os.environ.get("VRT_AUTO_CLUSTER"):
+        env_auto = os.environ.get("VRT_AUTO_CLUSTER", "").strip().lower()
+        if auto or env_auto not in ("", "0", "false", "no", "off"):
             jax.distributed.initialize()  # JAX cluster auto-detection
             return jax.process_count() > 1
         return False  # single process, nothing to do

@@ -23,8 +23,6 @@ writers store raw ``pre_logits``).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,11 +50,6 @@ class EmbeddingEngine:
         self.interpret = interpret_pallas
         c = model.config
         self.grid = (spec.size[0] // c.patch_size, spec.size[1] // c.patch_size)
-        #: output embedding width (keeps the (N, D) contract for N == 0)
-        self.out_dim = (c.representation_size
-                        if endpoint == "pre_logits"
-                        and c.representation_size is not None
-                        and c.pooler != "none" else c.hidden_size)
 
         if mesh is not None:
             n_data = mesh.shape["data"]
@@ -64,13 +57,26 @@ class EmbeddingEngine:
             batch_size = mesh_lib.pad_to_multiple(batch_size, n_data)
         self.batch_size = batch_size
 
-        fn = functools.partial(self._forward)
+        # Derive the output shape abstractly (no compile): token endpoints
+        # ('encoded_tokens', or 'pooled' with pooler='none') are rank 3,
+        # pooled ones rank 2 — the sharding rank and the N == 0 fallback
+        # shape must follow the endpoint, not assume (N, D).
+        out_aval = jax.eval_shape(
+            self._forward, params,
+            jax.ShapeDtypeStruct(
+                (batch_size, spec.size[0], spec.size[1], 3), jnp.uint8))
+        #: per-example output shape (keeps the (N, ...) contract for N == 0)
+        self.out_trailing = tuple(out_aval.shape[1:])
+        #: output embedding width (last axis)
+        self.out_dim = self.out_trailing[-1]
+
         if mesh is not None:
             in_sh = (mesh_lib.replicated(mesh), mesh_lib.data_sharding(mesh, 4))
-            out_sh = mesh_lib.data_sharding(mesh, 2)
-            self._jitted = jax.jit(fn, in_shardings=in_sh, out_shardings=out_sh)
+            out_sh = mesh_lib.data_sharding(mesh, len(out_aval.shape))
+            self._jitted = jax.jit(self._forward,
+                                   in_shardings=in_sh, out_shardings=out_sh)
         else:
-            self._jitted = jax.jit(fn)
+            self._jitted = jax.jit(self._forward)
 
     # ------------------------------------------------------------- forward
 
@@ -139,7 +145,7 @@ class EmbeddingEngine:
         import threading
 
         if len(paths) == 0:
-            return np.zeros((0, self.out_dim), np.float32)
+            return np.zeros((0, *self.out_trailing), np.float32)
 
         if prefetch <= 0:
             batches = (_timed_load(paths[s:s + self.batch_size], self.spec,
@@ -215,7 +221,7 @@ class EmbeddingEngine:
             with profiling.span("embed.readback"):
                 outs.append(np.asarray(dev_out)[:n])
         return (np.concatenate(outs, axis=0) if outs
-                else np.zeros((0, self.out_dim), np.float32))
+                else np.zeros((0, *self.out_trailing), np.float32))
 
 
 def _timed_load(paths, spec, num_workers, use_native):
@@ -246,6 +252,8 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
 
     Returns (N, D) embeddings aligned with ``paths``.
     """
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
     n = len(paths)
     if n == 0:
         return np.zeros((0, engine.out_dim), np.float32)
