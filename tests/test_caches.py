@@ -123,9 +123,10 @@ def test_stage2_diff_branch_excludes_unlabeled():
              "t_center": 0.3, "start_idx": 8}
         if i != 1:
             m["label"] = lbl
-        # i == 1 has NO label key at all (unlabeled candidate).
+        # i == 1 has NO label key at all (unlabeled candidate);
+        # normalize_meta (applied by _query in production) maps it to -1.
         cands.append({"emb": np.full(4, float(i + 1), np.float32),
-                      "meta": m})
+                      "meta": CS.normalize_meta(m)})
     embs, metas = _select_branch(cands, q_meta, want="diff", k=3, dim=4)
     # Only the label-0 candidate qualifies; unlabeled and same-label don't.
     assert (embs[0] == 1.0).all()
@@ -182,7 +183,10 @@ def test_future_lookup():
     fut = CS.build_future_lookup(chunks, future_step=2)
     keys = [CS.make_chunk_key(c) for c in chunks]
     assert fut[keys[0]] == keys[2]
-    assert fut[keys[3]] is None and fut[keys[4]] is None
+    # End-of-clip chunks clamp to the last chunk (reference
+    # min(idx+step, last)) — never None/zero, which would cosine-match
+    # everything at 0.0 and fill the temporal branch with garbage.
+    assert fut[keys[3]] == keys[4] and fut[keys[4]] == keys[4]
 
 
 def test_stage2_cache_branches(tmp_path):
@@ -199,9 +203,12 @@ def test_stage2_cache_branches(tmp_path):
     assert entry["temporal_embs"].shape == (2, D)
     # sim = same side + same label; contrast = same side + different label.
     for m in entry["sim_meta"]:
+        # Uniform normalized schema: every row (real or PAD) has the
+        # same vid/clip keys (reference normalized metas the same way).
+        assert set(m) == set(CS.PAD_META)
         if m["label"] != -1:
             assert m["label"] == q["label"] and m["side"] == q["side"]
-            assert not (m["vid_num"] == q["vid"] and m["clip_num"] == q["clip"]
+            assert not (m["vid"] == q["vid"] and m["clip"] == q["clip"]
                         and m["start_idx"] == q["start_idx"])
     for m in entry["contrast_meta"]:
         if m["label"] != -1:
@@ -224,3 +231,98 @@ def test_stage2_cache_branches(tmp_path):
     # Pickle roundtrip.
     loaded = CS.load_cache(str(tmp_path / "cache.pkl"))
     assert len(loaded) == len(cache)
+
+
+def test_coarse_time_bin_float32_roundtrip_stable():
+    # Build keys come from float64 chunk dicts; lookups come through
+    # chunk_metadata_batch's float32 columns. Bins must agree anyway.
+    for t in [0.2, 0.3, 0.7, 0.1, 0.9, 0.35, 0.6000001]:
+        assert (CB.coarse_time_bin(t)
+                == CB.coarse_time_bin(float(np.float32(t)))), t
+
+
+def test_greedy_accepts_plain_dict_state():
+    cands = [{"sig": (v, "left", 0.1 * v), "vid": v, "t_center": 0.1 * v,
+              "base_score": -v, "label": 1, "emb": np.zeros(4)}
+             for v in range(5)]
+    kept = CB.greedy_select_candidates(
+        cands, 3, Counter(), max_per_video=1, max_global_appearances=5,
+        min_time_gap=0.0, video_counts={}, video_times={})
+    assert [c["vid"] for c in kept] == [0, 1, 2]
+
+
+def test_stage2_end_of_clip_temporal_branch_uses_clamped_future():
+    chunks, col = build_world()
+    cache = CS.build_stage2_cache(
+        chunks, embed_anchor, col, k_sim=2, k_contrast=2, k_temporal=2,
+        future_step=2, search_k_content=32, search_k_temporal=16)
+    # The LAST chunk of a clip: its future clamps to itself, so the
+    # temporal query embedding is its own (nonzero) embedding — never
+    # the zero vector (which would return arbitrary rows in cosine).
+    last = [c for c in chunks if c["vid"] == 1 and c["clip"] == 0][-1]
+    entry = cache[CS.make_chunk_key(last)]
+    np.testing.assert_allclose(entry["future_emb"], embed_anchor(last),
+                               atol=1e-6)
+    assert np.abs(entry["future_emb"]).max() > 0
+
+
+def test_stage2_temporal_branch_survives_labelless_collection(tmp_path):
+    # A collection written without labels must not crash the batch
+    # stack (the temporal branch admits label-less candidates).
+    chunks, _ = build_world(n_vids=2, clips_per_vid=1, chunks_per_clip=4)
+    col = Collection("nolabel", space="cosine")
+    ids, embs, metas = [], [], []
+    for ch in chunks:
+        ids.append(f"v{ch['vid']}s{ch['start_idx']}")
+        embs.append(embed_anchor(ch))
+        metas.append({"vid_num": ch["vid"], "clip_num": ch["clip"],
+                      "side": ch["side"], "t_center": ch["t_center"],
+                      "t_width": ch["t_width"],
+                      "start_idx": ch["start_idx"],
+                      "end_idx": ch["end_idx"]})
+    col.upsert(ids, np.stack(embs), metas)
+    cache = CS.build_stage2_cache(
+        chunks, embed_anchor, col, k_sim=2, k_contrast=2, k_temporal=2,
+        future_step=1, search_k_content=16, search_k_temporal=8)
+    batch = CS.fetch_cache_batch(cache, chunks[:2])  # must not KeyError
+    assert batch["temporal_labels"].shape == (2, 2)
+    # contrast branch excludes unlabeled candidates entirely
+    assert (batch["contrast_labels"] == -1).all()
+
+
+def test_stage2_partial_checkpoint_resume(tmp_path):
+    chunks, col = build_world(n_vids=2, clips_per_vid=1, chunks_per_clip=6)
+    path = str(tmp_path / "cache.pkl")
+    kw = dict(k_sim=2, k_contrast=2, k_temporal=1, future_step=1,
+              search_k_content=16, search_k_temporal=8,
+              checkpoint_path=path, checkpoint_every=4)
+
+    class DyingCollection:
+        # encode_fn runs before the loop, so the crash is injected into
+        # the per-chunk query path: 2 queries/chunk -> dies on chunk 6,
+        # after the periodic checkpoint at chunk 4.
+        def __init__(self, inner, max_queries):
+            self._inner, self._left = inner, max_queries
+
+        def query(self, *a, **k):
+            self._left -= 1
+            if self._left < 0:
+                raise RuntimeError("simulated crash")
+            return self._inner.query(*a, **k)
+
+    try:
+        CS.build_stage2_cache(chunks, embed_anchor,
+                              DyingCollection(col, 10), **kw)
+    except RuntimeError:
+        pass
+    import os
+    # The incomplete cache must NOT exist at the real path (a cache-file
+    # existence check would load it as complete); the partial does.
+    assert not os.path.exists(path)
+    assert os.path.exists(path + ".partial")
+
+    cache = CS.build_stage2_cache(chunks, embed_anchor, col, **kw)
+    assert len(cache) == len(chunks)
+    assert os.path.exists(path) and not os.path.exists(path + ".partial")
+    loaded = CS.load_cache(path)
+    assert len(loaded) == len(chunks)

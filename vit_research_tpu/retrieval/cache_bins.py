@@ -33,7 +33,13 @@ KEY_PRECISION = 5
 
 
 def coarse_time_bin(t_center: float, delta: float = 0.1) -> int:
-    return int(float(t_center) // delta)
+    # Quantize through float32 FIRST: the cache is built from the chunk
+    # dicts' float64 t_center but looked up with float32 metadata
+    # columns (train/common.py chunk_metadata_batch), and floor division
+    # flips bins across that roundtrip (0.2 // 0.1 == 1.0 in float64 but
+    # 2.0 after a float32 roundtrip). Normalizing both sides to float32
+    # makes build and lookup keys agree for every value.
+    return int(float(np.float32(t_center)) // delta)
 
 
 def make_key(vid, side, t_center) -> tuple:
@@ -56,32 +62,38 @@ def greedy_select_candidates(candidates, k, global_counts, *,
     kept = []
     selected = set()
     video_counts = {} if video_counts is None else video_counts
-    video_times = defaultdict(list) if video_times is None else video_times
+    video_times = {} if video_times is None else video_times  # any mapping
 
-    while len(kept) < k:
-        best_idx, best_score = None, -1e18
-        for i, cand in enumerate(candidates):
-            sig = cand["sig"]
-            if sig in selected:
-                continue
-            if video_counts.get(cand["vid"], 0) >= max_per_video:
-                continue
-            if global_counts[sig] >= max_global_appearances:
-                continue
-            if any(abs(cand["t_center"] - t) < min_time_gap
-                   for t in video_times[cand["vid"]]):
-                continue
-            score = cand["base_score"] - lambda_global * global_counts[sig]
-            if score > best_score:
-                best_score, best_idx = score, i
-        if best_idx is None:
+    # One sweep in descending adjusted-score order is equivalent to the
+    # naive pick-the-global-max loop: within a call the adjusted scores
+    # are static (a pick only bumps global_counts for its OWN sig, and a
+    # same-sig duplicate is skipped via ``selected`` anyway) and every
+    # constraint is monotone — a candidate rejected now can never become
+    # eligible later. O(n log n + k·checks) instead of O(k·n).
+    order = sorted(
+        range(len(candidates)),
+        key=lambda i: (-(candidates[i]["base_score"]
+                         - lambda_global * global_counts[candidates[i]["sig"]]),
+                       i))
+    for i in order:
+        if len(kept) >= k:
             break
-        cand = candidates[best_idx]
+        cand = candidates[i]
+        sig = cand["sig"]
+        if sig in selected:
+            continue
+        if video_counts.get(cand["vid"], 0) >= max_per_video:
+            continue
+        if global_counts[sig] >= max_global_appearances:
+            continue
+        if any(abs(cand["t_center"] - t) < min_time_gap
+               for t in video_times.get(cand["vid"], ())):
+            continue
         kept.append(cand)
-        selected.add(cand["sig"])
+        selected.add(sig)
         video_counts[cand["vid"]] = video_counts.get(cand["vid"], 0) + 1
-        video_times[cand["vid"]].append(cand["t_center"])
-        global_counts[cand["sig"]] += 1
+        video_times.setdefault(cand["vid"], []).append(cand["t_center"])
+        global_counts[sig] += 1
     return kept
 
 
@@ -169,15 +181,16 @@ def build_bin_cache(all_chunks, embed_anchor_fn, collection, *,
             for rank, (emb, m, dist) in enumerate(zip(embs, metas, dists)):
                 vid = int(m["vid_num"])
                 t_center = float(m["t_center"])
-                sig = (vid, side, round(t_center, KEY_PRECISION))
+                # The signature IS the cache key scheme — one builder,
+                # so sig and the label_lookup keys can never desync.
+                sig = make_key(vid, side, t_center)
                 base_score = -float(rank) if dist is None else -float(dist)
                 prev = merged.get(sig)
                 if prev is None or base_score > prev["base_score"]:
                     merged[sig] = {
                         "emb": emb, "vid": vid, "side": side,
                         "t_center": t_center, "sig": sig,
-                        "label": label_lookup.get(
-                            make_key(vid, side, t_center), -1),
+                        "label": label_lookup.get(sig, -1),
                         "base_score": base_score,
                     }
         candidates = sorted(merged.values(),

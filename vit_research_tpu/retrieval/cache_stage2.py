@@ -5,7 +5,9 @@ Equivalent of the reference's stage-2 cache
 
 - every chunk is encoded with the frozen ChunkEncoder;
 - ``future`` chunk = the chunk ``FUTURE_CHUNK_STEP`` windows ahead within
-  the same (vid, clip) (reference: :78-96,496-507);
+  the same (vid, clip), clamped to the clip's last chunk like the
+  reference's ``min(idx + future_step, last_idx)``
+  (reference: :78-96,496-507);
 - **sim**: top K_SIM same-side, same-label neighbors of the chunk's own
   embedding; **contrast**: top K_CONTRAST same-side, different-label;
   **temporal**: top K_TEMPORAL same-side neighbors of the *future*
@@ -18,9 +20,11 @@ Equivalent of the reference's stage-2 cache
 
 from __future__ import annotations
 
+import os
 
 import numpy as np
 
+from vit_research_tpu.retrieval.cache_bins import KEY_PRECISION
 from vit_research_tpu.retrieval.cache_io import (load_cache,  # noqa: F401
                                                  save_cache)
 
@@ -34,19 +38,43 @@ def make_chunk_key(chunk) -> tuple:
     return (int(chunk["vid"]), int(chunk["clip"]), int(chunk["start_idx"]))
 
 
+def normalize_meta(meta) -> dict:
+    """Raw collection metadata -> the uniform PAD_META key schema.
+
+    The reference normalized candidate metas to ``vid``/``clip`` keys
+    (reference: nba_proj/train/training_stage2.py:176-190); without this
+    the cached ``*_meta`` lists would mix raw ``vid_num``/``clip_num``
+    rows with PAD rows, and label-less collections would crash the
+    batch stack."""
+    return {
+        "label": int(meta.get("label", -1)),
+        "side": str(meta.get("side", "PAD")),
+        "vid": int(meta.get("vid_num", meta.get("vid", -1))),
+        "clip": int(meta.get("clip_num", meta.get("clip", -1))),
+        "t_center": float(meta.get("t_center", -1.0)),
+        "t_width": float(meta.get("t_width", -1.0)),
+        "start_idx": int(meta.get("start_idx", -1)),
+        "end_idx": int(meta.get("end_idx", -1)),
+    }
+
+
 def dedup_signature(meta) -> tuple:
-    return (int(meta["vid_num"]), round(float(meta["t_center"]), 5))
+    return (int(meta["vid"]), round(float(meta["t_center"]), KEY_PRECISION))
 
 
 def same_chunk_meta(query_meta, cand_meta) -> bool:
-    return (int(query_meta["vid"]) == int(cand_meta["vid_num"])
-            and int(query_meta["clip"]) == int(cand_meta["clip_num"])
+    return (int(query_meta["vid"]) == int(cand_meta["vid"])
+            and int(query_meta["clip"]) == int(cand_meta["clip"])
             and int(query_meta["start_idx"]) == int(cand_meta["start_idx"]))
 
 
 def build_future_lookup(all_chunks, future_step: int) -> dict:
     """chunk key -> key of the chunk ``future_step`` windows ahead in the
-    same clip, or None (reference: nba_proj/train/training_stage2.py:78-96)."""
+    same clip, clamped to the clip's last chunk — end-of-clip chunks use
+    the last chunk (possibly themselves) as their future, never a zero
+    embedding (reference: nba_proj/train/training_stage2.py:78-96 clamps
+    with ``min(idx + future_step, last_idx)``; an actual zero query would
+    cosine-match every row at 0.0 and return arbitrary neighbors)."""
     by_clip: dict = {}
     for ch in all_chunks:
         by_clip.setdefault((int(ch["vid"]), int(ch["clip"])), []).append(ch)
@@ -55,8 +83,7 @@ def build_future_lookup(all_chunks, future_step: int) -> dict:
         chunks = sorted(chunks, key=lambda c: int(c["start_idx"]))
         keys = [make_chunk_key(c) for c in chunks]
         for i, k in enumerate(keys):
-            j = i + future_step
-            lookup[k] = keys[j] if j < len(keys) else None
+            lookup[k] = keys[min(i + future_step, len(keys) - 1)]
     return lookup
 
 
@@ -91,7 +118,7 @@ def _select_branch(candidates, query_meta, *, want, k, dim):
         sig = dedup_signature(m)
         if sig in seen:
             continue
-        lbl = int(m.get("label", -1))
+        lbl = int(m["label"])  # normalize_meta guarantees the key
         if want == "same" and lbl != q_label:
             continue
         if want == "diff" and (lbl == q_label or lbl < 0):
@@ -112,7 +139,8 @@ def _query(collection, emb, search_k):
                            include=("embeddings", "metadatas"))
     out = []
     for e, m in zip(res["embeddings"][0], res["metadatas"][0]):
-        out.append({"emb": np.asarray(e, np.float32), "meta": m})
+        out.append({"emb": np.asarray(e, np.float32),
+                    "meta": normalize_meta(m)})
     return out
 
 
@@ -158,14 +186,28 @@ def build_stage2_cache(all_chunks, encode_fn, collection, *,
       encode_fn: callable(chunk dict) -> (D,) embedding (frozen
         ChunkEncoder from the memmap store,
         reference: nba_proj/train/training_stage2.py:391-398).
+
+    Periodic checkpoints go to ``checkpoint_path + ".partial"`` and only
+    the COMPLETE cache is written to ``checkpoint_path`` — so a
+    cache-file existence check (cli train-stage2) can never mistake an
+    interrupted build for a finished one, and a rerun resumes from the
+    partial file instead of redoing built entries.
     """
     keys = [make_chunk_key(ch) for ch in all_chunks]
     embs = {k: np.asarray(encode_fn(ch), np.float32)
             for k, ch in zip(keys, all_chunks)}
     future = build_future_lookup(all_chunks, future_step)
 
+    partial_path = checkpoint_path + ".partial" if checkpoint_path else None
     cache: dict = {}
+    if partial_path and os.path.exists(partial_path):
+        cache = load_cache(partial_path)
+        if verbose:
+            print(f"[CACHE] resuming from {partial_path} "
+                  f"({len(cache)} entries)")
     for i, (key, chunk) in enumerate(zip(keys, all_chunks)):
+        if key in cache:
+            continue
         query_emb = embs[key]
         next_key = future.get(key)
         future_emb = (np.zeros_like(query_emb) if next_key is None
@@ -177,10 +219,12 @@ def build_stage2_cache(all_chunks, encode_fn, collection, *,
             search_k_temporal=search_k_temporal)
         if verbose and (i + 1) % 10 == 0:
             print(f"[CACHE] built {i + 1}/{len(all_chunks)}")
-        if checkpoint_path and (i + 1) % checkpoint_every == 0:
-            save_cache(cache, checkpoint_path)
+        if partial_path and (i + 1) % checkpoint_every == 0:
+            save_cache(cache, partial_path)
     if checkpoint_path:
         save_cache(cache, checkpoint_path)
+        if partial_path and os.path.exists(partial_path):
+            os.remove(partial_path)
     return cache
 
 
