@@ -326,3 +326,70 @@ def test_stage2_partial_checkpoint_resume(tmp_path):
     assert os.path.exists(path) and not os.path.exists(path + ".partial")
     loaded = CS.load_cache(path)
     assert len(loaded) == len(chunks)
+
+
+def test_greedy_sweep_matches_naive_max_loop_fuzz():
+    # The single-sweep implementation must reproduce the naive
+    # "pick the global max eligible each round" loop exactly —
+    # including ties, duplicate sigs, and carried cross-call state.
+    def naive(candidates, k, global_counts, *, max_per_video,
+              max_global_appearances, min_time_gap, lambda_global,
+              video_counts, video_times):
+        kept, selected = [], set()
+        while len(kept) < k:
+            best_idx, best_score = None, -1e18
+            for i, cand in enumerate(candidates):
+                sig = cand["sig"]
+                if sig in selected:
+                    continue
+                if video_counts.get(cand["vid"], 0) >= max_per_video:
+                    continue
+                if global_counts[sig] >= max_global_appearances:
+                    continue
+                if any(abs(cand["t_center"] - t) < min_time_gap
+                       for t in video_times.get(cand["vid"], ())):
+                    continue
+                score = (cand["base_score"]
+                         - lambda_global * global_counts[sig])
+                if score > best_score:
+                    best_score, best_idx = score, i
+            if best_idx is None:
+                break
+            cand = candidates[best_idx]
+            kept.append(cand)
+            selected.add(cand["sig"])
+            video_counts[cand["vid"]] = video_counts.get(cand["vid"], 0) + 1
+            video_times.setdefault(cand["vid"], []).append(cand["t_center"])
+            global_counts[cand["sig"]] += 1
+        return kept
+
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        n = int(rng.integers(0, 40))
+        cands = []
+        for _ in range(n):
+            vid = int(rng.integers(1, 5))
+            # quantized times/scores force frequent exact ties; small
+            # sig space forces duplicate sigs
+            t = round(float(rng.integers(0, 8)) / 8, 5)
+            cands.append({
+                "sig": (vid, "left", t), "vid": vid, "t_center": t,
+                "base_score": float(rng.integers(-4, 0)),
+                "label": 1, "emb": np.zeros(2),
+            })
+        kw = dict(max_per_video=int(rng.integers(1, 4)),
+                  max_global_appearances=int(rng.integers(1, 4)),
+                  min_time_gap=float(rng.choice([0.0, 0.1, 0.3])),
+                  lambda_global=float(rng.choice([0.0, 0.5, 2.0])))
+        k = int(rng.integers(0, 8))
+        # carried state: seed counts from a previous "call"
+        gc_a, gc_b = Counter(), Counter()
+        for c in cands[: n // 3]:
+            gc_a[c["sig"]] += 1
+            gc_b[c["sig"]] += 1
+        st_a = dict(video_counts={}, video_times={})
+        st_b = dict(video_counts={}, video_times={})
+        got = CB.greedy_select_candidates(cands, k, gc_a, **kw, **st_a)
+        want = naive(cands, k, gc_b, **kw, **st_b)
+        assert [id(c) for c in got] == [id(c) for c in want], (trial, kw, k)
+        assert gc_a == gc_b and st_a == st_b, trial
