@@ -216,3 +216,89 @@ def test_hmm_decode_matches_reference_modulo_documented_quirks():
 
     assert runs(our_dec) == want
     assert runs(ref_dec) == want
+
+
+class _FakeTensor:
+    """Minimal .numpy() shim for the reference retrievers' tf-tensor
+    metadata contract (metadata["vid"][i].numpy())."""
+
+    def __init__(self, v):
+        self._v = v
+
+    def numpy(self):
+        return self._v
+
+
+def _shim_metadata(md):
+    out = {}
+    for k, vals in md.items():
+        out[k] = [_FakeTensor(v.encode() if isinstance(v, str) else v)
+                  for v in vals]
+    return out
+
+
+def _retrieval_world(rng, n=160, d=24, space="cosine", time_field="t_norm"):
+    from vit_research_tpu.store.vector_store import Collection
+
+    col = Collection("ref_diff", space=space)
+    ids, embs, metas = [], [], []
+    for i in range(n):
+        v = rng.normal(size=d).astype(np.float32)
+        v /= np.linalg.norm(v)
+        ids.append(f"r{i}")
+        embs.append(v)
+        metas.append({
+            "vid_num": int(rng.integers(1, 5)),
+            "clip_num": int(rng.integers(0, 3)),
+            "side": str(rng.choice(["left", "right"])),
+            time_field: round(float(rng.integers(0, 20)) / 20, 5),
+            "label": int(rng.integers(0, 2)),
+        })
+    col.upsert(ids, np.stack(embs), metas)
+    return col
+
+
+def _queries(rng, b=6, d=24):
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    md = {
+        "vid": np.asarray([int(rng.integers(1, 5)) for _ in range(b)]),
+        "side": [str(rng.choice(["left", "right"])) for _ in range(b)],
+        "t_center": np.asarray([0.5] * b, np.float32),
+        "t_width": np.asarray([1.0] * b, np.float32),  # wide window
+    }
+    return q, md
+
+
+def test_frame_retriever_matches_reference():
+    from vit_research_tpu.retrieval.retrievers import FrameRetriever
+
+    ref_mod = _load_ref("ref_frame_retriever",
+                        "retrieval/frame_retriever.py")
+    rng = np.random.default_rng(11)
+    col = _retrieval_world(rng, time_field="t_norm")
+    q, md = _queries(rng)
+
+    ref = ref_mod.FrameRetriever(col, top_k=5, search_k=50)(
+        q, _shim_metadata(md))
+    ours = FrameRetriever(col, top_k=5, search_k=50)(q, md)
+    assert ref.shape == ours.shape == (6, 5, 24)
+    assert np.abs(ref).sum() > 0  # the world actually yields neighbors
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_ratt_chunk_retriever_matches_reference():
+    from vit_research_tpu.retrieval.retrievers import RattChunkRetriever
+
+    ref_mod = _load_ref("ref_ratt_retriever",
+                        "retrieval/ratt_chunk_retriever.py")
+    rng = np.random.default_rng(12)
+    col = _retrieval_world(rng, time_field="t_center")
+    q, md = _queries(rng)
+
+    ref = ref_mod.RattChunkRetriever(col, top_k=5, search_k=50)(
+        q, _shim_metadata(md))
+    ours = RattChunkRetriever(col, top_k=5, search_k=50)(q, md)
+    assert ref.shape == ours.shape == (6, 5, 24)
+    assert np.abs(ref).sum() > 0
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
