@@ -64,14 +64,20 @@ def ref_dataset():
     for name, mod in stubs.items():
         saved[name] = sys.modules.get(name)
         sys.modules[name] = mod
+    # Restore sys.modules IMMEDIATELY after the load (not at module
+    # teardown): later tests in this file import the REAL tensorflow,
+    # and a lingering stub would shadow it. The loaded ref module keeps
+    # its own references to the stubs, which its pure functions never
+    # touch.
     try:
-        yield _load_ref("ref_dataset", "dataset.py")
+        loaded = _load_ref("ref_dataset", "dataset.py")
     finally:
         for name, old in saved.items():
             if old is None:
                 sys.modules.pop(name, None)
             else:
                 sys.modules[name] = old
+    yield loaded
 
 
 def _frame_samples(rng, n_clips=5, frames_per_clip=18):
@@ -302,3 +308,134 @@ def test_ratt_chunk_retriever_matches_reference():
     assert ref.shape == ours.shape == (6, 5, 24)
     assert np.abs(ref).sum() > 0
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_ratt_v2_matches_reference_with_transplanted_weights():
+    """The flagship stage-2 head: the reference Keras RATTHeadV2's exact
+    weights transplanted into our Flax RATTHeadV2 must reproduce its
+    logits, CLS output, branch summaries, and attention scores
+    (reference: nba_proj/models/ratt_v2.py:598-771)."""
+    tf = pytest.importorskip("tensorflow")
+
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
+    from vit_research_tpu.utils.configs import HeadConfig
+
+    ref_mod = _load_ref("ref_ratt_v2", "models/ratt_v2.py")
+
+    d, heads, layers_n, mlp = 32, 4, 2, 16
+    b, ks, kc, kt = 3, 5, 4, 2
+    rng = np.random.default_rng(21)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    sup = rng.normal(size=(b, ks, d)).astype(np.float32)
+    con = rng.normal(size=(b, kc, d)).astype(np.float32)
+    tmp = rng.normal(size=(b, kt, d)).astype(np.float32)
+
+    ref = ref_mod.RATTHeadV2(hidden_size=d, num_heads=heads,
+                             num_layers=layers_n, mlp_dim=mlp)
+    ref_logit, ref_cls, ref_aux = ref(
+        tf.constant(q), tf.constant(sup), tf.constant(con), tf.constant(tmp),
+        training=False)
+
+    def kd(layer):  # Dense -> flax dict
+        return {"kernel": layer.kernel.numpy(), "bias": layer.bias.numpy()}
+
+    params = {
+        "query_proj": kd(ref.query_proj.layers[0]),
+        "norm": {"scale": ref.norm.gamma.numpy(),
+                 "bias": ref.norm.beta.numpy()},
+        "classifier_fc": kd(ref.classifier.layers[0]),
+        "classifier_logit": kd(ref.classifier.layers[2]),
+    }
+    for name, seq in (("support_proj", ref.support_proj),
+                      ("contrast_proj", ref.contrast_proj),
+                      ("temporal_proj", ref.temporal_proj)):
+        params[name] = {"fc1": kd(seq.layers[0]), "fc2": kd(seq.layers[1])}
+    for tok in ("cls_token", "support_token", "contrast_token",
+                "temporal_token", "type_cls", "type_support_summary",
+                "type_support", "type_contrast_summary", "type_contrast",
+                "type_temporal_summary", "type_temporal", "type_local"):
+        params[tok] = getattr(ref, tok).numpy()
+    for i, block in enumerate(ref.transformer_blocks):
+        mha = block.attn
+        params[f"transformer_block_{i}"] = {
+            "ln1": {"scale": block.norm1.gamma.numpy(),
+                    "bias": block.norm1.beta.numpy()},
+            "ln2": {"scale": block.norm2.gamma.numpy(),
+                    "bias": block.norm2.beta.numpy()},
+            "attn": {
+                "query": {"kernel": mha._query_dense.kernel.numpy(),
+                          "bias": mha._query_dense.bias.numpy()},
+                "key": {"kernel": mha._key_dense.kernel.numpy(),
+                        "bias": mha._key_dense.bias.numpy()},
+                "value": {"kernel": mha._value_dense.kernel.numpy(),
+                          "bias": mha._value_dense.bias.numpy()},
+                "out": {"kernel": mha._output_dense.kernel.numpy(),
+                        "bias": mha._output_dense.bias.numpy()},
+            },
+            "mlp": {"fc1": kd(block.ffn.layers[0]),
+                    "fc2": kd(block.ffn.layers[2])},
+        }
+
+    cfg = HeadConfig(embed_dim=d, num_layers=layers_n, num_heads=heads,
+                     mlp_dim=mlp, dropout_rate=0.1)  # inactive at eval
+    model = RATTHeadV2(cfg)
+    logit, cls_out, aux = model.apply(
+        {"params": params}, jnp.asarray(q), jnp.asarray(sup),
+        jnp.asarray(con), jnp.asarray(tmp), train=False)
+
+    np.testing.assert_allclose(np.asarray(logit), ref_logit.numpy(),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cls_out), ref_cls.numpy(),
+                               atol=1e-4)
+    for k in ("support_summary", "contrast_summary", "temporal_summary",
+              "local_out"):
+        np.testing.assert_allclose(np.asarray(aux[k]),
+                                   ref_aux[k].numpy(), atol=1e-4, err_msg=k)
+    for ours_s, ref_s in zip(aux["attn_scores"], ref_aux["attn_scores"]):
+        np.testing.assert_allclose(np.asarray(ours_s), ref_s.numpy(),
+                                   atol=1e-4)
+
+
+def test_projection_head_matches_reference_with_transplanted_weights():
+    tf = pytest.importorskip("tensorflow")
+
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.heads import ProjectionHead
+
+    ref_mod = _load_ref("ref_projection_head", "models/projection_head.py")
+    rng = np.random.default_rng(22)
+    x = rng.normal(size=(6, 24)).astype(np.float32)
+
+    ref = ref_mod.ProjectionHead(input_dim=24, hidden_dim=16, proj_dim=12)
+    ref_out = ref(tf.constant(x)).numpy()
+
+    params = {name: {"kernel": layer.kernel.numpy(),
+                     "bias": layer.bias.numpy()}
+              for name, layer in (("d1", ref.d1), ("d2", ref.d2),
+                                  ("out", ref.out))}
+    ours = ProjectionHead(input_dim=24, hidden_dim=16, proj_dim=12).apply(
+        {"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-5)
+
+
+def test_rag_pooler_matches_reference_with_transplanted_weights():
+    tf = pytest.importorskip("tensorflow")
+
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.heads import RetrievalMultiQueryPooler
+
+    ref_mod = _load_ref("ref_rag_pooler", "models/rag_pooler.py")
+    rng = np.random.default_rng(23)
+    retrieved = rng.normal(size=(5, 7, 20)).astype(np.float32)
+
+    ref = ref_mod.RetrievalMultiQueryPooler(hidden_size=20, num_queries=3)
+    ref_out = ref(tf.constant(retrieved)).numpy()
+
+    params = {"retrieval_queries": ref.query.numpy()}
+    ours = RetrievalMultiQueryPooler(hidden_size=20, num_queries=3).apply(
+        {"params": params}, jnp.asarray(retrieved))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-5)
