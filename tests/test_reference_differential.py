@@ -439,3 +439,53 @@ def test_rag_pooler_matches_reference_with_transplanted_weights():
     ours = RetrievalMultiQueryPooler(hidden_size=20, num_queries=3).apply(
         {"params": params}, jnp.asarray(retrieved))
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-5)
+
+
+def test_temporal_head_matches_reference_with_transplanted_weights():
+    """The reference's PyTorch TemporalHead CNN (extracted from
+    smarter_generate_clips.py with its unused heavy imports stubbed)
+    transplanted into the Flax module reproduces per-frame logits."""
+    torch = pytest.importorskip("torch")
+
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.temporal_head import TemporalHead
+
+    # Stub the imports the script needs but TemporalHead never touches.
+    saved, stub_names = {}, [
+        "official", "official.vision", "official.vision.modeling",
+        "official.vision.modeling.backbones",
+        "official.vision.modeling.backbones.vit", "hmm",
+    ]
+    for name in stub_names:
+        saved[name] = sys.modules.get(name)
+        sys.modules[name] = types.ModuleType(name)
+    sys.modules["official.vision.modeling.backbones"].vit = \
+        sys.modules["official.vision.modeling.backbones.vit"]
+    try:
+        ref_mod = _load_ref("ref_smarter", "smarter_generate_clips.py")
+    finally:
+        for name, old in saved.items():
+            if old is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = old
+
+    torch.manual_seed(0)
+    ref = ref_mod.TemporalHead().eval()
+    rng = np.random.default_rng(24)
+    x = rng.normal(size=(2, 30, 768)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x)).numpy()
+
+    convs = [m for m in ref.net if isinstance(m, torch.nn.Conv1d)]
+    names = ["conv_0", "conv_1", "conv_2", "conv_3", "conv_out"]
+    params = {}
+    for name, conv in zip(names, convs):
+        # torch Conv1d weight (out, in, k) -> flax Conv kernel (k, in, out)
+        params[name] = {
+            "kernel": conv.weight.detach().numpy().transpose(2, 1, 0),
+            "bias": conv.bias.detach().numpy(),
+        }
+    ours = TemporalHead().apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=2e-4)
