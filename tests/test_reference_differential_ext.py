@@ -595,3 +595,325 @@ def test_get_retrieval_cache_matches_reference(ref_tcc, heavy_deps):
     np.testing.assert_allclose(our_ret, ref_ret.numpy(), atol=1e-6)
     np.testing.assert_array_equal(our_lab, ref_lab)
     np.testing.assert_array_equal(our_neg, ref_neg)
+
+
+# ---------------------------------------------------------------------------
+# chroma.py two-pass voting vs. segment/knn.py
+# ---------------------------------------------------------------------------
+
+_SIDE_IDX = {"left": 0, "right": 1, "none": 2}
+
+
+def test_temp_smax_matches_reference(ref_chroma):
+    from vit_research_tpu.segment.knn import temp_softmax
+    rng = np.random.default_rng(20)
+    for temp in (1.0, 7.0, 8.0):
+        x = rng.normal(size=7) * 10
+        ref = ref_chroma.temp_smax(list(x), temp)
+        ours = temp_softmax(x, temp)
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+
+def _vote_metas(counts):
+    labels = (["left"] * counts[0] + ["right"] * counts[1]
+              + ["none"] * counts[2])
+    return labels, [{"label": l} for l in labels]
+
+
+def test_pass1_votes_match_reference(ref_chroma):
+    """25-NN vote: >=20/25 accepts with temperature-7 softmax probs, else
+    defers to pass 2 (reference: nba_proj/chroma.py:36-100)."""
+    from vit_research_tpu.segment.knn import classify_pass1
+    for counts in ((21, 3, 1), (20, 4, 1), (19, 5, 1), (5, 20, 0),
+                   (1, 2, 22), (9, 8, 8)):
+        labels, metas = _vote_metas(counts)
+        ids = [f"i{j}" for j in range(len(labels))]
+        ref = ref_chroma.determine_class_pass1(ids, metas, [0.0] * len(ids))
+        row = np.asarray([[_SIDE_IDX[l] for l in labels]])
+        decision, probs = classify_pass1(row, min_votes=20, temperature=7.0)
+        if ref["dir"] == "pass2":
+            assert decision[0] == -1, counts
+        else:
+            assert decision[0] == _SIDE_IDX[ref["dir"]], counts
+            np.testing.assert_allclose(probs[0], ref["probs"], rtol=1e-12)
+
+
+def test_pass2_votes_match_reference(ref_chroma):
+    from vit_research_tpu.segment.knn import classify_pass2
+    for counts in ((10, 9, 6), (2, 3, 20), (0, 13, 12), (8, 8, 9)):
+        labels, metas = _vote_metas(counts)
+        ids = [f"i{j}" for j in range(len(labels))]
+        ref = ref_chroma.determine_class_pass2(ids, metas, [0.0] * len(ids))
+        row = np.asarray([[_SIDE_IDX[l] for l in labels]])
+        decision, probs = classify_pass2(row, temperature=7.0)
+        assert decision[0] == _SIDE_IDX[ref["dir"]], counts
+        np.testing.assert_allclose(probs[0], ref["probs"], rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# streaming kNN confidence vs. segment/knn.fused_confidence
+# ---------------------------------------------------------------------------
+
+
+def _confidence_world(rng, q, k):
+    """(labels (q,k) ids, probs (q,k,3), metadatas builder)."""
+    labels = rng.integers(0, 3, size=(q, k))
+    # bias rows toward their majority class so confident cases appear
+    for i in range(q):
+        if rng.random() < 0.6:
+            labels[i, : int(k * 0.8)] = rng.integers(0, 3)
+    probs = rng.random((q, k, 3))
+    probs /= probs.sum(axis=2, keepdims=True)
+    # a guaranteed unanimous + high-prob row
+    labels[0] = 0
+    probs[0] = np.asarray([0.9, 0.06, 0.04])
+    # and a guaranteed confident-but-NON-unanimous row (vote 0.9, mean
+    # prob 0.9 -> fused 0.9): exercises the raw-means emission path
+    labels[1] = 1
+    labels[1, -1] = 0
+    probs[1] = np.asarray([0.05, 0.9, 0.05])
+    return labels, probs
+
+
+def _metas_from(labels_row, probs_row):
+    names = ("left", "right", "none")
+    return [{"label": names[l],
+             "left_prob": float(p[0]),
+             "right_prob": float(p[1]),
+             "none_prob": float(p[2])}
+            for l, p in zip(labels_row, probs_row)]
+
+
+def test_fused_confidence_matches_reference_hmm_variant(ref_gch):
+    """generate_clips_hmm.determine_class: decision = argmax of
+    (mean stored prob + vote fraction)/2, confidence = decided-class
+    mean, 0.999998/0.000001 one-hot on unanimity, HMM fed the raw means
+    (reference: nba_proj/generate_clips_hmm.py:179-310)."""
+    from vit_research_tpu.segment.knn import fused_confidence
+
+    rng = np.random.default_rng(21)
+    q, k = 30, 10
+    labels, probs = _confidence_world(rng, q, k)
+    saved = ref_gch.top_n_closest
+    ref_gch.top_n_closest = k
+    try:
+        refs = [ref_gch.determine_class(
+            [f"i{j}" for j in range(k)], _metas_from(labels[i], probs[i]),
+            [0.0] * k, add_first=(i == 0)) for i in range(q)]
+    finally:
+        ref_gch.top_n_closest = saved
+
+    ours = fused_confidence(labels, probs, top_n=k,
+                            confidence_threshold=0.7)
+    names = ("left", "right", "none")
+    n_confident = 0
+    for i, ref in enumerate(refs):
+        d = int(ours["decision"][i])
+        assert names[d] == ref[0], i
+        confident = len(ref) == 3
+        assert bool(ours["confident"][i]) == confident, i
+        if confident:
+            n_confident += 1
+            meta = ref[2]
+            np.testing.assert_allclose(
+                ours["upsert_probs"][i],
+                [meta["left_prob"], meta["right_prob"], meta["none_prob"]],
+                rtol=1e-12)
+            if meta["left_prob"] not in (0.999998, 0.000001):
+                # non-unanimous confident rows expose the raw means the
+                # reference feeds its HMM lattice
+                np.testing.assert_allclose(
+                    ours["emissions"][i],
+                    [meta["left_prob"], meta["right_prob"],
+                     meta["none_prob"]], rtol=1e-12)
+        else:
+            np.testing.assert_allclose(float(ours["emissions"][i, d]),
+                                       ref[1], rtol=1e-12)
+    assert n_confident >= 2  # the world actually exercised both paths
+    assert (ours["upsert_probs"][0] == [0.999998, 0.000001, 0.000001]).all()
+
+
+def test_mean_prob_classifier_matches_reference_streak_variant(ref_gc):
+    """generate_clips.determine_class decides on the per-class MEANS
+    alone (threshold 0.85). Our streaks path reuses the fused rule, so
+    the differential pins the shared math: the means, the decided-class
+    confidence, and the >=0.85 write-back metadata
+    (reference: nba_proj/generate_clips.py:99-187)."""
+    from vit_research_tpu.segment.knn import fused_confidence
+
+    rng = np.random.default_rng(22)
+    q, k = 24, 8
+    labels, probs = _confidence_world(rng, q, k)
+    names = ("left", "right", "none")
+    ours = fused_confidence(labels, probs, top_n=k,
+                            confidence_threshold=0.85)
+    checked_meta = 0
+    for i in range(q):
+        ref = ref_gc.determine_class(
+            [f"i{j}" for j in range(k)], _metas_from(labels[i], probs[i]),
+            [0.0] * k)
+        ref_idx = _SIDE_IDX[ref[0]]
+        # the reference's decision is argmax of the means = argmax of our
+        # emissions row; its confidence is that class's mean
+        assert ref_idx == int(np.argmax(ours["emissions"][i])), i
+        np.testing.assert_allclose(float(ours["emissions"][i, ref_idx]),
+                                   ref[1], rtol=1e-12)
+        if len(ref) == 3:
+            checked_meta += 1
+            meta = ref[2]
+            np.testing.assert_allclose(
+                ours["emissions"][i],
+                [meta["left_prob"], meta["right_prob"], meta["none_prob"]],
+                rtol=1e-12)
+    assert checked_meta >= 1
+
+
+# ---------------------------------------------------------------------------
+# enrichment encodings vs. db/enrich.Enricher
+# ---------------------------------------------------------------------------
+
+
+def test_enrichment_encodings_match_reference(ref_enrich):
+    """The deterministic pieces compare directly; the temporal encoding
+    compares under phase injection (the reference redraws phases from
+    the global RNG on EVERY call — irreproducible by design, which is
+    why our Enricher seeds them; db/enrich.py docstring)
+    (reference: nba_proj/write_clips_to_ragdb.py:156-224)."""
+    from vit_research_tpu.db.enrich import Enricher
+
+    enr = Enricher(seed=0)
+
+    for idx, total in ((0, 10), (3, 10), (7, 13), (13, 13)):
+        ref = ref_enrich.frame_index_encoding(idx, total)
+        ours = enr.frame_index_encoding([idx], total)[0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
+    # side mask: reference emits a single +-1 (SIDE_DIM=1), ours tiles
+    # the value across its side block
+    for side in ("left", "right", "none"):
+        ref = ref_enrich.side_mask(side)
+        ours = enr.side_mask([side])[0]
+        assert (ours == float(np.asarray(ref).ravel()[0])).all()
+
+    np.random.seed(77)
+    ref = ref_enrich.temporal_encoding(0.37)
+    np.random.seed(77)
+    enr.temporal_phases = np.random.uniform(0, 2 * np.pi, 768)
+    ours = enr.temporal_encoding([0.37])[0]
+    np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# stage-2 live retrieval vs. retrieval/cache_stage2.py
+# ---------------------------------------------------------------------------
+
+
+def _stage2_world(rng, d=16):
+    """Chunks + a fully-labeled chunk collection in the reference's
+    metadata schema (incl. class_logit,
+    reference: nba_proj/ratt_write_clips_to_ragdb.py:395-424)."""
+    from vit_research_tpu.store.vector_store import Collection
+
+    col = Collection("s2_diff", space="cosine")
+    chunks, ids, embs, metas = [], [], [], []
+    emb_of = {}
+    for vid in (1, 2, 3):
+        for clip in (0, 1):
+            side = "left" if (vid + clip) % 2 == 0 else "right"
+            for ci in range(6):
+                start = ci * 4
+                ch = {
+                    "vid": vid, "clip": clip, "side": side,
+                    "label": int(rng.integers(0, 2)),
+                    # unique per vid so our (vid, t_center) dedup
+                    # signature coincides with the reference's
+                    # full-identity signature
+                    "t_center": round((clip * 6 + ci + 0.5) / 12, 5),
+                    "t_width": round(12 / 400, 5),
+                    "start_idx": start, "end_idx": start + 11,
+                }
+                v = rng.normal(size=d).astype(np.float32)
+                v /= np.linalg.norm(v)
+                key = (vid, clip, start)
+                emb_of[key] = v
+                chunks.append(ch)
+                ids.append(f"{vid}_{clip}_{start}")
+                embs.append(v)
+                metas.append({
+                    "vid_num": vid, "clip_num": clip, "side": side,
+                    "label": ch["label"], "t_center": ch["t_center"],
+                    "t_width": ch["t_width"], "start_idx": start,
+                    "end_idx": start + 11, "class_logit": 0.0,
+                })
+    col.upsert(ids, np.stack(embs), metas)
+    return chunks, col, emb_of
+
+
+def test_future_lookup_matches_reference(ref_stage2):
+    """Both lookups clamp to the clip's last chunk
+    (reference: nba_proj/train/training_stage2.py:78-96)."""
+    from vit_research_tpu.retrieval.cache_stage2 import (build_future_lookup,
+                                                         make_chunk_key)
+
+    rng = np.random.default_rng(23)
+    chunks, _, _ = _stage2_world(rng)
+    for step in (1, 2, 5, 100):
+        ref_map = ref_stage2.build_future_key_lookup(chunks,
+                                                     future_step=step)
+        our_map = build_future_lookup(chunks, future_step=step)
+        assert len(ref_map) == len(our_map) == len(chunks)
+        for ch in chunks:
+            ref_fut = ref_map[ref_stage2.make_chunk_key(ch)]
+            our_fut = our_map[make_chunk_key(ch)]
+            # ref key: (vid, side, clip, start, end); ours: (vid, clip,
+            # start) — same chunk identity
+            assert (ref_fut[0], ref_fut[2], ref_fut[3]) == our_fut, ch
+
+
+def test_build_live_entry_matches_reference(ref_stage2):
+    """The reference's own sim/contrast/temporal selection running over
+    OUR vector store must agree with our build_live_entry: embeddings,
+    branch metadata, padding, self-exclusion, dedup, side filters
+    (reference: nba_proj/train/training_stage2.py:269-389)."""
+    from vit_research_tpu.retrieval.cache_stage2 import (build_future_lookup,
+                                                         build_live_entry,
+                                                         make_chunk_key)
+
+    rng = np.random.default_rng(24)
+    chunks, col, emb_of = _stage2_world(rng)
+    by_key = {make_chunk_key(ch): ch for ch in chunks}
+    future = build_future_lookup(chunks, future_step=2)
+
+    saved = ref_stage2.encode_chunk
+    ref_stage2.encode_chunk = (
+        lambda ch, *a: emb_of[make_chunk_key(ch)])
+    try:
+        k_sim, k_contrast, k_temporal = 4, 3, 5
+        n_nonpad = 0
+        for ch in chunks[::5] + [chunks[5]]:  # incl. a clip-tail chunk
+            fut_ch = by_key[future[make_chunk_key(ch)]]
+            ref = ref_stage2.build_live_entry(
+                ch, fut_ch, col, None, None, None,
+                search_k_content=24, search_k_temporal=16,
+                k_sim=k_sim, k_contrast=k_contrast, k_temporal=k_temporal)
+            ours = build_live_entry(
+                ch, emb_of[make_chunk_key(ch)],
+                emb_of[make_chunk_key(fut_ch)], col,
+                k_sim=k_sim, k_contrast=k_contrast, k_temporal=k_temporal,
+                search_k_content=24, search_k_temporal=16)
+            np.testing.assert_allclose(ours["query_emb"], ref["query_emb"],
+                                       atol=1e-6)
+            for branch in ("sim", "contrast", "temporal"):
+                np.testing.assert_allclose(
+                    ours[f"{branch}_embs"], ref[f"{branch}_embs"],
+                    atol=1e-6, err_msg=f"{branch} {ch}")
+                for our_m, ref_m in zip(ours[f"{branch}_meta"],
+                                        ref[f"{branch}_meta"]):
+                    for key in ("label", "side", "vid", "clip", "t_center",
+                                "t_width", "start_idx", "end_idx"):
+                        assert our_m[key] == ref_m[key], (branch, key, ch)
+                    if our_m["side"] != "PAD":
+                        n_nonpad += 1
+        assert n_nonpad > 30  # the branches were actually populated
+    finally:
+        ref_stage2.encode_chunk = saved
