@@ -121,6 +121,10 @@ class ChunkEncoder(nn.Module):
                 num_heads=c.num_heads, mlp_dim=c.mlp_dim,
                 dropout_rate=c.dropout_rate,
                 attention_dropout_rate=c.dropout_rate,
+                # tanh-approx GELU: the reference blocks are TF-Model-Garden
+                # nn_blocks, whose official.modeling.activations.gelu is
+                # approximate=True (reference: nba_proj/models/chunk_encoder.py:18)
+                gelu_approximate=True,
                 dtype=dtype, interpret_pallas=self.interpret_pallas,
                 name=f"block_{i}",
             )(x, train=train, output_scores=return_attention)
@@ -168,6 +172,7 @@ class RAGHead(nn.Module):
                 num_heads=c.num_heads, mlp_dim=c.embed_dim * 4,
                 dropout_rate=c.dropout_rate,
                 attention_dropout_rate=c.dropout_rate,
+                gelu_approximate=True,  # nn_blocks GELU, see ChunkEncoder
                 dtype=dtype, interpret_pallas=self.interpret_pallas,
                 name=f"block_{i}",
             )(x, train=train)
@@ -216,6 +221,7 @@ class RATTHead(nn.Module):
                 num_heads=c.num_heads, mlp_dim=c.embed_dim * 4,
                 dropout_rate=c.dropout_rate,
                 attention_dropout_rate=c.dropout_rate,
+                gelu_approximate=True,  # nn_blocks GELU, see ChunkEncoder
                 dtype=dtype, interpret_pallas=self.interpret_pallas,
                 name=f"block_{i}",
             )(x, train=train, output_scores=True)

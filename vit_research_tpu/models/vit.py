@@ -45,8 +45,12 @@ def interpolate_pos_embedding(pos: jax.Array, grid_from: tuple,
     grid_part = pos[:, 1:] if has_cls else pos
     d = grid_part.shape[-1]
     grid_part = grid_part.reshape(1, grid_from[0], grid_from[1], d)
+    # antialias=False: tf.image.resize (the reference) and torch
+    # F.interpolate (HF's pos-emb path) don't antialias on downsampling;
+    # jax.image.resize does by default.
     grid_part = jax.image.resize(
-        grid_part, (1, grid_to[0], grid_to[1], d), method="bilinear")
+        grid_part, (1, grid_to[0], grid_to[1], d), method="bilinear",
+        antialias=False)
     grid_part = grid_part.reshape(1, grid_to[0] * grid_to[1], d)
     if cls_part is not None:
         return jnp.concatenate([cls_part, grid_part], axis=1)

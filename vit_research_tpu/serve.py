@@ -247,6 +247,10 @@ class EmbedServer:
         class Server(socketserver.ThreadingUnixStreamServer):
             daemon_threads = True
             allow_reuse_address = True
+            # Default backlog is 5: a burst of concurrent clients on a
+            # busy host overflows it and their connect() fails with
+            # EAGAIN (unix sockets don't queue past the backlog).
+            request_queue_size = 128
 
         if os.path.exists(socket_path):
             # Only reclaim the path from a DEAD server: if something
@@ -280,11 +284,29 @@ class EmbedServer:
             self._coalescer.close()
 
 
+def _connect_with_retry(s, socket_path: str, timeout: float) -> None:
+    """connect() to a unix socket returns EAGAIN when the server's accept
+    backlog is momentarily full (there is no client-side queueing past
+    it); retry with backoff until the deadline instead of surfacing a
+    transient as a hard failure."""
+    deadline = time.monotonic() + timeout
+    delay = 0.01
+    while True:
+        try:
+            s.connect(socket_path)
+            return
+        except (BlockingIOError, InterruptedError):
+            if time.monotonic() + delay > deadline:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 2, 0.25)
+
+
 def request(socket_path: str, req: dict, timeout: float = 60.0) -> dict:
     """One-shot client: send a request object, return the response."""
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.settimeout(timeout)
-        s.connect(socket_path)
+        _connect_with_retry(s, socket_path, timeout)
         s.sendall((json.dumps(req) + "\n").encode())
         buf = b""
         while not buf.endswith(b"\n"):
