@@ -61,7 +61,16 @@ class StubHF:
 
 def permissive_module(name):
     m = types.ModuleType(name)
-    m.__getattr__ = lambda attr: AnyStub()  # PEP 562
+
+    def getattr_(attr):
+        # Refuse dunders: inspect.getmodule probes every sys.modules
+        # entry's __file__ during tracebacks/registrations and chokes
+        # on an AnyStub path.
+        if attr.startswith("__") and attr.endswith("__"):
+            raise AttributeError(attr)
+        return AnyStub()
+
+    m.__getattr__ = getattr_  # PEP 562
     m.__path__ = []
     return m
 
@@ -139,7 +148,12 @@ def is_ref_module(mod):
     f = getattr(mod, "__file__", None) or ""
     if f.startswith("/root/reference"):
         return True
-    for p in list(getattr(mod, "__path__", []) or []):
+    try:
+        # torch.classes' __path__ is a non-iterable _ClassNamespace
+        paths = list(getattr(mod, "__path__", []) or [])
+    except TypeError:
+        paths = []
+    for p in paths:
         if str(p).startswith("/root/reference"):
             return True
     return False

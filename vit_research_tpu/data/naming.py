@@ -71,7 +71,16 @@ def clip_sort_key(name: str) -> tuple[int, int]:
 
 
 def frame_num(name: str) -> int:
-    return parse_frame_name(name)[1]
+    """Frame number from a frame name.
+
+    Accepts the full ``vid{N}_frame_{M}[.ext]`` form plus the bare-number
+    form the reference's evaluation harness documents ('23117')
+    (reference: nba_proj/test/get_clip_sequences.py:555-567, which takes
+    the last underscore-separated segment)."""
+    m = _FRAME_RE.match(name)
+    if m:
+        return int(m.group(2))
+    return int(name.split("_")[-1].split(".")[0])
 
 
 def vid_num(name: str) -> int:
