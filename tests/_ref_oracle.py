@@ -126,6 +126,11 @@ def stub_set(*groups):
             add(name)
     if "joblib" in groups:
         add("joblib")
+    if "skvideo" in groups:
+        # Not installed in this image; the embedding-writer scripts import
+        # skvideo.io at module scope but never use it.
+        add("skvideo")
+        add("skvideo.io")
     if "dbm" in groups:
         # db_maintainence modules load trained .h5 projector weights at
         # module scope; the training modules only take ``rebuild_db``

@@ -728,6 +728,7 @@ def cmd_train_stage1(args):
     model, best, history = train_chunk_encoder(
         store, idx, list(range(split)), list(range(split, n)),
         config=ce_cfg, num_epochs=args.epochs, batch_size=args.batch_size,
+        lr=args.lr, weight_decay=args.weight_decay,
         ckpt_manager=mngr, resume=args.resume, verbose=True)
     mngr.wait()  # flush async Orbax saves before the interpreter exits
     print(f"run {run_id}: best val acc",
@@ -1184,6 +1185,10 @@ def main(argv=None):
     t1.add_argument("--ckpt", required=True)
     t1.add_argument("--epochs", type=int, default=10)
     t1.add_argument("--batch-size", type=int, default=32)
+    # Reference stage-1 hyperparameters
+    # (reference: nba_proj/train/train_chunk_encoder.py:23-24).
+    t1.add_argument("--lr", type=float, default=5e-5)
+    t1.add_argument("--weight-decay", type=float, default=5e-4)
     t1.add_argument("--run-id", default=None,
                     help="name the run dir (required to --resume it later)")
     t1.add_argument("--resume", action="store_true",

@@ -12,9 +12,31 @@ reference's training machinery.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import optax
 
 from vit_research_tpu.utils.configs import TrainConfig
+
+
+def clip_each_by_norm(max_norm: float) -> optax.GradientTransformation:
+    """Per-variable L2-norm clipping — ``tf.clip_by_norm`` applied to each
+    gradient tensor independently, the reference's stage-1 semantics
+    (reference: nba_proj/train/train_chunk_encoder.py:273-277), as opposed
+    to ``optax.clip_by_global_norm`` which couples all leaves through one
+    global factor."""
+
+    def clip_leaf(g):
+        norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-20))
+        return g * scale
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
 
 
 def two_phase_schedule(lr1: float, lr2: float, total_steps: int,

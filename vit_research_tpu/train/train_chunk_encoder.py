@@ -32,15 +32,29 @@ from vit_research_tpu.train.diagnostics import (
     confusion_counts,
     conditioned_separation,
 )
+from vit_research_tpu.train.optim import clip_each_by_norm
 from vit_research_tpu.utils.configs import ChunkEncoderConfig
+
+
+def stage1_optimizer(lr: float, grad_clip: float = 1.0,
+                     weight_decay: float = 0.0, adam_eps: float = 1e-7):
+    """Per-variable grad clip -> Adam with decoupled weight decay —
+    the reference's ``tf.clip_by_norm`` per gradient tensor +
+    ``Adam(learning_rate=5e-5, weight_decay=5e-4)`` (keras epsilon 1e-7)
+    (reference: nba_proj/train/train_chunk_encoder.py:273-278,440-444)."""
+    chain = [clip_each_by_norm(grad_clip)] if grad_clip else []
+    chain.append(optax.adamw(lr, eps=adam_eps, weight_decay=weight_decay))
+    return optax.chain(*chain)
 
 
 def make_step_fns(model: ChunkEncoder, tx):
     def loss_fn(params, frame_embs, labels, rng):
         _, logits = model.apply(params, frame_embs, train=True,
                                 rngs={"dropout": rng})
-        # Label smoothing 0.9/0.05 and 0.5x scale, reference semantics.
-        smooth = labels * 0.85 + 0.05
+        # Label smoothing labels*0.9+0.05 (0 -> 0.05, 1 -> 0.95) and the
+        # 0.5x scale, train-side only
+        # (reference: nba_proj/train/train_chunk_encoder.py:267-271).
+        smooth = labels * 0.9 + 0.05
         loss = 0.5 * losses.bce_with_logits(smooth, logits)
         return loss, logits
 
@@ -56,7 +70,10 @@ def make_step_fns(model: ChunkEncoder, tx):
     @jax.jit
     def eval_step(params, frame_embs, labels):
         emb, logits = model.apply(params, frame_embs)
-        loss = 0.5 * losses.bce_with_logits(labels, logits)
+        # Validation loss is UNscaled and unsmoothed (the 0.5x smoothing
+        # path is train-only; reference:
+        # nba_proj/train/train_chunk_encoder.py:284-294).
+        loss = losses.bce_with_logits(labels, logits)
         acc = losses.compute_accuracy(labels, logits)
         return emb, logits, loss, acc
 
@@ -67,6 +84,7 @@ def train_chunk_encoder(store, chunk_index, train_ids, val_ids, *,
                         config: ChunkEncoderConfig | None = None,
                         num_epochs: int = 10, batch_size: int = 32,
                         lr: float = 1e-4, grad_clip: float = 1.0,
+                        weight_decay: float = 0.0,
                         seed: int = 42, ckpt_manager=None,
                         resume: bool = False, verbose: bool = False):
     """Returns (model, best_params, history). ``resume=True`` continues
@@ -76,7 +94,7 @@ def train_chunk_encoder(store, chunk_index, train_ids, val_ids, *,
     t = chunk_index["frame_idx"].shape[1]
     base_key = jax.random.PRNGKey(seed)
     params = model.init(base_key, jnp.zeros((1, t, config.embed_dim)))
-    tx = optax.chain(optax.clip_by_global_norm(grad_clip), optax.adam(lr))
+    tx = stage1_optimizer(lr, grad_clip, weight_decay)
     state = TrainState(params=params, opt_state=tx.init(params))
     state, start_epoch = maybe_resume(ckpt_manager, state, resume)
     train_step, eval_step = make_step_fns(model, tx)
