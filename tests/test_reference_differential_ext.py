@@ -89,6 +89,14 @@ def ref_stage2(heavy_deps):
 
 
 @pytest.fixture(scope="module")
+def ref_ratt(heavy_deps):
+    """train/training_ratt.py (reference), importable thanks to its
+    __main__ guard."""
+    return _load_module("ref_ratt", "train/training_ratt.py",
+                        _stub_set("chroma", "hf", "official", "dbm"))
+
+
+@pytest.fixture(scope="module")
 def ref_chroma():
     """chroma.py's voting helpers (truncated before `vid = 'vid3'`)."""
     return _load_truncated(
@@ -174,6 +182,58 @@ def test_mean_contrastive_matches_reference(ref_training, heavy_deps):
         tf.constant(q), tf.constant(retrieved)).numpy())
     ours = float(simple_retrieval_contrastive(q, retrieved))
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_max_contrastive_matches_reference(ref_ratt, heavy_deps):
+    """training_ratt.py's DISTINCT variant: max-cosine pull over the
+    retrieved set plus a batch-scalar rolled-mean push (kept at weight 0
+    in the reference loop; exposed as losses.max_retrieval_contrastive)
+    (reference: nba_proj/train/training_ratt.py:66-98)."""
+    from vit_research_tpu.train.losses import max_retrieval_contrastive
+    tf = heavy_deps
+    rng = np.random.default_rng(12)
+    q = _norm_rows(rng, 7, 12)
+    retrieved = _norm_rows(rng, 7, 4, 12)
+    ref = float(ref_ratt.simple_retrieval_contrastive_loss(
+        tf.constant(q), tf.constant(retrieved)).numpy())
+    ours = float(max_retrieval_contrastive(q, retrieved))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_in_batch_infonce_matches_reference_inline(ref_ratt, heavy_deps):
+    """The RATT stage's in-batch InfoNCE is inline in its train_step —
+    sparse categorical CE over the raw (untempered) cosine matrix with
+    diagonal targets (reference: nba_proj/train/training_ratt.py:225-238);
+    replicated here with the same tf call it makes."""
+    from vit_research_tpu.train.losses import in_batch_infonce
+    tf = heavy_deps
+    rng = np.random.default_rng(13)
+    z = _norm_rows(rng, 9, 16)
+    sim = tf.matmul(tf.constant(z), tf.constant(z), transpose_b=True)
+    ref = float(tf.reduce_mean(tf.keras.losses.sparse_categorical_crossentropy(
+        tf.range(9), sim, from_logits=True)).numpy())
+    ours = float(in_batch_infonce(z))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_chunk_stats_match_reference_inline(heavy_deps):
+    """concat(mean, mean-delta, std-delta) — inline in the reference's
+    chunk rebuilders and RATT train_step, replicated with the same tf
+    reductions (population std)
+    (reference: nba_proj/db_maintainence/db_rebuild_chunk.py:226-232,
+    train/training_ratt.py:188-197)."""
+    from vit_research_tpu.db.enrich import chunk_stats, chunk_stats_jax
+    tf = heavy_deps
+    rng = np.random.default_rng(14)
+    x = rng.normal(size=(5, 8, 12)).astype(np.float32)
+    t = tf.constant(x)
+    deltas = t[:, 1:, :] - t[:, :-1, :]
+    ref = tf.concat([tf.reduce_mean(t, axis=1),
+                     tf.reduce_mean(deltas, axis=1),
+                     tf.math.reduce_std(deltas, axis=1)], axis=-1).numpy()
+    np.testing.assert_allclose(chunk_stats(x), ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(chunk_stats_jax(x)), ref,
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_supervised_contrastive_matches_reference(ref_tcc, heavy_deps):

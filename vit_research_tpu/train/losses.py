@@ -68,6 +68,19 @@ def simple_retrieval_contrastive(q, retrieved):
     return jnp.mean((1.0 - pos_sim) + neg_sim)
 
 
+def max_retrieval_contrastive(q, retrieved):
+    """The RATT-stage variant of the simple contrastive term: the pull is
+    against the BEST-matching retrieved token (max cosine over K), the
+    push is a batch-scalar — the mean cosine against the rolled
+    neighborhood mean — added to every sample's pull
+    (reference: nba_proj/train/training_ratt.py:66-98; kept at weight 0
+    in the reference's own loop, exposed here for capability parity)."""
+    pos_sim = jnp.max(jnp.sum(q[:, None, :] * retrieved, axis=-1), axis=1)
+    r_mean = jnp.mean(retrieved, axis=1)
+    push = jnp.mean(jnp.sum(q * jnp.roll(r_mean, shift=1, axis=0), axis=-1))
+    return jnp.mean((1.0 - pos_sim) + push)
+
+
 def attention_weighted_contrastive(q, retrieved, importance):
     """Same pull/push but the retrieved set is attention-pooled with the
     CLS importance weights."""

@@ -53,7 +53,10 @@ def make_step_fns(proj: ProjectionHead, head: RATTHead, tx, *,
         loss = loss_cls + ibn_weight * loss_ibn
         terms = {"loss_cls": loss_cls, "loss_ibn": loss_ibn}
         if contrastive_weight:
-            lc = losses.simple_retrieval_contrastive(z, ret)
+            # the RATT stage's own variant (max-pull / batch-scalar push),
+            # not training.py's mean-pull one
+            # (reference: nba_proj/train/training_ratt.py:66-98)
+            lc = losses.max_retrieval_contrastive(z, ret)
             loss = loss + contrastive_weight * lc
             terms["loss_contrastive"] = lc
         if attention_weight or entropy_weight:
