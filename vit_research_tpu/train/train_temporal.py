@@ -22,18 +22,22 @@ from vit_research_tpu.models.temporal_head import (
 
 def train_temporal_head(embeddings, labels, *, epochs: int = 3000,
                         lr: float = 1e-5, seed: int = 0,
-                        log_every: int = 0):
+                        init_params=None, log_every: int = 0):
     """Train on one full sequence.
 
     Args:
       embeddings: (T, D) float per-frame embeddings.
       labels: (T,) int in {-1, 0, 1, 2}; -1 = ignore.
+      init_params: optional warm-start parameter tree (e.g. a previous
+        run's params, or a transplant); fresh seeded init when None.
     Returns (model, params, final_loss)."""
     emb = jnp.asarray(embeddings, jnp.float32)[None]  # (1, T, D)
     y = jnp.asarray(labels, jnp.int32)[None]
 
     model = TemporalHead(embed_dim=emb.shape[-1])
-    params = model.init(jax.random.PRNGKey(seed), emb)
+    params = (jax.tree_util.tree_map(jnp.asarray, init_params)
+              if init_params is not None
+              else model.init(jax.random.PRNGKey(seed), emb))
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
