@@ -159,14 +159,19 @@ def merge_clip_ranges(clips, *, max_gap: int = 30):
 
 
 def merge_clip_dirs(clip_dirs, frame_pool_dir: str, out_root: str,
-                    *, max_gap: int = 30, copy: bool = True) -> list[str]:
+                    *, max_gap: int = 30, copy: bool = True,
+                    drop_none: bool = True) -> list[str]:
     """Directory-level merge: read clip ranges from dir contents, merge,
     rebuild merged dirs from the full frame pool. Clips are merged
     PER VIDEO — frame numbers from different vids overlap freely and
-    must never fuse across videos."""
+    must never fuse across videos. ``drop_none`` excludes none-side
+    clips from the merged output entirely, the reference's behavior
+    ("no need to add none clips", nba_proj/merge_clips.py:53-55)."""
     by_vid: dict = {}
     for cdir in clip_dirs:
         v, _, side = naming.parse_clip_dir(os.path.basename(cdir))
+        if drop_none and side == "none":
+            continue
         frames = sorted(os.listdir(cdir), key=naming.frame_sort_key)
         if not frames:
             continue
