@@ -75,7 +75,7 @@ def test_clip_labels_roundtrip(tmp_path):
 def test_frame_event_status():
     ev = {"event_make": [[10, 20]], "event_miss": [[30, 40]],
           "event_none": [[50, 60]]}
-    assert labels_mod.frame_event_status(15, ev) == ("event-make", 2)
+    assert labels_mod.frame_event_status(15, ev) == ("event-made", 2)
     assert labels_mod.frame_event_status(35, ev) == ("event-miss", 1)
     assert labels_mod.frame_event_status(55, ev) == ("event-none", 0)
     assert labels_mod.frame_event_status(5, ev) == ("", -1)

@@ -97,7 +97,7 @@ def _frame_samples(rng, n_clips=5, frames_per_clip=18):
                 "vid_num": vid,
                 "label": label,
                 "status": {0: "event-none", 1: "event-miss",
-                           2: "event-make"}[status_id],
+                           2: "event-made"}[status_id],
                 "status_id": status_id,
             })
     # shuffled input: both implementations must sort within clips

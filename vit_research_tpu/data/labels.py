@@ -24,10 +24,13 @@ from vit_research_tpu.data import naming
 
 SIDES = ("left", "right", "none")
 
-# Frame-event status ids (reference: nba_proj/dataset.py:118-141).
+# Frame-event status ids and the reference's exact status strings —
+# note 'event-made', not 'event-make' (the JSON template KEY is
+# event_make but the emitted string is 'event-made';
+# reference: nba_proj/dataset.py:118-141).
 EVENT_NONE, EVENT_MISS, EVENT_MAKE = 0, 1, 2
 EVENT_NAMES = {EVENT_NONE: "event-none", EVENT_MISS: "event-miss",
-               EVENT_MAKE: "event-make"}
+               EVENT_MAKE: "event-made"}
 
 
 @dataclass
