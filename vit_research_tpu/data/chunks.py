@@ -11,7 +11,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from vit_research_tpu.data.labels import EVENT_NAMES
+# The reference's status strings are INCONSISTENT between levels:
+# per-frame samples say 'event-made' (nba_proj/dataset.py:130) but
+# chunk dicts say 'event-make' (event_lookups, nba_proj/dataset.py:184-188,
+# :249). Both are mirrored exactly; consumers key on status_id.
+CHUNK_EVENT_NAMES = {0: "event-none", 1: "event-miss", 2: "event-make"}
 
 
 def chunk_event_label(frame_event_labels, event_threshold: int = 3) -> int:
@@ -57,7 +61,7 @@ def build_chunks(frame_samples, chunk_size: int = 12, chunk_stride: int = 4,
             chunk_samples.append({
                 "frames": [f["pth"] for f in sub],
                 "label": label,
-                "status": EVENT_NAMES[sid],
+                "status": CHUNK_EVENT_NAMES[sid],
                 "status_id": sid,
                 "side": side,
                 "vid": vid,

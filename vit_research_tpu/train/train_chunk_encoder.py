@@ -83,8 +83,8 @@ def make_step_fns(model: ChunkEncoder, tx):
 def train_chunk_encoder(store, chunk_index, train_ids, val_ids, *,
                         config: ChunkEncoderConfig | None = None,
                         num_epochs: int = 10, batch_size: int = 32,
-                        lr: float = 1e-4, grad_clip: float = 1.0,
-                        weight_decay: float = 0.0,
+                        lr: float = 5e-5, grad_clip: float = 1.0,
+                        weight_decay: float = 5e-4,
                         seed: int = 42, ckpt_manager=None,
                         resume: bool = False, verbose: bool = False):
     """Returns (model, best_params, history). ``resume=True`` continues

@@ -95,12 +95,17 @@ def make_step_fns(proj: ProjectionHead, head: RATTHead, tx, *,
 
 def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
                cfg: ExperimentConfig | None = None,
-               attention_losses: bool = False, ckpt_manager=None, resume: bool = False,
+               attention_losses: bool = False,
+               contrastive_weight: float = 0.0,
+               ckpt_manager=None, resume: bool = False,
                seed: int = 1234, verbose: bool = False):
     """Args:
       frame_embs_fn: callable(batch_chunks) -> (B, T, 768) frame
         embeddings (memmap store gather or live embed engine).
       retriever: RattChunkRetriever-contract callable.
+      contrastive_weight: weight on the max-pull retrieval contrastive
+        term; 0.0 matches the reference, which hardcodes its
+        coefficient to zero (reference: nba_proj/train/training_ratt.py:240).
     """
     cfg = cfg or ExperimentConfig(name="ratt")
     t = cfg.train
@@ -120,7 +125,8 @@ def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
     aw = 0.1 if attention_losses else 0.0
     ew = 0.01 if attention_losses else 0.0
     train_step, eval_step = make_step_fns(
-        proj, head, tx, attention_weight=aw, entropy_weight=ew)
+        proj, head, tx, contrastive_weight=contrastive_weight,
+        attention_weight=aw, entropy_weight=ew)
 
     @jax.jit
     def project(pp, frame_embs):
