@@ -66,13 +66,11 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
     n_buffers = 8
     batches = [
         jax.device_put(
-            rng.integers(0, 256, size=(batch, 224, 224, 3)).astype(np.uint8))
+            rng.integers(0, 256, size=(batch, 224, 224, 3), dtype=np.uint8))
         for _ in range(n_buffers)
     ]
 
     if scan_len:
-        import jax.numpy as jnp
-
         assert iters % scan_len == 0, (iters, scan_len)
         # A scan_len beyond the staged buffers would silently stack fewer
         # batches than frames_per_sec divides by — inflating the number.

@@ -77,4 +77,5 @@ if __name__ == "__main__":
         procs = [subprocess.Popen([sys.executable, __file__, str(p), "2",
                                    port]) for p in range(2)]
         rc = [p.wait() for p in procs]
-        sys.exit(max(rc))
+        # signal deaths are NEGATIVE return codes — max() would mask them
+        sys.exit(1 if any(rc) else 0)

@@ -51,7 +51,10 @@ def _get_lib():
         except OSError:
             stale = not os.path.exists(_SO)
         if stale:
-            if not _build():
+            # A failed rebuild (e.g. no compiler in the image) must not
+            # discard a prebuilt .so that still loads — fall through to
+            # the CDLL attempt whenever one exists on disk.
+            if not _build() and not os.path.exists(_SO):
                 _build_failed = True
                 return None
         try:

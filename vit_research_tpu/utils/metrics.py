@@ -60,10 +60,18 @@ class MetricsLogger:
             try:
                 row[k] = float(v)
             except (TypeError, ValueError):
-                # The contract is 'an arbitrary dict': string/None
-                # diagnostics ride along as-is instead of killing the
-                # run at checkpoint-save time.
-                row[k] = v if v is None else str(v)
+                # The contract is 'an arbitrary dict': JSON-serializable
+                # structures (dict/list/str/None) ride along unchanged;
+                # only truly foreign objects get stringified rather than
+                # killing the run at checkpoint-save time.
+                if isinstance(v, (dict, list, tuple, str)) or v is None:
+                    try:
+                        json.dumps(v)
+                        row[k] = v
+                    except (TypeError, ValueError):
+                        row[k] = str(v)
+                else:
+                    row[k] = str(v)
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
         return row
