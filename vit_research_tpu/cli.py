@@ -712,11 +712,19 @@ def cmd_train_stage1(args):
     from vit_research_tpu.utils.configs import (ChunkEncoderConfig, preset,
                                                 save_config)
 
+    import dataclasses
+
     store = FrameStore(args.store).open()
     idx = load_chunk_index(args.store)
     n = len(idx["label"])
     split = max(int(n * 0.8), 1)
     cfg = preset("chunks_cached")
+    # the run-ID exists to encode the ACTUAL hyperparameters
+    # (reference: nba_proj/config_stage2.py:65-81)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, lr_phase1=args.lr, lr_phase2=args.lr,
+            weight_decay=args.weight_decay))
     ce_cfg = ChunkEncoderConfig(
         embed_dim=store.dim, mlp_dim=4 * store.dim,
         max_len=int(idx["frame_idx"].shape[1]))
