@@ -38,7 +38,10 @@ class AnyStub:
         return AnyStub()
 
     def __iter__(self):
-        return iter(())
+        # Refuse, loudly: silently iterating zero times would let a
+        # differential pass vacuously on an oracle that never saw data.
+        raise TypeError("attempted to iterate an AnyStub — the reference "
+                        "path under test reached a stubbed API")
 
 
 class StubHF:
@@ -169,11 +172,22 @@ def ref_import_env(stubs):
     """Stub modules + REF_ROOT on sys.path; on exit restore sys.modules
     (drop stubs and reference-tree modules, keep real libraries that got
     imported along the way — re-importing tensorflow per fixture would
-    cost ~40 s each), sys.path, and the env vars the scripts set."""
+    cost ~40 s each), sys.path, the env vars the scripts set, and the
+    global RNG state they clobber (random.seed / np.random.seed at
+    module scope, e.g. test/get_clip_sequences.py:37-51) plus TF op
+    determinism if a script enabled it. TF's global seed itself has no
+    getter; scripts that set it only affect tests that rely on
+    UNSEEDED tf randomness, which none here do."""
+    import random
+
+    import numpy as np
+
     saved_modules = dict(sys.modules)
     saved_path = list(sys.path)
     env_keys = ("CUDA_VISIBLE_DEVICES", "PYTHONHASHSEED")
     saved_env = {k: os.environ.get(k) for k in env_keys}
+    saved_py_rng = random.getstate()
+    saved_np_rng = np.random.get_state()
     prev_bc = sys.dont_write_bytecode
     sys.dont_write_bytecode = True
     stub_ids = {id(m) for m in stubs.values()}
@@ -196,6 +210,16 @@ def ref_import_env(stubs):
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+        random.setstate(saved_py_rng)
+        np.random.set_state(saved_np_rng)
+        tf = sys.modules.get("tensorflow")
+        if tf is not None:
+            # a reference module may enable_op_determinism at import
+            # (training_stage2.py:51-62); don't leak it into the suite
+            try:
+                tf.config.experimental.disable_op_determinism()
+            except Exception:
+                pass
 
 
 def load_module(name, filename, stubs):
@@ -218,7 +242,12 @@ def load_truncated(name, filename, cut_prefix, stubs, cwd=None):
     path = os.path.join(REF_ROOT, filename)
     with open(path) as f:
         lines = f.read().splitlines(keepends=True)
-    cut = next(i for i, l in enumerate(lines) if l.startswith(cut_prefix))
+    cut = next((i for i, l in enumerate(lines)
+                if l.startswith(cut_prefix)), None)
+    if cut is None:
+        raise ValueError(
+            f"cut_prefix {cut_prefix!r} matches no line of {path} — "
+            "the pinned reference file drifted or the prefix is wrong")
     code = compile("".join(lines[:cut]), path, "exec")
     mod = types.ModuleType(name)
     mod.__file__ = path

@@ -25,6 +25,16 @@ What is and isn't ours here:
 Internal attribute names mirror Model Garden's so transplant code reads
 the same fields it would on the real block.
 
+KERAS-2/3 TRAP: these stand-ins are tf_keras (keras 2) layers, but the
+reference models that hold them subclass ``tensorflow.keras`` (keras 3
+in this image). Keras 3 does NOT track keras-2 sublayers, so
+``model.trainable_variables`` / ``save_weights`` on such a reference
+model SILENTLY OMITS every block weight (in the reference's own
+environment everything was one keras and tracking worked). Forward
+passes and direct attribute reads are unaffected. Any differential
+that trains or enumerates variables must use :func:`tracked_variables`
+(or an equivalent shim) instead of ``model.trainable_variables``.
+
 Reference block config being reproduced (identical at all four usage
 sites): nba_proj/models/vit_backbone.py:159-175,
 nba_proj/models/chunk_encoder.py:17-31, nba_proj/models/rag_head.py:16-31,
@@ -56,7 +66,12 @@ class TransformerEncoderBlock(_layers.Layer):
     """norm_first pre-norm transformer block, eval-mode faithful to
     official.vision.modeling.layers.nn_blocks.TransformerEncoderBlock."""
 
-    def __init__(self, inner_activation, num_attention_heads, inner_dim,
+    # Positional order matches the real Model Garden block
+    # (num_attention_heads, inner_dim, inner_activation first) so a
+    # reference call site passing positionally binds identically; all
+    # four current sites use keywords.
+    def __init__(self, num_attention_heads=None, inner_dim=None,
+                 inner_activation=None,
                  output_dropout=0.0, attention_dropout=0.0,
                  kernel_regularizer=None, kernel_initializer="glorot_uniform",
                  norm_first=False, stochastic_depth_drop_rate=0.0,
@@ -125,6 +140,17 @@ class TransformerEncoderBlock(_layers.Layer):
         if self._return_attention_scores:
             return out, scores
         return out
+
+
+def tracked_variables(model, blocks_attr="transformer_blocks"):
+    """``model.trainable_variables`` + the stand-in blocks' variables the
+    keras-3 Model fails to track (see the module-docstring trap). The
+    union reproduces the variable set the reference environment's
+    single-keras tracking would give."""
+    out = list(model.trainable_variables)
+    for block in getattr(model, blocks_attr, []):
+        out.extend(block.trainable_variables)
+    return out
 
 
 def block_flax_params(block):

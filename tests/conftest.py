@@ -19,6 +19,12 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# A pre-set count other than 8 (e.g. left over from a debugging shell)
+# would make every mesh test fail with confusing reshape errors deep in
+# sharding code — diagnose it here instead.
+assert jax.device_count() == 8, (
+    f"tests assume 8 virtual CPU devices, got {jax.device_count()} — "
+    f"check the inherited XLA_FLAGS ({os.environ.get('XLA_FLAGS')!r})")
 # CPU oneDNN matmuls default to bf16-like precision in this jax build;
 # pin full precision so numeric tests compare against numpy references.
 jax.config.update("jax_default_matmul_precision", "highest")

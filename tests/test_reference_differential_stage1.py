@@ -73,13 +73,10 @@ def _no_dropout(tf):
 
 
 class _TrackedRef:
-    """Restores the reference-environment variable set: in this image
-    ``tensorflow.keras`` is keras 3 while the garden stand-in blocks are
-    keras 2 (tf_keras), so the keras-3 Model's ``trainable_variables``
-    misses the block weights — an image artifact, not reference
-    semantics (in the reference's own environment everything is one
-    keras and the blocks are tracked). Forward calls pass through
-    untouched."""
+    """Restores the reference-environment variable set (the keras-2/3
+    tracking trap — see the _tf_garden module docstring): forward calls
+    pass through untouched; ``trainable_variables`` is the union the
+    reference's single-keras environment would produce."""
 
     def __init__(self, model):
         self._model = model
@@ -89,10 +86,8 @@ class _TrackedRef:
 
     @property
     def trainable_variables(self):
-        out = list(self._model.trainable_variables)
-        for block in self._model.transformer_blocks:
-            out.extend(block.trainable_variables)
-        return out
+        from _tf_garden import tracked_variables
+        return tracked_variables(self._model)
 
 
 def _transplant(ref):
