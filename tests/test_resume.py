@@ -132,3 +132,25 @@ def test_retention_best_survives_manager_restart(tmp_path):
     steps = sorted(mngr2._mngr.all_steps())
     assert 0 in steps  # the best step survived both sweeps
     np.testing.assert_allclose(mngr2.restore_best()["w"], 0.0)
+
+
+def test_resume_structure_mismatch_names_migrating(tmp_path):
+    """A checkpoint saved under a DIFFERENT optimizer structure must not
+    resume with a cryptic Orbax traceback: maybe_resume re-raises with a
+    pointer at MIGRATING.md's checkpoint-compatibility note."""
+    import pytest
+
+    from vit_research_tpu.train.common import TrainState, maybe_resume
+
+    params = {"w": jnp.zeros((2,), jnp.float32)}
+    old_tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    mngr = CheckpointManager(str(tmp_path), "run")
+    mngr.save(0, {"params": params, "opt_state": old_tx.init(params),
+                  "step": 0})
+    mngr.wait()
+
+    new_tx = optax.chain(optax.clip_by_global_norm(1.0),
+                         optax.adamw(1e-3, weight_decay=1e-4))
+    state = TrainState(params=params, opt_state=new_tx.init(params))
+    with pytest.raises(RuntimeError, match="MIGRATING.md"):
+        maybe_resume(mngr, state, resume=True)

@@ -40,7 +40,17 @@ def maybe_resume(ckpt_manager, state: TrainState, resume: bool):
         return state, 0
     template = {"params": state.params, "opt_state": state.opt_state,
                 "step": state.step}
-    restored = ckpt_manager.restore(latest, template=template)
+    try:
+        restored = ckpt_manager.restore(latest, template=template)
+    except Exception as e:
+        raise RuntimeError(
+            f"--resume could not restore step {latest} from "
+            f"{getattr(ckpt_manager, 'dir', ckpt_manager)}: the saved "
+            "tree does not match the current optimizer/model structure. "
+            "A checkpoint written before an optimizer change cannot "
+            "resume its optimizer state (see MIGRATING.md 'Checkpoint "
+            "compatibility notes'); restart the run, or warm-start from "
+            "the checkpoint's params tree only.") from e
     return TrainState(params=restored["params"],
                       opt_state=restored["opt_state"],
                       step=int(restored["step"])), latest + 1
