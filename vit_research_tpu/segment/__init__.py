@@ -1,1 +1,6 @@
-from vit_research_tpu.segment.hmm import HMM, STATES, DEFAULT_TRANSITIONS  # noqa: F401
+from vit_research_tpu.segment.hmm import (  # noqa: F401
+    DEFAULT_TRANSITIONS,
+    HMM,
+    STATES,
+    StreamingViterbi,
+)

@@ -111,6 +111,173 @@ class HMM:
         return self.decoded_sequence
 
 
+class StreamingViterbi:
+    """Online Viterbi decoder with bounded memory and bounded latency.
+
+    The capability the reference wanted but never built: its lattice kept
+    every column and hit an unimplemented "shift method" + interactive
+    ``input('stop')`` at the 501-column window cap (reference:
+    nba_proj/hmm.py:32-35,56-65 — the author's comment asks exactly "how
+    do I efficiently shift out some of the frames in the window ... while
+    keeping the decoded sequence intact"). This class answers it:
+
+    - States are emitted as soon as EVERY survivor path agrees on them
+      (path coalescence) — those emissions are exactly the offline
+      decode's prefix.
+    - A state that falls ``max_lag`` frames behind is force-committed
+      along the current best path (classic fixed-lag Viterbi), and the
+      lattice is re-anchored on the committed state, so the rest of the
+      decode is exact *conditioned on* the commitments and the emitted
+      sequence is always a valid path (no forbidden transitions).
+    - Memory is O(max_lag * S) regardless of stream length.
+
+    Coalescence is checked every ``drain_every`` pushes (one O(window)
+    sweep, amortized O(1) per frame), so emissions arrive in bursts; the
+    window may transiently exceed ``max_lag`` by at most ``drain_every``
+    between sweeps. Math follows ops/viterbi.py exactly (f32, emission
+    added after the max, first-argmax tie-breaking), so with an infinite
+    ``max_lag`` the concatenated emissions equal
+    :func:`smooth_probabilities` bit-for-bit.
+
+    Usage::
+
+        sv = StreamingViterbi(max_lag=512)
+        for probs in frame_probability_stream:   # each (3,) or dict
+            for state in sv.push(probs):
+                handle(STATES[state])
+        for state in sv.finish():
+            handle(STATES[state])
+    """
+
+    def __init__(self, max_lag: int = 512, *, transition_matrix=None,
+                 prior=None, drain_every: int = 32):
+        if max_lag < 1:
+            raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+        trans = (DEFAULT_TRANSITIONS if transition_matrix is None
+                 else np.asarray(transition_matrix, np.float32))
+        self._log_trans = np.asarray(
+            viterbi_ops.log_transition_matrix(trans), np.float32)
+        p = UNIFORM_PRIOR if prior is None else np.asarray(prior, np.float32)
+        self._log_prior = np.log(p)
+        self.max_lag = int(max_lag)
+        self.drain_every = max(1, int(drain_every))
+        self._n_states = self._log_trans.shape[0]
+        self._scores: np.ndarray | None = None  # dp at newest pending time
+        self._le: list[np.ndarray] = []   # pending log-emissions
+        self._bp: list[np.ndarray] = []   # _bp[k] maps state at pending k
+        #                                   -> state at pending k-1
+        #                                   (_bp[0] is never read)
+        self._since_drain = 0
+        self.emitted = 0        # states emitted so far
+        self.forced = 0         # of which force-committed (not coalesced)
+        self._finished = False
+
+    @property
+    def pending(self) -> int:
+        """Frames pushed but not yet emitted."""
+        return len(self._le)
+
+    def push(self, col) -> list[int]:
+        """Feed one frame's (S,) state probabilities (array or
+        left/right/none dict); returns the states newly fixed by this
+        push (possibly empty — emissions arrive in bursts)."""
+        if self._finished:
+            raise RuntimeError("push after finish()")
+        le = np.log(_col_to_probs(col))
+        if self._scores is None:
+            self._scores = self._log_prior + le
+            self._bp.append(np.zeros(self._n_states, np.int32))  # unread
+        else:
+            m = self._scores[:, None] + self._log_trans
+            self._bp.append(m.argmax(axis=0).astype(np.int32))
+            self._scores = m.max(axis=0) + le
+        self._le.append(le)
+        self._since_drain += 1
+        if (self._since_drain >= self.drain_every
+                or len(self._le) > self.max_lag):
+            return self._drain()
+        return []
+
+    def finish(self) -> list[int]:
+        """Flush: commit all pending states along the best path."""
+        if self._finished:
+            return []
+        self._finished = True
+        out = self._drain()
+        w = len(self._le)
+        if w:
+            out.extend(self._best_path()[:w])
+            self.emitted += w
+            self._le.clear()
+            self._bp.clear()
+        return out
+
+    # -- internals -----------------------------------------------------------
+
+    def _best_path(self) -> list[int]:
+        """Best current path over the whole pending window (len W)."""
+        cur = int(np.argmax(self._scores))
+        seq = [0] * len(self._le)
+        for k in range(len(self._le) - 1, -1, -1):
+            seq[k] = cur
+            if k > 0:
+                cur = int(self._bp[k][cur])
+        return seq
+
+    def _drain(self) -> list[int]:
+        self._since_drain = 0
+        w = len(self._le)
+        if w == 0:
+            return []
+        out: list[int] = []
+        # Backward survivor sweep: ps[s] = state at pending k on the
+        # survivor path that ends in terminal state s.
+        ps = np.arange(self._n_states)
+        k = w - 1
+        merge = -1
+        while True:
+            if (ps == ps[0]).all():
+                merge = k
+                break
+            if k == 0:
+                break
+            ps = self._bp[k][ps]
+            k -= 1
+        if merge >= 0:
+            # All survivors share the prefix 0..merge — emit it (exact).
+            seq = [0] * (merge + 1)
+            cur = int(ps[0])
+            for j in range(merge, -1, -1):
+                seq[j] = cur
+                if j > 0:
+                    cur = int(self._bp[j][cur])
+            out.extend(seq)
+            self.emitted += merge + 1
+            del self._le[: merge + 1]
+            del self._bp[: merge + 1]
+            w = len(self._le)
+        excess = w - self.max_lag
+        if excess > 0:
+            # Fixed-lag forced commit: take the current best path's first
+            # `excess` states, then re-anchor the lattice on the last
+            # committed state so future decoding conditions on it.
+            path = self._best_path()
+            out.extend(path[:excess])
+            self.emitted += excess
+            self.forced += excess
+            anchor = path[excess - 1]
+            del self._le[:excess]
+            del self._bp[:excess]
+            dp = np.full(self._n_states, viterbi_ops.NEG_INF, np.float32)
+            dp[anchor] = 0.0
+            for j, le in enumerate(self._le):
+                m = dp[:, None] + self._log_trans
+                self._bp[j] = m.argmax(axis=0).astype(np.int32)
+                dp = m.max(axis=0) + le
+            self._scores = dp
+        return out
+
+
 _PARALLEL_THRESHOLD = 8192  # beyond this, log-depth decode wins on TPU
 
 
