@@ -132,9 +132,12 @@ class StreamingViterbi:
     - Memory is O(max_lag * S) regardless of stream length.
 
     Coalescence is checked every ``drain_every`` pushes (one O(window)
-    sweep, amortized O(1) per frame), so emissions arrive in bursts; the
-    window may transiently exceed ``max_lag`` by at most ``drain_every``
-    between sweeps. Math follows ops/viterbi.py exactly (f32, emission
+    sweep), so emissions arrive in bursts, but the pending window never
+    exceeds ``max_lag`` after a push returns — a push that would exceed
+    it drains immediately. On pathological streams that never coalesce,
+    each push past the lag bound pays the O(max_lag * S^2) forced-commit
+    rebuild (~0.04 ms at S=3, max_lag=512 — still far cheaper than the
+    frame work upstream). Math follows ops/viterbi.py exactly (f32, emission
     added after the max, first-argmax tie-breaking), so with an infinite
     ``max_lag`` the concatenated emissions equal
     :func:`smooth_probabilities` bit-for-bit.
@@ -188,9 +191,8 @@ class StreamingViterbi:
             self._scores = self._log_prior + le
             self._bp.append(np.zeros(self._n_states, np.int32))  # unread
         else:
-            m = self._scores[:, None] + self._log_trans
-            self._bp.append(m.argmax(axis=0).astype(np.int32))
-            self._scores = m.max(axis=0) + le
+            bp, self._scores = self._step(self._scores, le)
+            self._bp.append(bp)
         self._le.append(le)
         self._since_drain += 1
         if (self._since_drain >= self.drain_every
@@ -214,15 +216,27 @@ class StreamingViterbi:
 
     # -- internals -----------------------------------------------------------
 
-    def _best_path(self) -> list[int]:
-        """Best current path over the whole pending window (len W)."""
-        cur = int(np.argmax(self._scores))
-        seq = [0] * len(self._le)
-        for k in range(len(self._le) - 1, -1, -1):
+    def _step(self, dp: np.ndarray, le: np.ndarray):
+        """One max-plus forward step (same math/tie-breaking as
+        ops/viterbi._forward_step): returns (backpointers, next dp)."""
+        m = dp[:, None] + self._log_trans
+        return m.argmax(axis=0).astype(np.int32), m.max(axis=0) + le
+
+    def _backtrace(self, state: int, upto: int) -> list[int]:
+        """States at pending times 0..upto along the survivor path that
+        is in ``state`` at pending time ``upto``."""
+        seq = [0] * (upto + 1)
+        cur = int(state)
+        for k in range(upto, -1, -1):
             seq[k] = cur
             if k > 0:
                 cur = int(self._bp[k][cur])
         return seq
+
+    def _best_path(self) -> list[int]:
+        """Best current path over the whole pending window."""
+        return self._backtrace(int(np.argmax(self._scores)),
+                               len(self._le) - 1)
 
     def _drain(self) -> list[int]:
         self._since_drain = 0
@@ -245,13 +259,7 @@ class StreamingViterbi:
             k -= 1
         if merge >= 0:
             # All survivors share the prefix 0..merge — emit it (exact).
-            seq = [0] * (merge + 1)
-            cur = int(ps[0])
-            for j in range(merge, -1, -1):
-                seq[j] = cur
-                if j > 0:
-                    cur = int(self._bp[j][cur])
-            out.extend(seq)
+            out.extend(self._backtrace(int(ps[0]), merge))
             self.emitted += merge + 1
             del self._le[: merge + 1]
             del self._bp[: merge + 1]
@@ -271,9 +279,7 @@ class StreamingViterbi:
             dp = np.full(self._n_states, viterbi_ops.NEG_INF, np.float32)
             dp[anchor] = 0.0
             for j, le in enumerate(self._le):
-                m = dp[:, None] + self._log_trans
-                self._bp[j] = m.argmax(axis=0).astype(np.int32)
-                dp = m.max(axis=0) + le
+                self._bp[j], dp = self._step(dp, le)
             self._scores = dp
         return out
 
