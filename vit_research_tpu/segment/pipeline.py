@@ -68,6 +68,59 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
     return decoded, clip_dirs, fused
 
 
+def segment_knn_hmm_stream(batches, corpus, *, k: int = 50,
+                           confidence_threshold: float = 0.7,
+                           min_len: int = 100, pad: int = 100,
+                           max_lag: int = 512, collection=None,
+                           vid: int | None = None, metric: str = "l2",
+                           transition_matrix=None):
+    """Live variant of :func:`segment_with_knn_hmm` for streams.
+
+    The reference's generate_clips_hmm loop WAS incremental — one frame
+    at a time through embed → 50-NN → lattice
+    (reference: nba_proj/generate_clips_hmm.py:367-490) — but it could
+    only decode (and hence emit clips) after the whole game, and paid
+    3 device/DB crossings per frame. This generator keeps the
+    incremental delivery and drops the cost: consume an iterator of
+    ``(frame_names, embeddings)`` micro-batches as the embedder produces
+    them, run one batched k-NN fused-confidence pass per micro-batch,
+    push emissions through StreamingViterbi (bounded memory, states
+    final as soon as survivor paths coalesce — segment/hmm.py), and
+    yield :class:`~vit_research_tpu.segment.clips.ClipInterval`\\ s with
+    GLOBAL frame indices the moment their padded extent is final —
+    minutes before a 2-hour game ends, not after it.
+
+    Confident frames are written back to ``collection`` per micro-batch
+    (same per-frame math and new-ids-only guard as the offline path, so
+    the final collection contents are identical). On decisive streams
+    the yielded clips equal the offline pipeline's exactly; ambiguous
+    stretches longer than ``max_lag`` fall back to fixed-lag commits
+    (see StreamingViterbi).
+    """
+    from vit_research_tpu.segment.hmm import StreamingViterbi
+
+    corpus_embs = np.asarray(corpus["embeddings"])
+    corpus_labels = np.asarray(corpus["labels"])
+    corpus_probs = np.asarray(corpus["probs"])
+    sv = StreamingViterbi(max_lag=max_lag,
+                          transition_matrix=transition_matrix)
+    extractor = clips_mod.StreamingClipExtractor(min_len=min_len, pad=pad)
+    for frame_names, embeddings in batches:
+        nl, idx, _ = knn_mod.knn_labels(
+            embeddings, corpus_embs, corpus_labels, k, metric=metric)
+        fused = knn_mod.fused_confidence(
+            nl, corpus_probs[np.asarray(idx)], top_n=k,
+            confidence_threshold=confidence_threshold)
+        _confident_writeback(collection, fused, list(frame_names),
+                             embeddings, vid)
+        for row in fused["emissions"]:
+            for state in sv.push(row):
+                yield from extractor.push(STATES[state])
+    for state in sv.finish():
+        yield from extractor.push(STATES[state])
+    yield from extractor.finish()
+
+
 def _confident_writeback(collection, fused, frame_names, embeddings, vid):
     """Upsert confident frames back into the corpus collection
     (reference: nba_proj/generate_clips_hmm.py:459-471,
