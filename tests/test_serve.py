@@ -339,3 +339,116 @@ def test_get_collection_strict(tmp_path):
     assert client.get_collection("real").name == "real"
     with pytest.raises(ValueError, match="does not exist"):
         client.get_collection("typo")
+
+
+# ---- live segmentation sessions ------------------------------------------
+
+
+@pytest.fixture()
+def seg_world(engine, tmp_path):
+    """Three distinct frames on disk + a labeled corpus collection built
+    from the ENGINE'S OWN embeddings of those frames (so streamed copies
+    of a frame kNN-match their class exactly)."""
+    from PIL import Image
+
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    sides = ("left", "right", "none")
+    paths = {}
+    for i, side in enumerate(sides):
+        img = np.full((32, 32, 3), 40 + 80 * i, np.uint8)
+        img[: 8 * (i + 1), :8] = 255  # make the three frames distinct
+        p = str(tmp_path / f"{side}.png")
+        Image.fromarray(img).save(p)
+        paths[side] = p
+    embs = engine.embed_batch(
+        np.stack([np.asarray(Image.open(paths[s])) for s in sides]))
+    coll = PersistentClient(str(tmp_path / "segdb")).get_or_create_collection(
+        "corpus", metadata={"hnsw:space": "l2"})
+    ids, rows, metas = [], [], []
+    for i, side in enumerate(sides):
+        probs = {f"{s}_prob": (0.9 if s == side else 0.05) for s in sides}
+        for c in range(5):  # 5 copies so k=5 votes stay in-class
+            ids.append(f"{side}{c}")
+            rows.append(embs[i])
+            metas.append({"label": side, **probs})
+    coll.upsert(ids, np.asarray(rows), metadatas=metas)
+    return paths, coll
+
+
+@pytest.fixture()
+def seg_server(engine, seg_world, tmp_path):
+    paths, coll = seg_world
+    srv = EmbedServer(engine, collection=coll)
+    sock = str(tmp_path / "seg.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    yield sock, paths
+    srv.stop()
+    t.join(timeout=10)
+
+
+def test_segment_session_streams_clips_mid_game(seg_server):
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    with SessionClient(sock) as c:
+        resp = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                          "pad": 2, "max_lag": 64})
+        assert resp["ok"] and resp["corpus_size"] == 15
+        stream = ["left"] * 30 + ["none"] * 20
+        clips, seen_mid_stream = [], False
+        for i in range(0, len(stream), 10):
+            resp = c.request({"op": "segment_push",
+                              "paths": [paths[s]
+                                        for s in stream[i: i + 10]]})
+            assert resp["ok"]
+            clips.extend(resp["clips"])
+            if resp["clips"] and i + 10 < len(stream):
+                seen_mid_stream = True
+        fin = c.request({"op": "segment_finish"})
+        assert fin["ok"] and fin["frames_seen"] == 50
+        clips.extend(fin["clips"])
+    # one left possession: frames 0..29, padded end 31 (pad=2)
+    assert clips == [{"side": "left", "start": 0, "end": 31}]
+    assert seen_mid_stream  # the clip surfaced before the stream ended
+    assert fin["forced"] == 0  # decisive stream: every emission exact
+
+
+def test_segment_session_protocol_errors(seg_server, engine, tmp_path):
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    with SessionClient(sock) as c:
+        r = c.request({"op": "segment_push", "paths": [paths["left"]]})
+        assert not r["ok"] and "segment_start" in r["error"]
+        assert not c.request({"op": "segment_finish"})["ok"]
+        assert c.request({"op": "segment_start", "k": 5})["ok"]
+        r = c.request({"op": "segment_start", "k": 5})
+        assert not r["ok"] and "already active" in r["error"]
+        # errors keep the session usable
+        assert c.request({"op": "segment_push",
+                          "paths": [paths["left"]]})["ok"]
+        assert c.request({"op": "segment_finish"})["ok"]
+    # sessions are per connection: a new connection starts clean
+    with SessionClient(sock) as c2:
+        r = c2.request({"op": "segment_finish"})
+        assert not r["ok"]
+
+    # a server without a collection refuses sessions
+    srv = EmbedServer(engine, collection=None)
+    sock2 = str(tmp_path / "nocoll.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock2,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    try:
+        r = request(sock2, {"op": "segment_start"})
+        assert not r["ok"] and "collection" in r["error"]
+    finally:
+        srv.stop()
+        t.join(timeout=10)

@@ -247,35 +247,14 @@ def _labeled_frames(frames_dir: str, manual_csv: str):
 
 
 def _corpus_from_collection(col):
-    """Read a labeled frame collection (write-frame-db / self-label
-    write-backs) into the kNN corpus dict shape used by segment/*:
-    {'embeddings' (M, D), 'labels' (M,) int ids, 'probs' (M, 3)}."""
-    import numpy as np
+    """CLI shim over segment/knn.py::corpus_from_collection: same corpus
+    dict, ValueError surfaced as a clean exit instead of a traceback."""
+    from vit_research_tpu.segment.knn import corpus_from_collection
 
-    from vit_research_tpu.segment.knn import SIDES
-
-    got = col.get(include=("embeddings", "metadatas"))
-    if not got["ids"]:
-        raise SystemExit(f"collection {col.name!r} is empty — build it "
-                         "with write-frame-db first")
-    labels, probs = [], []
-    for m in got["metadatas"]:
-        label = m.get("label")
-        if label is None:
-            raise SystemExit(
-                f"collection {col.name!r} rows carry no 'label' metadata "
-                "— not a labeled frame collection (frame RAG collections "
-                "store side/t_norm only; build a corpus with "
-                "write-frame-db)")
-        label = str(label)
-        if label not in SIDES:
-            raise SystemExit(f"collection {col.name!r} has non-side label "
-                             f"{label!r}; not a labeled frame collection")
-        labels.append(SIDES.index(label))
-        probs.append([float(m.get(f"{s}_prob", 0.0)) for s in SIDES])
-    return {"embeddings": np.asarray(got["embeddings"], np.float32),
-            "labels": np.asarray(labels, np.int64),
-            "probs": np.asarray(probs, np.float32)}
+    try:
+        return corpus_from_collection(col)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
 
 def cmd_write_frame_db(args):

@@ -29,6 +29,37 @@ from vit_research_tpu.ops.topk import masked_topk
 SIDES = ("left", "right", "none")
 
 
+def corpus_from_collection(col) -> dict:
+    """Read a labeled frame collection (write-frame-db / self-label
+    write-backs) into the kNN corpus dict shape used by segment/*:
+    ``{'embeddings' (M, D), 'labels' (M,) int ids, 'probs' (M, 3)}``.
+
+    Raises ValueError for empty or unlabeled collections (callers like
+    the CLI translate this into their own exit semantics)."""
+    got = col.get(include=("embeddings", "metadatas"))
+    if not got["ids"]:
+        raise ValueError(f"collection {col.name!r} is empty — build it "
+                         "with write-frame-db first")
+    labels, probs = [], []
+    for m in got["metadatas"]:
+        label = m.get("label")
+        if label is None:
+            raise ValueError(
+                f"collection {col.name!r} rows carry no 'label' metadata "
+                "— not a labeled frame collection (frame RAG collections "
+                "store side/t_norm only; build a corpus with "
+                "write-frame-db)")
+        label = str(label)
+        if label not in SIDES:
+            raise ValueError(f"collection {col.name!r} has non-side label "
+                             f"{label!r}; not a labeled frame collection")
+        labels.append(SIDES.index(label))
+        probs.append([float(m.get(f"{s}_prob", 0.0)) for s in SIDES])
+    return {"embeddings": np.asarray(got["embeddings"], np.float32),
+            "labels": np.asarray(labels, np.int64),
+            "probs": np.asarray(probs, np.float32)}
+
+
 def temp_softmax(x, temperature: float = 1.0) -> np.ndarray:
     x = np.asarray(x, np.float64) / temperature
     e = np.exp(x - x.max(axis=-1, keepdims=True))

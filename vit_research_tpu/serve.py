@@ -19,6 +19,21 @@ response object per line.
      "where": {...}}                           -> per-query ids/distances/metadatas
     {"op": "shutdown"}
 
+Live segmentation sessions (one per connection — use
+:class:`SessionClient`, not the one-shot :func:`request`): the server's
+collection doubles as the labeled kNN corpus
+(cli write-frame-db), frames stream in as they arrive, and finished
+possession clips stream back mid-game (segment/pipeline.py design,
+StreamingViterbi + StreamingClipExtractor under the hood):
+
+    {"op": "segment_start", "k": 25, "confidence_threshold": 0.7,
+     "min_len": 100, "pad": 100, "max_lag": 512, "drain_every": 8}
+    {"op": "segment_push", "paths"|"frames_b64": [...]}
+        -> {"ok": true, "clips": [{"side","start","end"}...],
+            "frames_seen": N}      (clip indices are global frame
+                                    positions within the session)
+    {"op": "segment_finish"}       -> remaining clips + "forced" count
+
 Concurrency: requests are parsed on per-connection threads; device work
 is serialized by a lock (one chip, one engine — batching inside
 ``embed_batch`` already pipelines sub-batches). Malformed requests get
@@ -185,8 +200,86 @@ class EmbedServer:
         with self._lock:
             return self.engine.embed_batch(batch)
 
-    def handle(self, req: dict) -> dict:
+    def _segment_start(self, req, session) -> dict:
+        from vit_research_tpu.segment.clips import StreamingClipExtractor
+        from vit_research_tpu.segment.hmm import StreamingViterbi
+        from vit_research_tpu.segment.knn import corpus_from_collection
+
+        if self.collection is None:
+            raise ValueError("server started without a collection — "
+                             "segment sessions need a labeled corpus")
+        if "segment" in session:
+            raise ValueError("a segment session is already active on "
+                             "this connection; segment_finish it first")
+        session["segment"] = {
+            "corpus": corpus_from_collection(self.collection),
+            "viterbi": StreamingViterbi(
+                max_lag=int(req.get("max_lag", 512)),
+                # serving favors responsiveness: sweep for emittable
+                # states every few frames (the sweep is ~O(window) tiny
+                # numpy ops), not the library default of 32
+                drain_every=int(req.get("drain_every", 8))),
+            "extractor": StreamingClipExtractor(
+                min_len=int(req.get("min_len", 100)),
+                pad=int(req.get("pad", 100))),
+            "k": int(req.get("k", 25)),
+            "confidence_threshold": float(
+                req.get("confidence_threshold", 0.7)),
+            "frames_seen": 0,
+        }
+        return {"ok": True, "corpus_size":
+                len(session["segment"]["corpus"]["labels"])}
+
+    def _segment_push(self, req, session) -> dict:
+        from vit_research_tpu.segment import knn as knn_mod
+        from vit_research_tpu.segment.hmm import STATES
+
+        seg = session.get("segment")
+        if seg is None:
+            raise ValueError("no active segment session — send "
+                             "segment_start first")
+        embs = self._embed_request(req)
+        corpus = seg["corpus"]
+        with self._lock:  # the kNN top-k matmul is device work
+            nl, idx, _ = knn_mod.knn_labels(
+                embs, corpus["embeddings"], corpus["labels"], seg["k"])
+        fused = knn_mod.fused_confidence(
+            nl, corpus["probs"][np.asarray(idx)], top_n=seg["k"],
+            confidence_threshold=seg["confidence_threshold"])
+        clips = []
+        for row in fused["emissions"]:
+            for state in seg["viterbi"].push(row):
+                clips.extend(seg["extractor"].push(STATES[state]))
+        seg["frames_seen"] += len(embs)
+        return {"ok": True, "frames_seen": seg["frames_seen"],
+                "clips": [{"side": c.side, "start": c.start, "end": c.end}
+                          for c in clips]}
+
+    def _segment_finish(self, session) -> dict:
+        from vit_research_tpu.segment.hmm import STATES
+
+        seg = session.pop("segment", None)
+        if seg is None:
+            raise ValueError("no active segment session")
+        clips = []
+        for state in seg["viterbi"].finish():
+            clips.extend(seg["extractor"].push(STATES[state]))
+        clips.extend(seg["extractor"].finish())
+        return {"ok": True, "frames_seen": seg["frames_seen"],
+                "forced": seg["viterbi"].forced,
+                "clips": [{"side": c.side, "start": c.start, "end": c.end}
+                          for c in clips]}
+
+    def handle(self, req: dict, session: dict | None = None) -> dict:
+        if session is None:
+            session = {}
         op = req.get("op")
+        if op == "segment_start":
+            return self._segment_start(req, session)
+        if op == "segment_push":
+            return self._segment_push(req, session)
+        if op == "segment_finish":
+            return self._segment_finish(session)
         if op == "ping":
             return {"ok": True, "batch_size": self.engine.batch_size,
                     "out_dim": self.engine.out_dim,
@@ -226,12 +319,13 @@ class EmbedServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
+                session: dict = {}  # per-connection state (segment ops)
                 for line in self.rfile:
                     if not line.strip():
                         continue
                     try:
                         req = json.loads(line)
-                        resp = handler_self.handle(req)
+                        resp = handler_self.handle(req, session)
                     except Exception as e:  # keep the connection alive
                         resp = {"ok": False, "error": str(e)}
                     self.wfile.write(
@@ -300,6 +394,38 @@ def _connect_with_retry(s, socket_path: str, timeout: float) -> None:
                 raise
             time.sleep(delay)
             delay = min(delay * 2, 0.25)
+
+
+class SessionClient:
+    """Persistent-connection client. Required for stateful segment
+    sessions (their state lives and dies with the connection); also
+    cheaper than :func:`request` for bursts of stateless calls."""
+
+    def __init__(self, socket_path: str, timeout: float = 60.0):
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._sock.settimeout(timeout)
+        _connect_with_retry(self._sock, socket_path, timeout)
+        self._buf = b""
+
+    def request(self, req: dict) -> dict:
+        self._sock.sendall((json.dumps(req) + "\n").encode())
+        while b"\n" not in self._buf:
+            chunk = self._sock.recv(1 << 20)
+            if not chunk:
+                raise ConnectionError(
+                    "server closed the connection mid-session")
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\n", 1)
+        return json.loads(line)
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def request(socket_path: str, req: dict, timeout: float = 60.0) -> dict:
