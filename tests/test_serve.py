@@ -452,3 +452,111 @@ def test_segment_session_protocol_errors(seg_server, engine, tmp_path):
     finally:
         srv.stop()
         t.join(timeout=10)
+
+
+def test_segment_session_write_back_opt_in(seg_server, seg_world):
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    _, coll = seg_world
+    before = coll.count()
+    with SessionClient(sock) as c:
+        assert c.request({"op": "segment_start", "k": 5})["ok"]
+        assert c.request({"op": "segment_push",
+                          "paths": [paths["left"]] * 4})["ok"]
+        c.request({"op": "segment_finish"})
+    assert coll.count() == before  # default: snapshot only, no growth
+
+    with SessionClient(sock) as c:
+        assert c.request({"op": "segment_start", "k": 5,
+                          "write_back": True, "vid": 7})["ok"]
+        assert c.request({"op": "segment_push",
+                          "paths": [paths["left"]] * 4})["ok"]
+        c.request({"op": "segment_finish"})
+    assert coll.count() == before + 1  # one distinct new frame id
+    got = coll.get(ids=["left.png"])
+    assert got["metadatas"][0]["label"] == "left"
+    assert got["metadatas"][0]["video"] == 7
+
+
+def test_segment_session_uses_collection_metric(engine, tmp_path):
+    """A cosine-space corpus must be ranked like the query op (normalize
+    + dot), not silently with l2."""
+    from PIL import Image
+
+    from vit_research_tpu.serve import SessionClient
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    sides = ("left", "right", "none")
+    paths = {}
+    embs = []
+    for i, side in enumerate(sides):
+        img = np.full((32, 32, 3), 30 + 90 * i, np.uint8)
+        img[:6 * (i + 1), :6] = 250
+        p = str(tmp_path / f"{side}.png")
+        Image.fromarray(img).save(p)
+        paths[side] = p
+    embs = engine.embed_batch(
+        np.stack([np.asarray(Image.open(paths[s])) for s in sides]))
+    coll = PersistentClient(str(tmp_path / "cdb")).get_or_create_collection(
+        "ccorpus", metadata={"hnsw:space": "cosine"})
+    ids, rows, metas = [], [], []
+    for i, side in enumerate(sides):
+        probs = {f"{s}_prob": (0.9 if s == side else 0.05) for s in sides}
+        for k in range(5):
+            ids.append(f"{side}{k}")
+            # scale rows wildly: only cosine ranking survives this
+            rows.append(embs[i] * (1.0 + 10.0 * k))
+            metas.append({"label": side, **probs})
+    coll.upsert(ids, np.asarray(rows), metadatas=metas)
+
+    srv = EmbedServer(engine, collection=coll)
+    sock = str(tmp_path / "cos.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    try:
+        with SessionClient(sock) as c:
+            r = c.request({"op": "segment_start", "k": 5, "min_len": 10,
+                           "pad": 1})
+            assert r["ok"] and r["metric"] == "cosine"
+            stream = ["right"] * 15 + ["none"] * 10
+            clips = []
+            for i in range(0, len(stream), 5):
+                resp = c.request({"op": "segment_push",
+                                  "paths": [paths[s]
+                                            for s in stream[i: i + 5]]})
+                assert resp["ok"], resp
+                clips.extend(resp["clips"])
+            clips.extend(c.request({"op": "segment_finish"})["clips"])
+        assert clips == [{"side": "right", "start": 0, "end": 15}]
+    finally:
+        srv.stop()
+        t.join(timeout=10)
+
+
+def test_corpus_snapshot_cached_until_mutation(engine, seg_world):
+    _, coll = seg_world
+    srv = EmbedServer(engine, collection=coll)
+    first = srv._corpus_snapshot()
+    assert srv._corpus_snapshot() is first  # cached across sessions
+    coll.upsert(["extra"], first["embeddings"][:1],
+                metadatas=[{"label": "left", "left_prob": 0.9,
+                            "right_prob": 0.05, "none_prob": 0.05}])
+    second = srv._corpus_snapshot()
+    assert second is not first and len(second["labels"]) == 16
+
+
+def test_session_client_poisons_after_connection_failure(seg_server):
+    from vit_research_tpu.serve import SessionClient
+
+    sock, _ = seg_server
+    c = SessionClient(sock)
+    assert c.request({"op": "ping"})["ok"]
+    c._sock.close()  # simulate a mid-flight failure (e.g. timeout path)
+    with pytest.raises(OSError):
+        c.request({"op": "ping"})
+    with pytest.raises(ConnectionError, match="poisoned"):
+        c.request({"op": "ping"})

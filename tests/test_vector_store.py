@@ -317,3 +317,28 @@ def test_query_fuzz_matches_bruteforce_oracle():
             exp_ids = {got_ids[j] for j in valid}
             if len({round(float(s[qi, j]), 6) for j in valid}) == len(valid):
                 assert set(res["ids"][qi]) == exp_ids, (trial, space, qi)
+
+
+def test_upsert_duplicate_ids_within_one_call_last_wins(tmp_path):
+    """An id repeated inside a single upsert call must produce ONE row
+    with the last occurrence's data (Chroma semantics) — not duplicate
+    rows leaking into count/get/query."""
+    import numpy as np
+
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    col = PersistentClient(str(tmp_path / "db")).get_or_create_collection(
+        "dups", metadata={"hnsw:space": "l2"})
+    col.upsert(["a", "a", "b", "a"],
+               np.eye(4, 3, dtype=np.float32),
+               metadatas=[{"v": 1}, {"v": 2}, {"v": 3}, {"v": 4}])
+    assert col.count() == 2
+    got = col.get(ids=["a"], include=("embeddings", "metadatas"))
+    assert got["metadatas"] == [{"v": 4}]
+    np.testing.assert_array_equal(got["embeddings"][0],
+                                  np.eye(4, 3)[3])
+    # mixing an existing id with an in-batch duplicate keeps last-wins
+    col.upsert(["b", "b"], np.full((2, 3), 7, np.float32),
+               metadatas=[{"v": 5}, {"v": 6}])
+    assert col.count() == 2
+    assert col.get(ids=["b"])["metadatas"] == [{"v": 6}]

@@ -68,10 +68,117 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
     return decoded, clip_dirs, fused
 
 
+class KnnHmmStreamSession:
+    """Stateful per-batch body for live kNN+HMM segmentation, shared by
+    :func:`segment_knn_hmm_stream` and the serving daemon's segment
+    sessions (one implementation, two surfaces).
+
+    Built for arbitrary arrival patterns on a shared chip:
+
+    - the corpus is staged to the DEVICE once at construction — a
+      per-push host→device re-upload of a large corpus would dominate
+      every batch (hundreds of MB for a six-figure frame corpus);
+    - query batches are zero-padded to power-of-two buckets, so clients
+      pushing ragged batch sizes reuse a handful of compiled top-k
+      shapes instead of triggering one compile per distinct length;
+    - ``metric`` follows the vector store's semantics: ``'cosine'``
+      L2-normalizes corpus and queries and ranks by dot product, exactly
+      like ``Collection.query`` over the same rows; ``'l2'``/``'ip'``
+      pass through;
+    - confident write-back (pass ``collection``) mirrors the offline
+      pipeline's per-frame math and new-ids-only guard.
+    """
+
+    def __init__(self, corpus, *, k: int = 50,
+                 confidence_threshold: float = 0.7,
+                 min_len: int = 100, pad: int = 100, max_lag: int = 512,
+                 drain_every: int = 32, collection=None,
+                 vid: int | None = None, metric: str = "l2",
+                 transition_matrix=None):
+        import jax
+
+        from vit_research_tpu.ops.topk import l2_normalize
+        from vit_research_tpu.segment.hmm import StreamingViterbi
+
+        embs = np.asarray(corpus["embeddings"], np.float32)
+        self._metric = metric
+        if metric == "cosine":
+            embs = np.asarray(l2_normalize(embs))
+            self._topk_metric = "ip"
+        elif metric in ("l2", "ip"):
+            self._topk_metric = metric
+        else:
+            raise ValueError(f"unknown metric {metric!r}")
+        self._corpus_dev = jax.device_put(embs)
+        self._labels = np.asarray(corpus["labels"])
+        self._probs = np.asarray(corpus["probs"])
+        self.k = int(k)
+        self.confidence_threshold = float(confidence_threshold)
+        self.collection = collection
+        self.vid = vid
+        self.viterbi = StreamingViterbi(
+            max_lag=max_lag, drain_every=drain_every,
+            transition_matrix=transition_matrix)
+        self.extractor = clips_mod.StreamingClipExtractor(
+            min_len=min_len, pad=pad)
+        self.frames_seen = 0
+
+    @property
+    def corpus_size(self) -> int:
+        return len(self._labels)
+
+    @property
+    def forced(self) -> int:
+        return self.viterbi.forced
+
+    def push_batch(self, frame_names, embeddings) -> list:
+        """One micro-batch: kNN vote → streaming Viterbi → online clip
+        extraction. Returns the ClipIntervals (global frame indices)
+        whose padded extent became final."""
+        from vit_research_tpu.ops.topk import l2_normalize, masked_topk
+
+        embeddings = np.asarray(embeddings, np.float32)
+        n = len(embeddings)
+        if n == 0:
+            return []
+        q = embeddings
+        if self._metric == "cosine":
+            q = np.asarray(l2_normalize(q))
+        bucket = 1 << max(4, int(n - 1).bit_length())
+        if bucket != n:
+            q = np.concatenate(
+                [q, np.zeros((bucket - n, q.shape[1]), np.float32)])
+        scores, idx = masked_topk(q, self._corpus_dev, None, k=self.k,
+                                  metric=self._topk_metric)
+        scores = np.asarray(scores)[:n]
+        idx = np.asarray(idx)[:n]
+        nl = np.where(scores > -1e29, self._labels[idx], -1)
+        fused = knn_mod.fused_confidence(
+            nl, self._probs[idx], top_n=self.k,
+            confidence_threshold=self.confidence_threshold)
+        _confident_writeback(self.collection, fused, list(frame_names),
+                             embeddings, self.vid)
+        clips = []
+        for row in fused["emissions"]:
+            for state in self.viterbi.push(row):
+                clips.extend(self.extractor.push(STATES[state]))
+        self.frames_seen += n
+        return clips
+
+    def finish(self) -> list:
+        """Flush the decoder and the extractor; returns the tail clips."""
+        clips = []
+        for state in self.viterbi.finish():
+            clips.extend(self.extractor.push(STATES[state]))
+        clips.extend(self.extractor.finish())
+        return clips
+
+
 def segment_knn_hmm_stream(batches, corpus, *, k: int = 50,
                            confidence_threshold: float = 0.7,
                            min_len: int = 100, pad: int = 100,
-                           max_lag: int = 512, collection=None,
+                           max_lag: int = 512, drain_every: int = 32,
+                           collection=None,
                            vid: int | None = None, metric: str = "l2",
                            transition_matrix=None):
     """Live variant of :func:`segment_with_knn_hmm` for streams.
@@ -83,10 +190,11 @@ def segment_knn_hmm_stream(batches, corpus, *, k: int = 50,
     3 device/DB crossings per frame. This generator keeps the
     incremental delivery and drops the cost: consume an iterator of
     ``(frame_names, embeddings)`` micro-batches as the embedder produces
-    them, run one batched k-NN fused-confidence pass per micro-batch,
-    push emissions through StreamingViterbi (bounded memory, states
-    final as soon as survivor paths coalesce — segment/hmm.py), and
-    yield :class:`~vit_research_tpu.segment.clips.ClipInterval`\\ s with
+    them, run one batched k-NN fused-confidence pass per micro-batch
+    (:class:`KnnHmmStreamSession`), push emissions through
+    StreamingViterbi (bounded memory, states final as soon as survivor
+    paths coalesce — segment/hmm.py), and yield
+    :class:`~vit_research_tpu.segment.clips.ClipInterval`\\ s with
     GLOBAL frame indices the moment their padded extent is final —
     minutes before a 2-hour game ends, not after it.
 
@@ -97,28 +205,14 @@ def segment_knn_hmm_stream(batches, corpus, *, k: int = 50,
     stretches longer than ``max_lag`` fall back to fixed-lag commits
     (see StreamingViterbi).
     """
-    from vit_research_tpu.segment.hmm import StreamingViterbi
-
-    corpus_embs = np.asarray(corpus["embeddings"])
-    corpus_labels = np.asarray(corpus["labels"])
-    corpus_probs = np.asarray(corpus["probs"])
-    sv = StreamingViterbi(max_lag=max_lag,
-                          transition_matrix=transition_matrix)
-    extractor = clips_mod.StreamingClipExtractor(min_len=min_len, pad=pad)
+    session = KnnHmmStreamSession(
+        corpus, k=k, confidence_threshold=confidence_threshold,
+        min_len=min_len, pad=pad, max_lag=max_lag,
+        drain_every=drain_every, collection=collection, vid=vid,
+        metric=metric, transition_matrix=transition_matrix)
     for frame_names, embeddings in batches:
-        nl, idx, _ = knn_mod.knn_labels(
-            embeddings, corpus_embs, corpus_labels, k, metric=metric)
-        fused = knn_mod.fused_confidence(
-            nl, corpus_probs[np.asarray(idx)], top_n=k,
-            confidence_threshold=confidence_threshold)
-        _confident_writeback(collection, fused, list(frame_names),
-                             embeddings, vid)
-        for row in fused["emissions"]:
-            for state in sv.push(row):
-                yield from extractor.push(STATES[state])
-    for state in sv.finish():
-        yield from extractor.push(STATES[state])
-    yield from extractor.finish()
+        yield from session.push_batch(frame_names, embeddings)
+    yield from session.finish()
 
 
 def _confident_writeback(collection, fused, frame_names, embeddings, vid):

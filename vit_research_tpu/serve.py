@@ -27,7 +27,11 @@ possession clips stream back mid-game (segment/pipeline.py design,
 StreamingViterbi + StreamingClipExtractor under the hood):
 
     {"op": "segment_start", "k": 25, "confidence_threshold": 0.7,
-     "min_len": 100, "pad": 100, "max_lag": 512, "drain_every": 8}
+     "min_len": 100, "pad": 100, "max_lag": 512, "drain_every": 8,
+     "write_back": false, "vid": null}
+        (ranking uses the collection's own space, like "query";
+         write_back=true upserts confident frames per push with the
+         offline pipeline's new-ids-only guard)
     {"op": "segment_push", "paths"|"frames_b64": [...]}
         -> {"ok": true, "clips": [{"side","start","end"}...],
             "frames_seen": N}      (clip indices are global frame
@@ -177,6 +181,8 @@ class EmbedServer:
         self._coalescer = (_Coalescer(engine, self._lock, coalesce_ms / 1e3)
                            if coalesce_ms > 0 else None)
         self._server = None
+        self._corpus_cache = None  # (collection mutation count, corpus)
+        self._corpus_lock = threading.Lock()
 
     # ---- request handling -------------------------------------------------
 
@@ -200,10 +206,22 @@ class EmbedServer:
         with self._lock:
             return self.engine.embed_batch(batch)
 
-    def _segment_start(self, req, session) -> dict:
-        from vit_research_tpu.segment.clips import StreamingClipExtractor
-        from vit_research_tpu.segment.hmm import StreamingViterbi
+    def _corpus_snapshot(self):
+        """Labeled corpus dict from the collection, cached across
+        sessions and invalidated by the collection's mutation counter —
+        session starts must not re-read every row per connection."""
         from vit_research_tpu.segment.knn import corpus_from_collection
+
+        muts = getattr(self.collection, "_mutations", None)
+        with self._corpus_lock:
+            if (self._corpus_cache is None or muts is None
+                    or self._corpus_cache[0] != muts):
+                self._corpus_cache = (
+                    muts, corpus_from_collection(self.collection))
+            return self._corpus_cache[1]
+
+    def _segment_start(self, req, session) -> dict:
+        from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
 
         if self.collection is None:
             raise ValueError("server started without a collection — "
@@ -211,64 +229,65 @@ class EmbedServer:
         if "segment" in session:
             raise ValueError("a segment session is already active on "
                              "this connection; segment_finish it first")
-        session["segment"] = {
-            "corpus": corpus_from_collection(self.collection),
-            "viterbi": StreamingViterbi(
+        space = getattr(self.collection, "space", "l2")
+        with self._lock:  # corpus device staging serializes like any
+            seg = KnnHmmStreamSession(  # other device work
+                self._corpus_snapshot(),
+                k=int(req.get("k", 25)),
+                confidence_threshold=float(
+                    req.get("confidence_threshold", 0.7)),
+                min_len=int(req.get("min_len", 100)),
+                pad=int(req.get("pad", 100)),
                 max_lag=int(req.get("max_lag", 512)),
                 # serving favors responsiveness: sweep for emittable
                 # states every few frames (the sweep is ~O(window) tiny
                 # numpy ops), not the library default of 32
-                drain_every=int(req.get("drain_every", 8))),
-            "extractor": StreamingClipExtractor(
-                min_len=int(req.get("min_len", 100)),
-                pad=int(req.get("pad", 100))),
-            "k": int(req.get("k", 25)),
-            "confidence_threshold": float(
-                req.get("confidence_threshold", 0.7)),
-            "frames_seen": 0,
-        }
-        return {"ok": True, "corpus_size":
-                len(session["segment"]["corpus"]["labels"])}
+                drain_every=int(req.get("drain_every", 8)),
+                # corpus growth from a shared daemon is opt-in; the
+                # session keeps ranking against its start-time snapshot
+                # either way (same as the offline pipeline)
+                collection=(self.collection if req.get("write_back")
+                            else None),
+                vid=req.get("vid"),
+                # rank with the collection's own metric, like the query
+                # op on this server (store/vector_store.py query path)
+                metric=space)
+        session["segment"] = seg
+        return {"ok": True, "corpus_size": seg.corpus_size,
+                "metric": space}
+
+    @staticmethod
+    def _clips_json(clips) -> list:
+        return [{"side": c.side, "start": c.start, "end": c.end}
+                for c in clips]
 
     def _segment_push(self, req, session) -> dict:
-        from vit_research_tpu.segment import knn as knn_mod
-        from vit_research_tpu.segment.hmm import STATES
-
         seg = session.get("segment")
         if seg is None:
             raise ValueError("no active segment session — send "
                              "segment_start first")
+        # write-back ids follow the CLI convention (frame basenames);
+        # in-memory frames get session-positional ids
+        names = ([os.path.basename(p) for p in req["paths"]]
+                 if "paths" in req else
+                 [f"frame_{seg.frames_seen + i}"
+                  for i in range(len(req.get("frames_b64", ())))])
         embs = self._embed_request(req)
-        corpus = seg["corpus"]
         with self._lock:  # the kNN top-k matmul is device work
-            nl, idx, _ = knn_mod.knn_labels(
-                embs, corpus["embeddings"], corpus["labels"], seg["k"])
-        fused = knn_mod.fused_confidence(
-            nl, corpus["probs"][np.asarray(idx)], top_n=seg["k"],
-            confidence_threshold=seg["confidence_threshold"])
-        clips = []
-        for row in fused["emissions"]:
-            for state in seg["viterbi"].push(row):
-                clips.extend(seg["extractor"].push(STATES[state]))
-        seg["frames_seen"] += len(embs)
-        return {"ok": True, "frames_seen": seg["frames_seen"],
-                "clips": [{"side": c.side, "start": c.start, "end": c.end}
-                          for c in clips]}
+            clips = seg.push_batch(names, embs)
+        return {"ok": True, "frames_seen": seg.frames_seen,
+                "clips": self._clips_json(clips)}
 
     def _segment_finish(self, session) -> dict:
-        from vit_research_tpu.segment.hmm import STATES
-
-        seg = session.pop("segment", None)
+        seg = session.get("segment")
         if seg is None:
             raise ValueError("no active segment session")
-        clips = []
-        for state in seg["viterbi"].finish():
-            clips.extend(seg["extractor"].push(STATES[state]))
-        clips.extend(seg["extractor"].finish())
-        return {"ok": True, "frames_seen": seg["frames_seen"],
-                "forced": seg["viterbi"].forced,
-                "clips": [{"side": c.side, "start": c.start, "end": c.end}
-                          for c in clips]}
+        clips = seg.finish()  # before dropping state: a failed flush
+        resp = {"ok": True, "frames_seen": seg.frames_seen,  # must not
+                "forced": seg.forced,  # lose the pending clips silently
+                "clips": self._clips_json(clips)}
+        session.pop("segment")
+        return resp
 
     def handle(self, req: dict, session: dict | None = None) -> dict:
         if session is None:
@@ -406,19 +425,31 @@ class SessionClient:
         self._sock.settimeout(timeout)
         _connect_with_retry(self._sock, socket_path, timeout)
         self._buf = b""
+        self._dead = False
 
     def request(self, req: dict) -> dict:
-        self._sock.sendall((json.dumps(req) + "\n").encode())
-        while b"\n" not in self._buf:
-            chunk = self._sock.recv(1 << 20)
-            if not chunk:
-                raise ConnectionError(
-                    "server closed the connection mid-session")
-            self._buf += chunk
+        if self._dead:
+            raise ConnectionError(
+                "SessionClient is closed/poisoned — a previous request "
+                "failed mid-flight (e.g. timed out), so the next bytes "
+                "on this socket may be a STALE response; open a new "
+                "client instead of desynchronizing the stream")
+        try:
+            self._sock.sendall((json.dumps(req) + "\n").encode())
+            while b"\n" not in self._buf:
+                chunk = self._sock.recv(1 << 20)
+                if not chunk:
+                    raise ConnectionError(
+                        "server closed the connection mid-session")
+                self._buf += chunk
+        except Exception:
+            self.close()
+            raise
         line, self._buf = self._buf.split(b"\n", 1)
         return json.loads(line)
 
     def close(self) -> None:
+        self._dead = True
         self._sock.close()
 
     def __enter__(self):

@@ -350,13 +350,24 @@ class Collection:
             if metadatas is None:
                 metadatas = [{} for _ in ids]
             new_rows, new_ids, new_metas = [], [], []
+            batch_pos = {}  # id -> slot in new_*: an id repeated within
+            #                 ONE call must still land as a single
+            #                 last-wins row (Chroma semantics), not as
+            #                 duplicate rows that then leak into
+            #                 count/get/query
             for i, _id in enumerate(ids):
                 _id = str(_id)
                 idx = self._id_to_idx.get(_id)
                 if idx is None:
-                    new_ids.append(_id)
-                    new_rows.append(embeddings[i])
-                    new_metas.append(dict(metadatas[i] or {}))
+                    pos = batch_pos.get(_id)
+                    if pos is None:
+                        batch_pos[_id] = len(new_ids)
+                        new_ids.append(_id)
+                        new_rows.append(embeddings[i])
+                        new_metas.append(dict(metadatas[i] or {}))
+                    else:
+                        new_rows[pos] = embeddings[i]
+                        new_metas[pos] = dict(metadatas[i] or {})
                 else:
                     self._embeddings[idx] = embeddings[i]
                     self._metadatas[idx] = dict(metadatas[i] or {})
