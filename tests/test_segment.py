@@ -273,3 +273,25 @@ def test_segment_with_temporal_head_end_to_end(tmp_path):
     decoded2, _, _ = seg_pipeline.segment_with_temporal_head(
         names, emb, mi, epochs=1, params_path=params_path)
     assert decoded2 == decoded
+
+
+def test_knn_labels_cosine_ranks_by_angle_not_norm():
+    """metric='cosine' must L2-normalize both sides (masked_topk's
+    cosine branch expects pre-normalized inputs); raw rows would let a
+    large-norm wrong-class row outrank every right-class one."""
+    rng = np.random.default_rng(11)
+    d = 8
+    a = rng.normal(size=d).astype(np.float32)
+    a /= np.linalg.norm(a)
+    b = rng.normal(size=d).astype(np.float32)
+    b -= (b @ a) * a  # orthogonal to a
+    b /= np.linalg.norm(b)
+    # class-0 rows point along a with tiny norms; class-1 rows along b
+    # with huge norms
+    corpus = np.concatenate([0.01 * np.outer(np.ones(5), a),
+                             100.0 * np.outer(np.ones(5), b)]).astype(
+        np.float32)
+    labels = np.asarray([0] * 5 + [1] * 5, np.int32)
+    nl, _, _ = knn_mod.knn_labels(a[None], corpus, labels, k=5,
+                                  metric="cosine")
+    assert (nl == 0).all()  # angle wins; raw dot would pick the 1s

@@ -560,3 +560,24 @@ def test_session_client_poisons_after_connection_failure(seg_server):
         c.request({"op": "ping"})
     with pytest.raises(ConnectionError, match="poisoned"):
         c.request({"op": "ping"})
+
+
+def test_segment_write_back_requires_vid(seg_server):
+    from vit_research_tpu.serve import SessionClient
+
+    sock, _ = seg_server
+    with SessionClient(sock) as c:
+        r = c.request({"op": "segment_start", "write_back": True})
+        assert not r["ok"] and "vid" in r["error"]
+
+
+def test_session_client_survives_unserializable_request(seg_server):
+    """A json TypeError before any bytes hit the wire must NOT poison
+    the client — the stream is still in sync."""
+    from vit_research_tpu.serve import SessionClient
+
+    sock, _ = seg_server
+    with SessionClient(sock) as c:
+        with pytest.raises(TypeError):
+            c.request({"op": "ping", "bad": np.int64(3)})
+        assert c.request({"op": "ping"})["ok"]  # still usable

@@ -70,10 +70,19 @@ def knn_labels(query_embs, corpus_embs, corpus_labels, k: int,
                metric: str = "l2", mask=None):
     """Batched k-NN: returns (neighbor_label_ids (Q, k), neighbor_idx).
 
-    corpus_labels: int array (N,) with 0=left, 1=right, 2=none."""
+    corpus_labels: int array (N,) with 0=left, 1=right, 2=none.
+    ``metric='cosine'`` ranks by angle (both sides L2-normalized here —
+    ops/topk.masked_topk expects pre-normalized inputs for 'cosine',
+    so passing raw rows would silently rank by unnormalized dot
+    product, favoring large-norm rows regardless of direction)."""
     q = np.asarray(query_embs, np.float32)
-    scores, idx = masked_topk(q, np.asarray(corpus_embs, np.float32),
-                              mask, k=k, metric=metric)
+    c = np.asarray(corpus_embs, np.float32)
+    if metric == "cosine":
+        from vit_research_tpu.ops.topk import l2_normalize
+
+        q = np.asarray(l2_normalize(q))
+        c = np.asarray(l2_normalize(c))
+    scores, idx = masked_topk(q, c, mask, k=k, metric=metric)
     idx = np.asarray(idx)
     valid = np.asarray(scores) > -1e29
     labels = np.asarray(corpus_labels)[idx]

@@ -96,19 +96,25 @@ class KnnHmmStreamSession:
                  vid: int | None = None, metric: str = "l2",
                  transition_matrix=None):
         import jax
+        import jax.numpy as jnp
 
         from vit_research_tpu.ops.topk import l2_normalize
         from vit_research_tpu.segment.hmm import StreamingViterbi
 
-        embs = np.asarray(corpus["embeddings"], np.float32)
         self._metric = metric
         if metric == "cosine":
-            embs = np.asarray(l2_normalize(embs))
             self._topk_metric = "ip"
         elif metric in ("l2", "ip"):
             self._topk_metric = metric
         else:
             raise ValueError(f"unknown metric {metric!r}")
+        # jnp.asarray is a no-op for an already-device f32 array, so a
+        # caller holding a staged corpus (the serving daemon's shared
+        # snapshot) pays no re-transfer; cosine normalization is one
+        # device op over resident rows (no host round-trip).
+        embs = jnp.asarray(corpus["embeddings"], jnp.float32)
+        if metric == "cosine":
+            embs = l2_normalize(embs)
         self._corpus_dev = jax.device_put(embs)
         self._labels = np.asarray(corpus["labels"])
         self._probs = np.asarray(corpus["probs"])
@@ -142,12 +148,15 @@ class KnnHmmStreamSession:
         if n == 0:
             return []
         q = embeddings
-        if self._metric == "cosine":
-            q = np.asarray(l2_normalize(q))
         bucket = 1 << max(4, int(n - 1).bit_length())
         if bucket != n:
             q = np.concatenate(
                 [q, np.zeros((bucket - n, q.shape[1]), np.float32)])
+        if self._metric == "cosine":
+            # normalize AFTER padding (zero rows stay zero under the
+            # eps guard) so ragged pushes compile one normalize+top-k
+            # graph per bucket, not per distinct batch length
+            q = l2_normalize(q)
         scores, idx = masked_topk(q, self._corpus_dev, None, k=self.k,
                                   metric=self._topk_metric)
         scores = np.asarray(scores)[:n]

@@ -209,15 +209,23 @@ class EmbedServer:
     def _corpus_snapshot(self):
         """Labeled corpus dict from the collection, cached across
         sessions and invalidated by the collection's mutation counter —
-        session starts must not re-read every row per connection."""
+        session starts must not re-read every row per connection. The
+        embeddings are staged to the DEVICE here, so N concurrent
+        sessions share ONE resident buffer (KnnHmmStreamSession's
+        jnp.asarray is a no-op on it) instead of N uploads/copies."""
+        import jax.numpy as jnp
+
         from vit_research_tpu.segment.knn import corpus_from_collection
 
         muts = getattr(self.collection, "_mutations", None)
         with self._corpus_lock:
             if (self._corpus_cache is None or muts is None
                     or self._corpus_cache[0] != muts):
-                self._corpus_cache = (
-                    muts, corpus_from_collection(self.collection))
+                corpus = corpus_from_collection(self.collection)
+                with self._lock:  # staging is device work
+                    corpus["embeddings"] = jnp.asarray(
+                        corpus["embeddings"], jnp.float32)
+                self._corpus_cache = (muts, corpus)
             return self._corpus_cache[1]
 
     def _segment_start(self, req, session) -> dict:
@@ -229,10 +237,16 @@ class EmbedServer:
         if "segment" in session:
             raise ValueError("a segment session is already active on "
                              "this connection; segment_finish it first")
+        if req.get("write_back") and req.get("vid") is None:
+            raise ValueError(
+                "write_back requires 'vid': daemon-minted frame names "
+                "(path basenames / frame_{N}) don't encode a video "
+                "number for the write-back metadata")
         space = getattr(self.collection, "space", "l2")
-        with self._lock:  # corpus device staging serializes like any
-            seg = KnnHmmStreamSession(  # other device work
-                self._corpus_snapshot(),
+        corpus = self._corpus_snapshot()  # host read; only staging and
+        with self._lock:                  # session setup are device work
+            seg = KnnHmmStreamSession(
+                corpus,
                 k=int(req.get("k", 25)),
                 confidence_threshold=float(
                     req.get("confidence_threshold", 0.7)),
@@ -434,8 +448,12 @@ class SessionClient:
                 "failed mid-flight (e.g. timed out), so the next bytes "
                 "on this socket may be a STALE response; open a new "
                 "client instead of desynchronizing the stream")
+        # Serialize OUTSIDE the poison path: a json TypeError here means
+        # nothing hit the wire, so the stream is still in sync and the
+        # session must survive the caller's bad argument.
+        payload = (json.dumps(req) + "\n").encode()
         try:
-            self._sock.sendall((json.dumps(req) + "\n").encode())
+            self._sock.sendall(payload)
             while b"\n" not in self._buf:
                 chunk = self._sock.recv(1 << 20)
                 if not chunk:
