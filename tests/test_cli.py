@@ -544,3 +544,69 @@ def test_metrics_csv_rejected_on_root(tmp_path):
     with pytest.raises(SystemExit, match="single run dir"):
         cli.main(["metrics", str(tmp_path / "ckpts"),
                   "--csv", str(tmp_path / "c.csv")])
+
+
+def test_segment_follow_live_mode(tmp_path, capsys):
+    """--follow tails a growing frames dir and emits clips mid-game: a
+    producer thread drips the frames in; the clip dirs and console
+    lines must match the offline knn-hmm run's clip extents."""
+    import shutil
+    import threading
+    import time
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "fdb")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+
+    live_dir = str(tmp_path / "live")
+    os.makedirs(live_dir)
+    frames = sorted(os.listdir(frames_dir),
+                    key=lambda f: int(f.split("_")[2].split(".")[0]))
+
+    def producer():
+        for i in range(0, len(frames), 12):
+            for f in frames[i: i + 12]:
+                # atomic arrival: write then rename into place
+                tmp = os.path.join(live_dir, f + ".part")
+                shutil.copy(os.path.join(frames_dir, f), tmp)
+                os.replace(tmp, os.path.join(live_dir, f))
+            time.sleep(0.15)
+        (tmp_path / "live" / "STOP").write_text("")
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    out_root = str(tmp_path / "clips_live")
+    cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", out_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16", "--follow",
+              "--idle-timeout", "20", "--poll-interval", "0.05",
+              "--max-lag", "64"])
+    t.join(timeout=20)
+    out = capsys.readouterr().out
+    assert "followed 72 frames" in out
+    assert "clip 1: left" in out and "clip 2: right" in out
+
+    live_dirs = sorted(d for d in os.listdir(out_root)
+                       if d.startswith("vid1_clip"))
+    assert live_dirs == ["vid1_clip_1_left", "vid1_clip_2_right"]
+
+    # parity with the offline run on the same world
+    off_root = str(tmp_path / "clips_off")
+    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", off_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16"])
+    for d in live_dirs:
+        assert (sorted(os.listdir(os.path.join(out_root, d)))
+                == sorted(os.listdir(os.path.join(off_root, d))))
+
+
+def test_segment_follow_requires_knn_hmm(tmp_path):
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    with pytest.raises(SystemExit, match="knn-hmm"):
+        cli.main(["segment", frames_dir, "--method", "temporal",
+                  "--manual-csv", csv_path, "--out",
+                  str(tmp_path / "x"), "--vid", "1", "--follow"])

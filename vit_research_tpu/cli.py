@@ -628,6 +628,13 @@ def cmd_segment(args):
     elif not args.manual_csv:
         raise SystemExit("--method temporal needs --manual-csv")
 
+    if args.follow:
+        if args.method != "knn-hmm":
+            raise SystemExit("--follow supports --method knn-hmm only")
+        return _segment_follow(args, corpus,
+                               col if args.write_back else None,
+                               client if args.write_back else None)
+
     os.makedirs(args.out, exist_ok=True)
     frames = naming.list_frames(args.frames)
     eng = _engine(batch_size=args.batch_size)
@@ -661,6 +668,74 @@ def cmd_segment(args):
             pad=args.pad,
             params_path=os.path.join(args.out, "temporal_head.npz"))
     print(f"decoded {len(decoded)} frames -> {len(clip_dirs)} clips")
+
+
+def _segment_follow(args, corpus, collection, client):
+    """Live mode: tail --frames for newly arriving frames (written
+    atomically, in increasing frame-number order — e.g. an ffmpeg dump
+    in progress), feed them through the streaming kNN+HMM session, and
+    write/announce each possession clip the moment its padded extent is
+    final — mid-game, not after it. Stops after --idle-timeout seconds
+    with no new frames, or immediately when a file named STOP appears
+    in the frames dir. The reference's incremental loop
+    (nba_proj/generate_clips_hmm.py:367-490) could only decode at the
+    end; see segment/pipeline.py::KnnHmmStreamSession."""
+    import shutil
+    import time
+
+    from vit_research_tpu.data import naming
+    from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
+
+    eng = _engine(batch_size=args.batch_size)
+    session = KnnHmmStreamSession(
+        corpus, k=args.k, confidence_threshold=args.confidence_threshold,
+        min_len=args.min_len, pad=args.pad, max_lag=args.max_lag,
+        drain_every=8, collection=collection, vid=args.vid)
+    os.makedirs(args.out, exist_ok=True)
+    consumed: list = []  # frame names in stream order
+    seen: set = set()
+    clip_count = 0
+
+    def emit(clips):
+        nonlocal clip_count
+        for iv in clips:
+            clip_count += 1
+            cdir = os.path.join(
+                args.out, naming.clip_dir_name(args.vid, clip_count,
+                                               iv.side))
+            os.makedirs(cdir, exist_ok=True)
+            for f in consumed[iv.start: iv.end + 1]:
+                src = os.path.join(args.frames, f)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(cdir, f))
+            print(f"clip {clip_count}: {iv.side} frames "
+                  f"{iv.start}..{iv.end} -> {cdir}", flush=True)
+
+    last_new = time.monotonic()
+    while True:
+        # STOP means "the producer is done": drain everything already
+        # on disk, then finish — never abandon arrived frames.
+        stopping = os.path.exists(os.path.join(args.frames, "STOP"))
+        fresh = [f for f in naming.list_frames(args.frames)
+                 if f not in seen]
+        if not fresh:
+            if stopping or time.monotonic() - last_new > args.idle_timeout:
+                break
+            time.sleep(args.poll_interval)
+            continue
+        last_new = time.monotonic()
+        for i in range(0, len(fresh), args.batch_size):
+            chunk = fresh[i: i + args.batch_size]
+            embs = eng.embed_paths(
+                [os.path.join(args.frames, f) for f in chunk])
+            consumed.extend(chunk)
+            seen.update(chunk)
+            emit(session.push_batch(chunk, embs))
+    emit(session.finish())
+    if client is not None:
+        client.flush()
+    print(f"followed {len(consumed)} frames -> {clip_count} clips "
+          f"({session.forced} forced commits)", flush=True)
 
 
 def cmd_build_frame_store(args):
@@ -1069,6 +1144,15 @@ def main(argv=None):
     sg.add_argument("--confidence-threshold", type=float, default=0.7)
     sg.add_argument("--write-back", action="store_true",
                     help="upsert confident frames back into the corpus")
+    sg.add_argument("--follow", action="store_true",
+                    help="live mode (knn-hmm): tail the frames dir and "
+                    "emit clips as they finalize, mid-game")
+    sg.add_argument("--idle-timeout", type=float, default=30.0,
+                    help="--follow: stop after this many seconds with "
+                    "no new frames (or on a STOP file)")
+    sg.add_argument("--poll-interval", type=float, default=0.5)
+    sg.add_argument("--max-lag", type=int, default=512,
+                    help="--follow: fixed-lag Viterbi window")
     sg.add_argument("--out", required=True)
     sg.add_argument("--vid", type=int, required=True)
     sg.add_argument("--epochs", type=int, default=3000)
