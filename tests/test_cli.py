@@ -610,3 +610,72 @@ def test_segment_follow_requires_knn_hmm(tmp_path):
         cli.main(["segment", frames_dir, "--method", "temporal",
                   "--manual-csv", csv_path, "--out",
                   str(tmp_path / "x"), "--vid", "1", "--follow"])
+
+
+def test_segment_follow_tolerates_partial_frames(tmp_path, capsys):
+    """A truncated/undecodable frame (non-atomic writer) must be retried
+    and eventually skipped with a warning — never crash the session or
+    corrupt the stream order."""
+    import shutil
+    import threading
+    import time
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "fdb2")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+
+    live_dir = str(tmp_path / "live2")
+    os.makedirs(live_dir)
+    frames = sorted(os.listdir(frames_dir),
+                    key=lambda f: int(f.split("_")[2].split(".")[0]))
+
+    def producer():
+        for i, f in enumerate(frames):
+            if i == 20:  # a permanently broken frame mid-stream
+                with open(os.path.join(live_dir, f), "wb") as fh:
+                    fh.write(b"\xff\xd8garbage")
+            else:
+                shutil.copy(os.path.join(frames_dir, f),
+                            os.path.join(live_dir, f))
+            if i % 12 == 0:
+                time.sleep(0.1)
+        (tmp_path / "live2" / "STOP").write_text("")
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    out_root = str(tmp_path / "clips_live2")
+    cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", out_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16", "--follow",
+              "--idle-timeout", "20", "--poll-interval", "0.05",
+              "--max-lag", "64"])
+    t.join(timeout=20)
+    out = capsys.readouterr().out
+    assert "skipping undecodable frame" in out
+    assert "followed 71 frames" in out  # 72 minus the broken one
+    assert "clip 1: left" in out and "clip 2: right" in out
+
+
+def test_segment_follow_idle_flushes_held_back_frame(tmp_path, capsys):
+    """Without a STOP sentinel the newest frame is held back as
+    possibly-mid-write; idle expiry must consume it, not strand it."""
+    import shutil
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "fdb3")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+    live_dir = str(tmp_path / "live3")
+    shutil.copytree(frames_dir, live_dir)  # all frames, no STOP ever
+    cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", str(tmp_path / "clips_live3"), "--vid", "1",
+              "--min-len", "20", "--pad", "2", "--batch-size", "16",
+              "--follow", "--idle-timeout", "1.0",
+              "--poll-interval", "0.05", "--max-lag", "64"])
+    out = capsys.readouterr().out
+    assert "followed 72 frames" in out

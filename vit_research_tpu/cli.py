@@ -625,6 +625,10 @@ def cmd_segment(args):
         client = PersistentClient(args.db)
         col = client.get_collection(args.corpus_collection)
         corpus = _corpus_from_collection(col)
+        # rank with the collection's own metric on every surface (the
+        # daemon's segment sessions already do; a cosine corpus must not
+        # silently rank by L2 here)
+        space = getattr(col, "space", "l2")
     elif not args.manual_csv:
         raise SystemExit("--method temporal needs --manual-csv")
 
@@ -633,7 +637,8 @@ def cmd_segment(args):
             raise SystemExit("--follow supports --method knn-hmm only")
         return _segment_follow(args, corpus,
                                col if args.write_back else None,
-                               client if args.write_back else None)
+                               client if args.write_back else None,
+                               metric=space)
 
     os.makedirs(args.out, exist_ok=True)
     frames = naming.list_frames(args.frames)
@@ -649,14 +654,14 @@ def cmd_segment(args):
                 src_dir=args.frames, vid=args.vid, k=args.k,
                 confidence_threshold=args.confidence_threshold,
                 window=args.window, min_len=args.min_len, pad=args.pad,
-                collection=col if args.write_back else None,
+                collection=col if args.write_back else None, metric=space,
                 intervals_csv=os.path.join(args.out, "clip_intervals.csv"))
         else:
             decoded, clip_dirs, _ = segment_with_knn_hmm(
                 frames, embs, corpus, out_root=args.out,
                 src_dir=args.frames, vid=args.vid, k=args.k,
                 confidence_threshold=args.confidence_threshold,
-                min_len=args.min_len, pad=args.pad,
+                min_len=args.min_len, pad=args.pad, metric=space,
                 collection=col if args.write_back else None)
         if args.write_back:
             client.flush()
@@ -670,14 +675,21 @@ def cmd_segment(args):
     print(f"decoded {len(decoded)} frames -> {len(clip_dirs)} clips")
 
 
-def _segment_follow(args, corpus, collection, client):
-    """Live mode: tail --frames for newly arriving frames (written
-    atomically, in increasing frame-number order — e.g. an ffmpeg dump
-    in progress), feed them through the streaming kNN+HMM session, and
-    write/announce each possession clip the moment its padded extent is
-    final — mid-game, not after it. Stops after --idle-timeout seconds
-    with no new frames, or immediately when a file named STOP appears
-    in the frames dir. The reference's incremental loop
+def _segment_follow(args, corpus, collection, client, *,
+                    metric: str = "l2"):
+    """Live mode: tail --frames for newly arriving frames (increasing
+    frame-number order — e.g. an ffmpeg dump in progress), feed them
+    through the streaming kNN+HMM session, and write/announce each
+    possession clip the moment its padded extent is final — mid-game,
+    not after it. Stops after --idle-timeout seconds with no new
+    frames, or when a file named STOP appears (drains everything on
+    disk first). Robust to non-atomic writers: the highest-numbered
+    frame is held back until a newer one appears (it may still be
+    mid-write), a frame whose decode fails is retried on later polls
+    (then skipped with a warning), and a frame that surfaces AFTER a
+    higher-numbered one was consumed is dropped with a warning rather
+    than corrupting the stream order the clip indices depend on. The
+    reference's incremental loop
     (nba_proj/generate_clips_hmm.py:367-490) could only decode at the
     end; see segment/pipeline.py::KnnHmmStreamSession."""
     import shutil
@@ -690,11 +702,13 @@ def _segment_follow(args, corpus, collection, client):
     session = KnnHmmStreamSession(
         corpus, k=args.k, confidence_threshold=args.confidence_threshold,
         min_len=args.min_len, pad=args.pad, max_lag=args.max_lag,
-        drain_every=8, collection=collection, vid=args.vid)
+        drain_every=8, collection=collection, vid=args.vid, metric=metric)
     os.makedirs(args.out, exist_ok=True)
     consumed: list = []  # frame names in stream order
-    seen: set = set()
+    seen: set = set()    # consumed or permanently skipped
+    retries: dict = {}   # name -> failed decode attempts
     clip_count = 0
+    last_num = -1        # highest consumed frame number
 
     def emit(clips):
         nonlocal clip_count
@@ -711,26 +725,78 @@ def _segment_follow(args, corpus, collection, client):
             print(f"clip {clip_count}: {iv.side} frames "
                   f"{iv.start}..{iv.end} -> {cdir}", flush=True)
 
+    def scan_fresh():
+        # os.scandir + seen-check BEFORE parsing: a 2-hour game leaves
+        # ~200k consumed names; regex-parsing and sorting all of them
+        # every poll would turn quadratic on the host
+        fresh = []
+        with os.scandir(args.frames) as it:
+            for entry in it:
+                f = entry.name
+                if f in seen or not naming.is_frame_name(f):
+                    continue
+                fresh.append(f)
+        fresh.sort(key=naming.frame_sort_key)
+        return fresh
+
+    def consume(chunk) -> bool:
+        """Returns False when the stream must STALL at a not-yet-
+        decodable frame — the caller must stop consuming this poll's
+        later chunks too, or the held frame would come back
+        'out-of-order' next poll and be dropped."""
+        nonlocal last_num
+        try:
+            embs = eng.embed_paths(
+                [os.path.join(args.frames, f) for f in chunk])
+        except Exception:
+            if len(chunk) > 1:  # isolate the bad frame, preserve order
+                for f in chunk:
+                    if not consume([f]):
+                        return False
+                return True
+            f = chunk[0]
+            retries[f] = retries.get(f, 0) + 1
+            if retries[f] >= 3:
+                seen.add(f)
+                print(f"WARNING: skipping undecodable frame {f} "
+                      f"after {retries[f]} attempts", flush=True)
+                return True  # permanently skipped; stream continues
+            return False  # likely still being written; retry next poll
+        consumed.extend(chunk)
+        seen.update(chunk)
+        last_num = naming.frame_num(chunk[-1])
+        emit(session.push_batch(chunk, embs))
+        return True
+
     last_new = time.monotonic()
     while True:
         # STOP means "the producer is done": drain everything already
         # on disk, then finish — never abandon arrived frames.
         stopping = os.path.exists(os.path.join(args.frames, "STOP"))
-        fresh = [f for f in naming.list_frames(args.frames)
-                 if f not in seen]
+        fresh = scan_fresh()
+        late = [f for f in fresh if naming.frame_num(f) <= last_num]
+        if late:
+            seen.update(late)
+            fresh = fresh[len(late):]
+            print(f"WARNING: dropping {len(late)} out-of-order "
+                  f"frame(s) (<= already-consumed #{last_num}): "
+                  f"{late[:3]}...", flush=True)
+        idle = time.monotonic() - last_new > args.idle_timeout
+        if fresh and not (stopping or idle):
+            # the newest frame may still be mid-write; hold it back
+            # until a newer name appears — on STOP or idle expiry it is
+            # consumed rather than stranded (idle means it has been
+            # stable on disk for the whole timeout)
+            fresh = fresh[:-1]
         if not fresh:
-            if stopping or time.monotonic() - last_new > args.idle_timeout:
+            if stopping or idle:
                 break
             time.sleep(args.poll_interval)
             continue
         last_new = time.monotonic()
         for i in range(0, len(fresh), args.batch_size):
-            chunk = fresh[i: i + args.batch_size]
-            embs = eng.embed_paths(
-                [os.path.join(args.frames, f) for f in chunk])
-            consumed.extend(chunk)
-            seen.update(chunk)
-            emit(session.push_batch(chunk, embs))
+            if not consume(fresh[i: i + args.batch_size]):
+                break  # stalled at a mid-write frame; re-poll
     emit(session.finish())
     if client is not None:
         client.flush()

@@ -94,6 +94,7 @@ class KnnHmmStreamSession:
                  min_len: int = 100, pad: int = 100, max_lag: int = 512,
                  drain_every: int = 32, collection=None,
                  vid: int | None = None, metric: str = "l2",
+                 corpus_prenormalized: bool = False,
                  transition_matrix=None):
         import jax
         import jax.numpy as jnp
@@ -113,7 +114,10 @@ class KnnHmmStreamSession:
         # snapshot) pays no re-transfer; cosine normalization is one
         # device op over resident rows (no host round-trip).
         embs = jnp.asarray(corpus["embeddings"], jnp.float32)
-        if metric == "cosine":
+        if metric == "cosine" and not corpus_prenormalized:
+            # corpus_prenormalized lets a server normalize ONCE and share
+            # the resident buffer across sessions (queries are always
+            # normalized per batch below)
             embs = l2_normalize(embs)
         self._corpus_dev = jax.device_put(embs)
         self._labels = np.asarray(corpus["labels"])

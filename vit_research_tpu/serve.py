@@ -218,13 +218,22 @@ class EmbedServer:
         from vit_research_tpu.segment.knn import corpus_from_collection
 
         muts = getattr(self.collection, "_mutations", None)
+        space = getattr(self.collection, "space", "l2")
         with self._corpus_lock:
             if (self._corpus_cache is None or muts is None
                     or self._corpus_cache[0] != muts):
                 corpus = corpus_from_collection(self.collection)
                 with self._lock:  # staging is device work
-                    corpus["embeddings"] = jnp.asarray(
-                        corpus["embeddings"], jnp.float32)
+                    embs = jnp.asarray(corpus["embeddings"], jnp.float32)
+                    if space == "cosine":
+                        # normalize HERE, once — sessions receive
+                        # corpus_prenormalized rows, so N cosine
+                        # sessions share one buffer instead of each
+                        # materializing a normalized HBM copy
+                        from vit_research_tpu.ops.topk import l2_normalize
+
+                        embs = l2_normalize(embs)
+                    corpus["embeddings"] = embs
                 self._corpus_cache = (muts, corpus)
             return self._corpus_cache[1]
 
@@ -264,8 +273,9 @@ class EmbedServer:
                             else None),
                 vid=req.get("vid"),
                 # rank with the collection's own metric, like the query
-                # op on this server (store/vector_store.py query path)
-                metric=space)
+                # op on this server (store/vector_store.py query path);
+                # the snapshot already normalized cosine rows
+                metric=space, corpus_prenormalized=True)
         session["segment"] = seg
         return {"ok": True, "corpus_size": seg.corpus_size,
                 "metric": space}
