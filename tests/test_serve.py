@@ -581,3 +581,46 @@ def test_session_client_survives_unserializable_request(seg_server):
         with pytest.raises(TypeError):
             c.request({"op": "ping", "bad": np.int64(3)})
         assert c.request({"op": "ping"})["ok"]  # still usable
+
+
+def test_two_segment_sessions_interleaved_stay_isolated(seg_server):
+    """Per-connection session state: two clients pushing interleaved,
+    different-length streams must each get their own frame counts and
+    clips, unaffected by the other's pushes."""
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    with SessionClient(sock) as a, SessionClient(sock) as b:
+        assert a.request({"op": "segment_start", "k": 5, "min_len": 20,
+                          "pad": 2, "max_lag": 64})["ok"]
+        assert b.request({"op": "segment_start", "k": 5, "min_len": 20,
+                          "pad": 2, "max_lag": 64})["ok"]
+        # a streams a left possession; b streams a right one, shorter
+        clips_a, clips_b = [], []
+        for i in range(5):
+            ra = a.request({"op": "segment_push",
+                            "paths": [paths["left"]] * 10})
+            rb = b.request({"op": "segment_push",
+                            "paths": [paths["right"]] * 6})
+            assert ra["ok"] and rb["ok"]
+            assert ra["frames_seen"] == 10 * (i + 1)
+            assert rb["frames_seen"] == 6 * (i + 1)
+            clips_a.extend(ra["clips"])
+            clips_b.extend(rb["clips"])
+        fa = a.request({"op": "segment_finish"})
+        fb = b.request({"op": "segment_finish"})
+    assert fa["frames_seen"] == 50 and fb["frames_seen"] == 30
+    clips_a.extend(fa["clips"])
+    clips_b.extend(fb["clips"])
+    # collect clips that may have surfaced during pushes
+    assert [c["side"] for c in clips_a] == ["left"] or clips_a == []
+    assert [c["side"] for c in clips_b] == ["right"] or clips_b == []
+    # full-stream single runs for ground truth
+    with SessionClient(sock) as c:
+        c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                   "pad": 2, "max_lag": 64})
+        r = c.request({"op": "segment_push", "paths": [paths["left"]] * 50})
+        f = c.request({"op": "segment_finish"})
+    want_a = r["clips"] + f["clips"]
+    assert want_a == [{"side": "left", "start": 0, "end": 49}]
+    assert clips_a == want_a
