@@ -679,3 +679,74 @@ def test_segment_follow_idle_flushes_held_back_frame(tmp_path, capsys):
               "--poll-interval", "0.05", "--max-lag", "64"])
     out = capsys.readouterr().out
     assert "followed 72 frames" in out
+
+
+def test_segment_follow_ignores_partial_and_foreign_vid_files(tmp_path,
+                                                              capsys):
+    """Strays an atomic copy-then-rename writer (or a shared dump dir)
+    leaves visible must never enter the stream: a '.jpg.part' temp name
+    — which the TOLERANT frame parser accepts — and another video's
+    frames. Consuming the .part (frame #200) would poison every real
+    frame (<200) as 'out-of-order'; consuming vid2's frame would corrupt
+    the single-vid clip indices."""
+    import shutil
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "fdb4")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+
+    live_dir = str(tmp_path / "live4")
+    shutil.copytree(frames_dir, live_dir)
+    a_frame = os.path.join(frames_dir, "vid1_frame_1.jpg")
+    # both strays hold perfectly decodable bytes — only the NAME is off
+    shutil.copy(a_frame, os.path.join(live_dir, "vid1_frame_200.jpg.part"))
+    shutil.copy(a_frame, os.path.join(live_dir, "vid2_frame_5.jpg"))
+    (tmp_path / "live4" / "STOP").write_text("")
+
+    cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", str(tmp_path / "clips_live4"), "--vid", "1",
+              "--min-len", "20", "--pad", "2", "--batch-size", "16",
+              "--follow", "--idle-timeout", "20",
+              "--poll-interval", "0.05", "--max-lag", "64"])
+    out = capsys.readouterr().out
+    assert "followed 72 frames" in out  # exactly the real vid1 frames
+    assert "out-of-order" not in out
+    assert "clip 1: left" in out and "clip 2: right" in out
+
+
+def test_segment_follow_raises_on_systemic_engine_failure(tmp_path,
+                                                          capsys,
+                                                          monkeypatch):
+    """When the EMBEDDER is broken (device/tunnel down) rather than a
+    frame, --follow must fail loudly — not skip every frame and exit 0
+    with 'followed 0 frames -> 0 clips'."""
+    import shutil
+
+    from vit_research_tpu.parallel.embed import EmbeddingEngine
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "fdb5")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+
+    live_dir = str(tmp_path / "live5")
+    shutil.copytree(frames_dir, live_dir)
+    (tmp_path / "live5" / "STOP").write_text("")
+
+    def broken(self, paths, **kw):
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(EmbeddingEngine, "embed_paths", broken)
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db,
+                  "--corpus-collection", "corpus", "--k", "5",
+                  "--out", str(tmp_path / "clips_live5"), "--vid", "1",
+                  "--min-len", "20", "--pad", "2", "--batch-size", "16",
+                  "--follow", "--idle-timeout", "20",
+                  "--poll-interval", "0.05", "--max-lag", "64"])
+    out = capsys.readouterr().out
+    assert "skipping undecodable frame" not in out

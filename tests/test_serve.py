@@ -612,15 +612,20 @@ def test_two_segment_sessions_interleaved_stay_isolated(seg_server):
     assert fa["frames_seen"] == 50 and fb["frames_seen"] == 30
     clips_a.extend(fa["clips"])
     clips_b.extend(fb["clips"])
-    # collect clips that may have surfaced during pushes
-    assert [c["side"] for c in clips_a] == ["left"] or clips_a == []
-    assert [c["side"] for c in clips_b] == ["right"] or clips_b == []
-    # full-stream single runs for ground truth
-    with SessionClient(sock) as c:
-        c.request({"op": "segment_start", "k": 5, "min_len": 20,
-                   "pad": 2, "max_lag": 64})
-        r = c.request({"op": "segment_push", "paths": [paths["left"]] * 50})
-        f = c.request({"op": "segment_finish"})
-    want_a = r["clips"] + f["clips"]
+    # full-stream single runs for ground truth — BOTH sessions must
+    # match their solo equivalents exactly, or a cross-session leak
+    # that suppresses one side's clips would slip through
+    def solo(path, n):
+        with SessionClient(sock) as c:
+            c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64})
+            r = c.request({"op": "segment_push", "paths": [path] * n})
+            f = c.request({"op": "segment_finish"})
+        return r["clips"] + f["clips"]
+
+    want_a = solo(paths["left"], 50)
+    want_b = solo(paths["right"], 30)
     assert want_a == [{"side": "left", "start": 0, "end": 49}]
+    assert want_b == [{"side": "right", "start": 0, "end": 29}]
     assert clips_a == want_a
+    assert clips_b == want_b

@@ -728,12 +728,20 @@ def _segment_follow(args, corpus, collection, client, *,
     def scan_fresh():
         # os.scandir + seen-check BEFORE parsing: a 2-hour game leaves
         # ~200k consumed names; regex-parsing and sorting all of them
-        # every poll would turn quadratic on the host
+        # every poll would turn quadratic on the host.
+        # is_canonical_frame_name (strict), NOT is_frame_name: the
+        # tolerant parser accepts 'vid1_frame_5.jpg.part', so a lax
+        # filter would race an atomic copy-then-rename writer (consume
+        # the .part name, then drop the real frame as out-of-order).
+        # Same-vid only: a dump dir shared across games must not leak
+        # another video's frames into this stream's clip indices.
         fresh = []
         with os.scandir(args.frames) as it:
             for entry in it:
                 f = entry.name
-                if f in seen or not naming.is_frame_name(f):
+                if f in seen or not naming.is_canonical_frame_name(f):
+                    continue
+                if naming.parse_frame_name(f)[0] != args.vid:
                     continue
                 fresh.append(f)
         fresh.sort(key=naming.frame_sort_key)
@@ -746,8 +754,12 @@ def _segment_follow(args, corpus, collection, client, *,
         'out-of-order' next poll and be dropped."""
         nonlocal last_num
         try:
+            # prefetch=0: each call is a single <=batch_size chunk, so a
+            # producer thread can't overlap anything — it would just add
+            # a thread spawn + queue per poll on a 200k-frame session
             embs = eng.embed_paths(
-                [os.path.join(args.frames, f) for f in chunk])
+                [os.path.join(args.frames, f) for f in chunk],
+                prefetch=0)
         except Exception:
             if len(chunk) > 1:  # isolate the bad frame, preserve order
                 for f in chunk:
@@ -755,6 +767,20 @@ def _segment_follow(args, corpus, collection, client, *,
                         return False
                 return True
             f = chunk[0]
+            # Decode the frame alone to tell a bad FILE from a broken
+            # ENGINE: if the bytes decode fine, the embed failure is
+            # systemic (device/tunnel down, OOM) — re-raise instead of
+            # silently skipping every frame and exiting 0 with
+            # 'followed N frames -> 0 clips'.
+            from vit_research_tpu.data.preprocess import decode_image
+            decoded_ok = False
+            try:
+                decode_image(os.path.join(args.frames, f))
+                decoded_ok = True
+            except Exception:
+                pass
+            if decoded_ok:
+                raise
             retries[f] = retries.get(f, 0) + 1
             if retries[f] >= 3:
                 seen.add(f)
@@ -777,7 +803,12 @@ def _segment_follow(args, corpus, collection, client, *,
         late = [f for f in fresh if naming.frame_num(f) <= last_num]
         if late:
             seen.update(late)
-            fresh = fresh[len(late):]
+            # remove by membership, not a prefix slice: robustness if
+            # sort order and lateness ever disagree (they can't for a
+            # single-vid scan, but a slice would then consume a frame
+            # the warning just claimed to drop)
+            dropped = set(late)
+            fresh = [f for f in fresh if f not in dropped]
             print(f"WARNING: dropping {len(late)} out-of-order "
                   f"frame(s) (<= already-consumed #{last_num}): "
                   f"{late[:3]}...", flush=True)
@@ -794,9 +825,18 @@ def _segment_follow(args, corpus, collection, client, *,
             time.sleep(args.poll_interval)
             continue
         last_new = time.monotonic()
+        stalled = False
         for i in range(0, len(fresh), args.batch_size):
             if not consume(fresh[i: i + args.batch_size]):
+                stalled = True
                 break  # stalled at a mid-write frame; re-poll
+        if stalled:
+            # give the writer a real poll interval before the next
+            # attempt — without this, the STOP-drain (and any poll where
+            # other frames keep arriving) re-scans immediately and burns
+            # all 3 decode retries back-to-back within milliseconds,
+            # permanently skipping a frame that was merely mid-write
+            time.sleep(args.poll_interval)
     emit(session.finish())
     if client is not None:
         client.flush()

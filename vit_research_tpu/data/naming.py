@@ -51,6 +51,18 @@ def is_frame_name(name: str) -> bool:
         return False
 
 
+def is_canonical_frame_name(name: str) -> bool:
+    """Strict ``vid{N}_frame_{M}.{jpg|jpeg|png}`` match only.
+
+    Unlike :func:`is_frame_name`, rejects names the tolerant fallback
+    parser would accept — notably temp/partial suffixes like
+    ``vid1_frame_5.jpg.part`` or ``vid1_frame_5.jpg.tmp`` that an
+    atomic copy-then-rename writer leaves visible mid-write. Consumers
+    that tail a directory a writer is still filling (``cli segment
+    --follow``) must use this, or they race the rename."""
+    return _FRAME_RE.match(name) is not None
+
+
 def list_frames(directory) -> list[str]:
     """Sorted frame filenames in ``directory``, ignoring strays
     (.DS_Store, notes.txt, editor backups) that would crash the tolerant
