@@ -750,3 +750,83 @@ def test_segment_follow_raises_on_systemic_engine_failure(tmp_path,
                   "--poll-interval", "0.05", "--max-lag", "64"])
     out = capsys.readouterr().out
     assert "skipping undecodable frame" not in out
+
+
+def test_tune_segment_then_apply_transitions(tmp_path, capsys):
+    """tune-segment sweeps the kNN+HMM grid against the manual labels,
+    reports a perfect combo on the synthetic world, and its JSON output
+    plugs back in via segment --transitions."""
+    import json
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "tdb")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+
+    report = str(tmp_path / "tune.json")
+    cli.main(["tune-segment", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--corpus-collection", "corpus",
+              "--k-grid", "3,5,10", "--min-len-grid", "10,20",
+              "--pad-grid", "0,2", "--batch-size", "16",
+              "--out", report])
+    out = capsys.readouterr().out
+    assert "swept" in out and "write-back" in out
+    data = json.loads((tmp_path / "tune.json").read_text())
+    best = data["best"]
+    assert best["f1"] == 1.0 and best["n_true"] == 2
+    assert best["frame_accuracy"] > 0.9
+    m = np.asarray(data["best_transition_matrix"])
+    assert m.shape == (3, 3)
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+    assert "fitted" in data["transition_matrices"]
+    # the threshold suggestion is actionable on this separable world
+    assert data["writeback"]["threshold"] is not None
+    assert data["writeback"]["precision"] >= 0.99
+
+    # apply the tuned parameters through the segment surface
+    out_root = str(tmp_path / "clips_tuned")
+    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus",
+              "--k", str(best["params"]["k"]),
+              "--min-len", str(best["params"]["min_len"]),
+              "--pad", str(best["params"]["pad"]),
+              "--transitions", report,
+              "--out", out_root, "--vid", "1", "--batch-size", "16"])
+    out = capsys.readouterr().out
+    assert "-> 2 clips" in out
+    dirs = sorted(d for d in os.listdir(out_root)
+                  if d.startswith("vid1_clip"))
+    assert dirs == ["vid1_clip_1_left", "vid1_clip_2_right"]
+
+
+def test_segment_transitions_flag_validation(tmp_path):
+    """--transitions: bare-list JSON accepted; wrong shapes and
+    non-knn-hmm methods rejected cleanly."""
+    import json
+
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    good = tmp_path / "trans.json"
+    good.write_text(json.dumps([[0.9, 0.0, 0.1], [0.0, 0.9, 0.1],
+                                [0.2, 0.2, 0.6]]))
+    with pytest.raises(SystemExit, match="knn-hmm only"):
+        cli.main(["segment", frames_dir, "--method", "temporal",
+                  "--manual-csv", csv_path, "--out", str(tmp_path / "x"),
+                  "--vid", "1", "--transitions", str(good)])
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([[1.0, 0.0], [0.0, 1.0]]))
+    db = str(tmp_path / "tdb2")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    with pytest.raises(SystemExit, match="3x3"):
+        cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+                  "--corpus-collection", "corpus", "--out",
+                  str(tmp_path / "y"), "--vid", "1",
+                  "--transitions", str(bad)])
+    nodict = tmp_path / "nodict.json"
+    nodict.write_text(json.dumps({"something": 1}))
+    with pytest.raises(SystemExit, match="best_transition_matrix"):
+        cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+                  "--corpus-collection", "corpus", "--out",
+                  str(tmp_path / "z"), "--vid", "1",
+                  "--transitions", str(nodict)])

@@ -632,13 +632,20 @@ def cmd_segment(args):
     elif not args.manual_csv:
         raise SystemExit("--method temporal needs --manual-csv")
 
+    if args.transitions and args.method != "knn-hmm":
+        raise SystemExit("--transitions applies to --method knn-hmm only "
+                         "(the temporal/streaks paths don't take an HMM "
+                         "transition override)")
+    transitions = _load_transitions(args.transitions) \
+        if args.transitions else None
+
     if args.follow:
         if args.method != "knn-hmm":
             raise SystemExit("--follow supports --method knn-hmm only")
         return _segment_follow(args, corpus,
                                col if args.write_back else None,
                                client if args.write_back else None,
-                               metric=space)
+                               metric=space, transition_matrix=transitions)
 
     os.makedirs(args.out, exist_ok=True)
     frames = naming.list_frames(args.frames)
@@ -662,7 +669,8 @@ def cmd_segment(args):
                 src_dir=args.frames, vid=args.vid, k=args.k,
                 confidence_threshold=args.confidence_threshold,
                 min_len=args.min_len, pad=args.pad, metric=space,
-                collection=col if args.write_back else None)
+                collection=col if args.write_back else None,
+                transition_matrix=transitions)
         if args.write_back:
             client.flush()
     else:
@@ -675,8 +683,31 @@ def cmd_segment(args):
     print(f"decoded {len(decoded)} frames -> {len(clip_dirs)} clips")
 
 
+def _load_transitions(path):
+    """Read a (3, 3) HMM transition matrix from JSON: either a bare
+    nested list, or a ``tune-segment`` output dict (uses its
+    ``best_transition_matrix``)."""
+    import json
+
+    import numpy as np
+
+    with open(path) as fh:
+        data = json.load(fh)
+    if isinstance(data, dict):
+        if "best_transition_matrix" not in data:
+            raise SystemExit(f"{path}: JSON dict carries no "
+                             "'best_transition_matrix' (expected a "
+                             "tune-segment output or a bare 3x3 list)")
+        data = data["best_transition_matrix"]
+    m = np.asarray(data, np.float32)
+    if m.shape != (3, 3):
+        raise SystemExit(f"{path}: transition matrix must be 3x3, "
+                         f"got shape {m.shape}")
+    return m
+
+
 def _segment_follow(args, corpus, collection, client, *,
-                    metric: str = "l2"):
+                    metric: str = "l2", transition_matrix=None):
     """Live mode: tail --frames for newly arriving frames (increasing
     frame-number order — e.g. an ffmpeg dump in progress), feed them
     through the streaming kNN+HMM session, and write/announce each
@@ -702,7 +733,8 @@ def _segment_follow(args, corpus, collection, client, *,
     session = KnnHmmStreamSession(
         corpus, k=args.k, confidence_threshold=args.confidence_threshold,
         min_len=args.min_len, pad=args.pad, max_lag=args.max_lag,
-        drain_every=8, collection=collection, vid=args.vid, metric=metric)
+        drain_every=8, collection=collection, vid=args.vid, metric=metric,
+        transition_matrix=transition_matrix)
     os.makedirs(args.out, exist_ok=True)
     consumed: list = []  # frame names in stream order
     seen: set = set()    # consumed or permanently skipped
@@ -842,6 +874,95 @@ def _segment_follow(args, corpus, collection, client, *,
         client.flush()
     print(f"followed {len(consumed)} frames -> {clip_count} clips "
           f"({session.forced} forced commits)", flush=True)
+
+
+def cmd_tune_segment(args):
+    """Calibrate the kNN+HMM segmentation grid against manual intervals.
+
+    The reference hand-tuned its HMM transitions, vote thresholds and
+    streak/pad rules to one specific random-ViT feature space
+    (nba_proj/hmm.py:10, nba_proj/generate_clips_hmm.py:58,155-165,262);
+    any backbone change silently invalidates them. This embeds the
+    frames once, runs ONE device top-k at the largest k, sweeps the
+    cheap host stages over the whole grid, and reports clip-level F1 +
+    frame accuracy per combo (segment/tune.py). The JSON output plugs
+    straight back in via ``segment --transitions``."""
+    import json
+
+    import numpy as np
+
+    from vit_research_tpu.data import naming
+    from vit_research_tpu.data.labels import ManualIntervals
+    from vit_research_tpu.segment import tune as tune_mod
+    from vit_research_tpu.segment.knn import fused_confidence, knn_labels
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    def grid(text):
+        return [int(x) for x in str(text).split(",") if x != ""]
+
+    client = PersistentClient(args.db)
+    col = client.get_collection(args.corpus_collection)
+    corpus = _corpus_from_collection(col)
+    space = getattr(col, "space", "l2")
+    manual = ManualIntervals.from_csv(args.manual_csv)
+    frames = naming.list_frames(args.frames)
+    if not frames:
+        raise SystemExit(f"no frames found under {args.frames}")
+    eng = _engine(batch_size=args.batch_size)
+    embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
+
+    results, trans = tune_mod.tune_knn_hmm(
+        frames, embs, corpus, manual, ks=grid(args.k_grid),
+        min_lens=grid(args.min_len_grid), pads=grid(args.pad_grid),
+        fit_transitions=not args.no_fit_transitions, metric=space,
+        iou=args.iou)
+    if not results:
+        raise SystemExit("empty sweep — check the grids against the "
+                         f"corpus size ({len(corpus['labels'])} rows)")
+
+    best = results[0]
+    # write-back threshold at the winning k (reference guessed 0.7/0.85)
+    k = best.params["k"]
+    nl, idx, _ = knn_labels(embs, corpus["embeddings"], corpus["labels"],
+                            k, metric=space)
+    fused = fused_confidence(
+        np.asarray(nl), np.asarray(corpus["probs"])[np.asarray(idx)],
+        top_n=k)
+    wb = tune_mod.writeback_threshold(
+        fused["emissions"], fused["decision"],
+        tune_mod.truth_states(manual, frames),
+        target_precision=args.target_precision)
+
+    print(f"swept {len(results)} combos over {len(frames)} frames "
+          f"(corpus {len(corpus['labels'])} rows, metric {space})")
+    print(f"{'f1':>6} {'P':>6} {'R':>6} {'frame_acc':>9}  params")
+    for r in results[: args.top]:
+        print(f"{r.f1:6.3f} {r.precision:6.3f} {r.recall:6.3f} "
+              f"{r.frame_accuracy:9.4f}  {r.params}")
+    if wb["threshold"] is not None:
+        print(f"write-back threshold >= {wb['threshold']:.2f} gives "
+              f"precision {wb['precision']:.4f} at coverage "
+              f"{wb['coverage']:.2f} (target {args.target_precision})")
+    else:
+        print("write-back: no threshold on the grid reaches precision "
+              f"{args.target_precision} — leave --write-back off")
+
+    if args.out:
+        payload = {
+            "best": best.to_json(),
+            "best_transition_matrix":
+                trans[best.params["transitions"]].tolist(),
+            "transition_matrices":
+                {n: m.tolist() for n, m in trans.items()},
+            "writeback": wb,
+            "metric": space,
+            "results": [r.to_json() for r in results],
+        }
+        with open(args.out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {args.out} — apply with: segment --method knn-hmm "
+              f"--k {k} --min-len {best.params['min_len']} "
+              f"--pad {best.params['pad']} --transitions {args.out}")
 
 
 def cmd_build_frame_store(args):
@@ -1265,7 +1386,35 @@ def main(argv=None):
     sg.add_argument("--batch-size", type=int, default=256)
     sg.add_argument("--min-len", type=int, default=100)
     sg.add_argument("--pad", type=int, default=100)
+    sg.add_argument("--transitions", default=None,
+                    help="JSON with a 3x3 HMM transition matrix (bare "
+                    "list or tune-segment output); default is the "
+                    "reference's hand-tuned matrix (knn-hmm method)")
     sg.set_defaults(fn=cmd_segment)
+
+    tn = sub.add_parser(
+        "tune-segment",
+        help="calibrate segmentation thresholds against manual intervals")
+    tn.add_argument("frames")
+    tn.add_argument("--manual-csv", required=True)
+    tn.add_argument("--db", required=True)
+    tn.add_argument("--corpus-collection", required=True)
+    tn.add_argument("--k-grid", default="5,10,25,50")
+    tn.add_argument("--min-len-grid", default="50,100,150")
+    tn.add_argument("--pad-grid", default="0,50,100")
+    tn.add_argument("--iou", type=float, default=0.5,
+                    help="IoU for clip-interval matching")
+    tn.add_argument("--target-precision", type=float, default=0.99,
+                    help="required write-back precision when suggesting "
+                    "a confidence threshold")
+    tn.add_argument("--no-fit-transitions", action="store_true",
+                    help="sweep only the reference transition matrix "
+                    "(skip the counting fit from the manual labels)")
+    tn.add_argument("--top", type=int, default=10)
+    tn.add_argument("--out", default=None, help="JSON report path "
+                    "(feed back via segment --transitions)")
+    tn.add_argument("--batch-size", type=int, default=256)
+    tn.set_defaults(fn=cmd_tune_segment)
 
     wf = sub.add_parser(
         "write-frame-db",

@@ -39,7 +39,7 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
                          k: int = 50, confidence_threshold: float = 0.7,
                          min_len: int = 100, pad: int = 100,
                          collection=None, vid: int | None = None,
-                         metric: str = "l2"):
+                         metric: str = "l2", transition_matrix=None):
     """Args:
       frame_names: ordered frame filenames.
       embeddings: (N, D) frame embeddings (from parallel/embed.py).
@@ -47,6 +47,8 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
         'probs' (M, 3) stored per-frame probabilities.
       collection: optional vector-store collection for confident
         write-back (reference: nba_proj/generate_clips_hmm.py:459-471).
+      transition_matrix: optional (3, 3) HMM transitions overriding the
+        reference's hand-tuned matrix (calibrate with segment/tune.py).
     Returns (decoded list[str], clip_dirs, fused dict)."""
     nl, idx, _ = knn_mod.knn_labels(
         embeddings, corpus["embeddings"], corpus["labels"], k, metric=metric)
@@ -55,7 +57,8 @@ def segment_with_knn_hmm(frame_names, embeddings, corpus, *,
         nl, neighbor_probs, top_n=k,
         confidence_threshold=confidence_threshold)
 
-    path = smooth_probabilities(fused["emissions"])
+    path = smooth_probabilities(fused["emissions"],
+                                transition_matrix=transition_matrix)
     decoded = [STATES[i] for i in path]
 
     _confident_writeback(collection, fused, frame_names, embeddings, vid)
