@@ -629,3 +629,34 @@ def test_two_segment_sessions_interleaved_stay_isolated(seg_server):
     assert want_b == [{"side": "right", "start": 0, "end": 29}]
     assert clips_a == want_a
     assert clips_b == want_b
+
+
+def test_segment_session_accepts_transition_override(seg_server):
+    """segment_start 'transitions': a calibrated 3x3 matrix (e.g. from
+    cli tune-segment) changes the session's HMM; malformed shapes are
+    rejected before any session state is created."""
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    with SessionClient(sock) as c:
+        r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64,
+                       "transitions": [[1.0, 0.0], [0.0, 1.0]]})
+        assert not r["ok"] and "3x3" in r["error"]
+        # the failed start must not have left a half-open session
+        trans = [[0.9, 0.0, 0.1], [0.0, 0.9, 0.1], [0.2, 0.2, 0.6]]
+        r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64, "transitions": trans})
+        assert r["ok"]
+        clips = []
+        for i in range(0, 50, 10):
+            stream = (["left"] * 30 + ["none"] * 20)[i: i + 10]
+            resp = c.request({"op": "segment_push",
+                              "paths": [paths[s] for s in stream]})
+            assert resp["ok"]
+            clips.extend(resp["clips"])
+        fin = c.request({"op": "segment_finish"})
+        clips.extend(fin["clips"])
+    # same decisive world as the mid-game test: the (valid) override
+    # still decodes the single left possession exactly
+    assert clips == [{"side": "left", "start": 0, "end": 31}]

@@ -28,7 +28,9 @@ StreamingViterbi + StreamingClipExtractor under the hood):
 
     {"op": "segment_start", "k": 25, "confidence_threshold": 0.7,
      "min_len": 100, "pad": 100, "max_lag": 512, "drain_every": 8,
-     "write_back": false, "vid": null}
+     "write_back": false, "vid": null, "transitions": null}
+        ("transitions": optional 3x3 HMM matrix — e.g. the
+         best_transition_matrix from cli tune-segment)
         (ranking uses the collection's own space, like "query";
          write_back=true upserts confident frames per push with the
          offline pipeline's new-ids-only guard)
@@ -252,10 +254,18 @@ class EmbedServer:
                 "(path basenames / frame_{N}) don't encode a video "
                 "number for the write-back metadata")
         space = getattr(self.collection, "space", "l2")
+        transitions = req.get("transitions")
+        if transitions is not None:
+            transitions = np.asarray(transitions, np.float32)
+            if transitions.shape != (3, 3):
+                raise ValueError("'transitions' must be a 3x3 nested "
+                                 f"list, got shape {transitions.shape} "
+                                 "(calibrate with cli tune-segment)")
         corpus = self._corpus_snapshot()  # host read; only staging and
         with self._lock:                  # session setup are device work
             seg = KnnHmmStreamSession(
                 corpus,
+                transition_matrix=transitions,
                 k=int(req.get("k", 25)),
                 confidence_threshold=float(
                     req.get("confidence_threshold", 0.7)),
