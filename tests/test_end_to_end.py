@@ -178,3 +178,26 @@ def test_full_pipeline(tmp_path):
     out_json = str(tmp_path / "results.json")
     save_results(rows, out_json, str(tmp_path / "results.csv"))
     assert os.path.getsize(out_json) > 0
+
+    # ---- 10. event-localization scoring ------------------------------------
+    from vit_research_tpu.evaluate.event_scoring import (
+        score_event_localization,
+        truth_events_by_clip,
+    )
+
+    # chunk frame spans were parsed from the clip-dir frame names
+    assert all(c["start_frame"] is not None
+               for r in rows for c in r["topk_chunks"])
+    truth = truth_events_by_clip(events)
+    rep = score_event_localization(rows, truth, ks=(1, 3))
+    # every synthetic clip carries one labeled event interval
+    assert rep["clips_scored"] == len(rows)
+    assert rep["clips_without_frame_numbers"] == 0
+    for v in rep["hit_at"].values():
+        assert v is not None and 0.0 <= v <= 1.0
+    assert rep["hit_at"]["3"] >= rep["hit_at"]["1"]
+    assert np.isfinite(rep["center_error_mean"])
+    # the status_id fallback scores the same clips without the template
+    rep2 = score_event_localization(rows, None, ks=(1, 3))
+    assert rep2["ground_truth"] == "status_id"
+    assert rep2["clips_scored"] >= 1

@@ -1096,6 +1096,51 @@ def cmd_eval_clips(args):
     print(f"wrote {len(rows)} clip rows to {args.out}")
 
 
+def cmd_score_events(args):
+    """Score eval-clips' top-k event localization against the labeled
+    events — the number the reference's harness never computed (it
+    dumped rankings to JSON and kept results as source comments,
+    nba_proj/test/get_clip_sequences.py:569-598,800-813)."""
+    import json
+
+    from vit_research_tpu.data.labels import load_event_template
+    from vit_research_tpu.evaluate.event_scoring import (
+        score_event_localization, truth_events_by_clip)
+
+    with open(args.results) as fh:
+        rows = json.load(fh)
+    truth = None
+    if args.events:
+        truth = truth_events_by_clip(load_event_template(args.events))
+        if not truth:
+            raise SystemExit(f"{args.events}: no event_make/event_miss "
+                             "intervals found")
+    try:
+        report = score_event_localization(
+            rows, truth, ks=[int(x) for x in args.ks.split(",") if x])
+    except ValueError as e:
+        raise SystemExit(str(e))
+
+    print(f"scored {report['clips_scored']} clips "
+          f"(ground truth: {report['ground_truth']}; "
+          f"{report['clips_without_events']} without events, "
+          f"{report['clips_without_frame_numbers']} without frame "
+          "numbers)")
+    for k, v in report["hit_at"].items():
+        print(f"  hit@{k}: {v:.4f}" if v is not None else f"  hit@{k}: n/a")
+    if "center_error_mean" in report:
+        print(f"  top-1 center error: mean {report['center_error_mean']:.1f} "
+              f"median {report['center_error_median']:.1f} frames")
+    for side, vals in sorted(report["per_side_hit_at"].items()):
+        pretty = ", ".join(f"hit@{k}={v:.3f}" for k, v in vals.items()
+                           if v is not None)
+        print(f"  {side}: {pretty}")
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(f"wrote {args.out}")
+
+
 def cmd_write_rag_db(args):
     """Frame-level RAG DB from the memmap frame store
     (reference: nba_proj/write_clips_to_ragdb.py:296-391)."""
@@ -1623,6 +1668,18 @@ def main(argv=None):
     ec.add_argument("--future-step", type=int, default=2)
     ec.add_argument("--zeros-query", action="store_true")
     ec.set_defaults(fn=cmd_eval_clips)
+
+    sev = sub.add_parser(
+        "score-events",
+        help="score eval-clips' top-k event localization (hit@k, "
+        "center error)")
+    sev.add_argument("results", help="logit_sequences.json from eval-clips")
+    sev.add_argument("--events", default=None,
+                     help="clip_labelling_template.json; omitted -> the "
+                     "rows' own chunk status_id ground truth")
+    sev.add_argument("--ks", default="1,3,5")
+    sev.add_argument("--out", default=None, help="JSON report path")
+    sev.set_defaults(fn=cmd_score_events)
 
     rb = sub.add_parser(
         "rebuild-db", help="standalone frame-level DB rebuild")

@@ -30,6 +30,25 @@ from vit_research_tpu.retrieval import cache_stage2 as CS
 from vit_research_tpu.train.common import batch_iterator
 
 
+def _frame_bound(ch, pos: int):
+    """Global frame NUMBER of a chunk's first/last frame, parsed from its
+    frame paths (``vid{N}_frame_{M}``); explicit start_frame/end_frame
+    keys win; None when neither is available."""
+    explicit = ch.get("start_frame" if pos == 0 else "end_frame")
+    if explicit is not None:
+        return int(explicit)
+    frames = ch.get("frames")
+    if not frames:
+        return None
+    from vit_research_tpu.data import naming
+
+    name = os.path.basename(str(frames[pos]))
+    try:
+        return naming.parse_frame_name(name)[1]
+    except (ValueError, IndexError):
+        return None
+
+
 def z_normalize(x) -> np.ndarray:
     x = np.asarray(x, np.float32)
     if len(x) < 2:
@@ -54,6 +73,7 @@ def get_topk_chunks_for_sequence(seq, k: int = 5) -> list[dict]:
             if sf is not None and ef is not None else None,
             "logit": float(x["logit"]), "prob": float(x["prob"]),
             "pred": int(x["pred"]),
+            "status_id": x.get("status_id"),
         })
     return rows
 
@@ -101,11 +121,13 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
                 "start_idx": int(ch["start_idx"]),
                 "end_idx": int(ch["end_idx"]),
                 "t_center": float(ch["t_center"]),
-                "start_frame": ch.get("start_frame"),
-                "end_frame": ch.get("end_frame"),
+                "start_frame": _frame_bound(ch, 0),
+                "end_frame": _frame_bound(ch, -1),
                 "logit": float(logit), "prob": float(prob),
                 "pred": int(prob > 0.5),
             }
+            if "status_id" in ch:
+                entry["status_id"] = int(ch["status_id"])
             clip_outputs.setdefault(key, []).append(entry)
 
     rows = []
@@ -126,6 +148,7 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
             "z_sequence": z_normalize(raw_seq).tolist(),
             "prob_sequence": [x["prob"] for x in seq],
             "pred_sequence": [x["pred"] for x in seq],
+            "status_ids": [x.get("status_id") for x in seq],
             "topk_chunks": get_topk_chunks_for_sequence(
                 seq, top_k_event_chunks),
         })
