@@ -830,3 +830,32 @@ def test_segment_transitions_flag_validation(tmp_path):
                   "--corpus-collection", "corpus", "--out",
                   str(tmp_path / "z"), "--vid", "1",
                   "--transitions", str(nodict)])
+    # raw counts (rows not summing to 1) would silently corrupt the
+    # decode — rejected with a pointer at the actual problem
+    counts = tmp_path / "counts.json"
+    counts.write_text(json.dumps([[90, 0, 10], [0, 90, 10],
+                                  [20, 20, 60]]))
+    with pytest.raises(SystemExit, match="sum to 1"):
+        cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+                  "--corpus-collection", "corpus", "--out",
+                  str(tmp_path / "w"), "--vid", "1",
+                  "--transitions", str(counts)])
+
+
+def test_tune_segment_rejects_empty_grid_before_embedding(tmp_path,
+                                                          monkeypatch):
+    """An empty --k-grid must fail up front — NOT after the engine has
+    spun up and embedded every frame (minutes of TPU compile)."""
+    frames_dir, csv_path = _labeled_world(tmp_path)
+    db = str(tmp_path / "tdb3")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+
+    def boom(*a, **kw):  # the engine must never be constructed
+        raise AssertionError("engine spun up despite an empty grid")
+
+    monkeypatch.setattr(cli, "_engine", boom)
+    with pytest.raises(SystemExit, match="--k-grid is empty"):
+        cli.main(["tune-segment", frames_dir, "--manual-csv", csv_path,
+                  "--db", db, "--corpus-collection", "corpus",
+                  "--k-grid", ",", "--out", str(tmp_path / "t.json")])

@@ -36,6 +36,23 @@ def test_truth_events_by_clip_parses_dir_names():
         truth_events_by_clip({"not_a_clip_dir!": {"event_make": [[1, 2]]}})
 
 
+def test_truth_events_subtract_overlapping_event_none():
+    # later-category-wins (make -> miss -> none): frames inside an
+    # event_none range are NOT events even when make/miss covers them,
+    # matching data/labels.py::frame_event_status and the chunks' own
+    # status_id ground truth
+    tpl = {"vid1_clip_0_left": {"event_make": [[100, 120]],
+                                "event_none": [[90, 130]]},
+           "vid1_clip_1_left": {"event_make": [[100, 120]],
+                                "event_none": [[110, 114]]},
+           "vid1_clip_2_left": {"event_miss": [[50, 60]],
+                                "event_none": [[55, 80]]}}
+    truth = truth_events_by_clip(tpl)
+    assert (1, 0) not in truth                     # fully overwritten
+    assert truth[(1, 1)] == [(100, 109), (115, 120)]  # split by the hole
+    assert truth[(1, 2)] == [(50, 54)]             # right side trimmed
+
+
 def test_hit_at_k_and_center_error_with_template():
     truth = {(1, 0): [(100, 120)]}
     # rank-1 misses the event, rank-2 overlaps it
@@ -112,3 +129,14 @@ def test_score_events_cli(tmp_path, capsys):
                                  {"event_none": [[1, 2]]}}))
     with pytest.raises(SystemExit, match="no event_make/event_miss"):
         cli.main(["score-events", str(results), "--events", str(empty)])
+
+    # a typo'd --events path must not masquerade as an empty template
+    with pytest.raises(SystemExit, match="no such file"):
+        cli.main(["score-events", str(results), "--events",
+                  str(tmp_path / "clip_labeling_template.json")])
+
+    # malformed template key -> clean CLI error, not a raw traceback
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"comment": {"event_make": [[1, 2]]}}))
+    with pytest.raises(SystemExit, match="does not end in"):
+        cli.main(["score-events", str(results), "--events", str(bad)])

@@ -643,7 +643,18 @@ def test_segment_session_accepts_transition_override(seg_server):
                        "pad": 2, "max_lag": 64,
                        "transitions": [[1.0, 0.0], [0.0, 1.0]]})
         assert not r["ok"] and "3x3" in r["error"]
-        # the failed start must not have left a half-open session
+        # raw transition COUNTS (rows not summing to 1) are rejected —
+        # they would silently corrupt every decode in the session
+        counts = [[90, 0, 10], [0, 90, 10], [20, 20, 60]]
+        r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64, "transitions": counts})
+        assert not r["ok"] and "sum to 1" in r["error"]
+        # ... as are zero rows (log(0) everywhere) and NaNs
+        r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64,
+                       "transitions": [[0, 0, 0], [0, 0, 0], [0, 0, 0]]})
+        assert not r["ok"] and "sum to 1" in r["error"]
+        # the failed starts must not have left a half-open session
         trans = [[0.9, 0.0, 0.1], [0.0, 0.9, 0.1], [0.2, 0.2, 0.6]]
         r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
                        "pad": 2, "max_lag": 64, "transitions": trans})

@@ -8,7 +8,8 @@ from vit_research_tpu.data.labels import ManualIntervals
 from vit_research_tpu.segment import knn as knn_mod
 from vit_research_tpu.segment import tune as tune_mod
 from vit_research_tpu.segment.clips import ClipInterval
-from vit_research_tpu.segment.hmm import DEFAULT_TRANSITIONS
+from vit_research_tpu.segment.hmm import (DEFAULT_TRANSITIONS,
+                                          validate_transition_matrix)
 
 
 def test_fit_transition_matrix_counts_and_zeros():
@@ -38,6 +39,26 @@ def test_fit_transition_matrix_smoothing_and_ignores():
     assert m2[0, 1] > 0.0
 
 
+def test_validate_transition_matrix():
+    # the reference default and a counting fit both pass
+    m = validate_transition_matrix(DEFAULT_TRANSITIONS)
+    assert m.dtype == np.float32 and m.shape == (3, 3)
+    validate_transition_matrix(tune_mod.fit_transition_matrix([[0, 0, 2]]))
+    # structural zeros are fine — only whole-row problems are rejected
+    validate_transition_matrix([[1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    with pytest.raises(ValueError, match="3x3"):
+        validate_transition_matrix([[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="sum to 1"):
+        validate_transition_matrix([[90, 0, 10], [0, 90, 10],
+                                    [20, 20, 60]])    # raw counts
+    with pytest.raises(ValueError, match="sum to 1"):
+        validate_transition_matrix(np.zeros((3, 3)))  # zero rows
+    with pytest.raises(ValueError, match="negative"):
+        validate_transition_matrix([[1.5, 0, -0.5], [0, 1, 0], [0, 0, 1]])
+    with pytest.raises(ValueError, match="non-finite"):
+        validate_transition_matrix(np.full((3, 3), np.nan))
+
+
 def test_interval_prf_greedy_matching():
     true = [ClipInterval("left", 0, 99), ClipInterval("right", 200, 299)]
     # perfect
@@ -55,10 +76,13 @@ def test_interval_prf_greedy_matching():
     pred = [ClipInterval("left", 90, 189)]
     r = tune_mod.interval_prf(pred, true, iou=0.5)
     assert r["matched"] == 0
-    # empty cases
-    assert tune_mod.interval_prf([], [])["f1"] == 0.0 or True
+    # empty cases: nothing to find + nothing predicted is vacuously
+    # perfect (precision = recall = f1 = 1.0)
+    r = tune_mod.interval_prf([], [])
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
     assert tune_mod.interval_prf([], true)["recall"] == 0.0
     assert tune_mod.interval_prf(list(true), [])["recall"] == 1.0
+    assert tune_mod.interval_prf(list(true), [])["precision"] == 0.0
 
 
 def test_writeback_threshold_picks_smallest_meeting_target():
@@ -74,10 +98,15 @@ def test_writeback_threshold_picks_smallest_meeting_target():
     assert r["threshold"] == 0.65  # excludes the wrong 0.6 row
     assert r["precision"] == 1.0
     assert r["coverage"] == pytest.approx(3 / 4)
-    # unreachable target
+    # unreachable target: threshold None, but the best precision the
+    # grid actually achieved is reported (not a hardcoded 0.0)
     r = tune_mod.writeback_threshold(emissions, decision, truth,
-                                     target_precision=1.01, grid=(0.5,))
+                                     target_precision=1.01,
+                                     grid=(0.5, 0.65))
     assert r["threshold"] is None
+    assert r["best_threshold"] == 0.65
+    assert r["precision"] == 1.0
+    assert r["coverage"] == pytest.approx(3 / 4)
 
 
 def _world(n_per=60, d=16, seed=0):
@@ -110,10 +139,14 @@ def _world(n_per=60, d=16, seed=0):
 
 def test_tune_knn_hmm_finds_a_perfect_combo():
     frames, embs, corpus, mi, sides = _world()
-    results, trans = tune_mod.tune_knn_hmm(
+    results, trans, knn = tune_mod.tune_knn_hmm(
         frames, embs, corpus, mi, ks=(3, 5, 10), min_lens=(20, 50),
         pads=(0, 5), metric="l2")
     assert "reference" in trans and "fitted" in trans
+    # the k_max arrays come back so callers never re-run the device
+    # top-k (the k-prefix IS the smaller-k result)
+    assert knn["neighbor_labels"].shape == (len(frames), 10)
+    assert knn["neighbor_probs"].shape == (len(frames), 10, 3)
     best = results[0]
     assert best.f1 == 1.0
     assert best.frame_accuracy > 0.95
@@ -145,10 +178,19 @@ def test_tune_prefix_slice_equals_fresh_knn():
 def test_tune_caps_k_at_corpus_size():
     frames, embs, corpus, mi, _ = _world()
     n = len(corpus["labels"])
-    results, _ = tune_mod.tune_knn_hmm(
+    results, _, _ = tune_mod.tune_knn_hmm(
         frames, embs, corpus, mi, ks=(5, n + 50), min_lens=(20,),
         pads=(0,), metric="l2")
     assert {r.params["k"] for r in results} == {5, n}
+
+
+def test_tune_rejects_empty_grids():
+    frames, embs, corpus, mi, _ = _world()
+    for kw in ({"ks": ()}, {"min_lens": ()}, {"pads": ()}):
+        kwargs = dict(ks=(5,), min_lens=(20,), pads=(0,), metric="l2")
+        kwargs.update(kw)
+        with pytest.raises(ValueError, match="empty parameter grid"):
+            tune_mod.tune_knn_hmm(frames, embs, corpus, mi, **kwargs)
 
 
 def test_fitted_transitions_beat_reference_on_mismatched_scale():
@@ -156,7 +198,7 @@ def test_fitted_transitions_beat_reference_on_mismatched_scale():
     hand-tuned dwell times: the counting fit should adapt and decode at
     least as accurately."""
     frames, embs, corpus, mi, sides = _world(n_per=12, seed=7)
-    results, trans = tune_mod.tune_knn_hmm(
+    results, trans, _ = tune_mod.tune_knn_hmm(
         frames, embs, corpus, mi, ks=(5,), min_lens=(5,), pads=(0,),
         metric="l2")
     by_trans = {r.params["transitions"]: r for r in results

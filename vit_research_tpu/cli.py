@@ -689,7 +689,7 @@ def _load_transitions(path):
     ``best_transition_matrix``)."""
     import json
 
-    import numpy as np
+    from vit_research_tpu.segment.hmm import validate_transition_matrix
 
     with open(path) as fh:
         data = json.load(fh)
@@ -699,11 +699,10 @@ def _load_transitions(path):
                              "'best_transition_matrix' (expected a "
                              "tune-segment output or a bare 3x3 list)")
         data = data["best_transition_matrix"]
-    m = np.asarray(data, np.float32)
-    if m.shape != (3, 3):
-        raise SystemExit(f"{path}: transition matrix must be 3x3, "
-                         f"got shape {m.shape}")
-    return m
+    try:
+        return validate_transition_matrix(data)
+    except ValueError as e:
+        raise SystemExit(f"{path}: {e}")
 
 
 def _segment_follow(args, corpus, collection, client, *,
@@ -889,17 +888,22 @@ def cmd_tune_segment(args):
     straight back in via ``segment --transitions``."""
     import json
 
-    import numpy as np
-
     from vit_research_tpu.data import naming
     from vit_research_tpu.data.labels import ManualIntervals
     from vit_research_tpu.segment import tune as tune_mod
-    from vit_research_tpu.segment.knn import fused_confidence, knn_labels
+    from vit_research_tpu.segment.knn import fused_confidence
     from vit_research_tpu.store.vector_store import PersistentClient
 
-    def grid(text):
-        return [int(x) for x in str(text).split(",") if x != ""]
+    def grid(name, text):
+        vals = [int(x) for x in str(text).split(",") if x != ""]
+        if not vals:  # fail BEFORE the engine spins up / frames embed
+            raise SystemExit(f"{name} is empty — pass a comma-separated "
+                             f"list of integers (got {text!r})")
+        return vals
 
+    ks = grid("--k-grid", args.k_grid)
+    min_lens = grid("--min-len-grid", args.min_len_grid)
+    pads = grid("--pad-grid", args.pad_grid)
     client = PersistentClient(args.db)
     col = client.get_collection(args.corpus_collection)
     corpus = _corpus_from_collection(col)
@@ -911,9 +915,9 @@ def cmd_tune_segment(args):
     eng = _engine(batch_size=args.batch_size)
     embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
 
-    results, trans = tune_mod.tune_knn_hmm(
-        frames, embs, corpus, manual, ks=grid(args.k_grid),
-        min_lens=grid(args.min_len_grid), pads=grid(args.pad_grid),
+    results, trans, knn = tune_mod.tune_knn_hmm(
+        frames, embs, corpus, manual, ks=ks,
+        min_lens=min_lens, pads=pads,
         fit_transitions=not args.no_fit_transitions, metric=space,
         iou=args.iou)
     if not results:
@@ -921,13 +925,13 @@ def cmd_tune_segment(args):
                          f"corpus size ({len(corpus['labels'])} rows)")
 
     best = results[0]
-    # write-back threshold at the winning k (reference guessed 0.7/0.85)
+    # write-back threshold at the winning k: the sweep's k_max top-k is
+    # score-sorted, so its k-prefix IS the k-NN result — no second
+    # device top-k (each distinct jit shape costs 60-340 s cold over
+    # the tunnel)
     k = best.params["k"]
-    nl, idx, _ = knn_labels(embs, corpus["embeddings"], corpus["labels"],
-                            k, metric=space)
-    fused = fused_confidence(
-        np.asarray(nl), np.asarray(corpus["probs"])[np.asarray(idx)],
-        top_n=k)
+    fused = fused_confidence(knn["neighbor_labels"][:, :k],
+                             knn["neighbor_probs"][:, :k], top_n=k)
     wb = tune_mod.writeback_threshold(
         fused["emissions"], fused["decision"],
         tune_mod.truth_states(manual, frames),
@@ -944,8 +948,13 @@ def cmd_tune_segment(args):
               f"precision {wb['precision']:.4f} at coverage "
               f"{wb['coverage']:.2f} (target {args.target_precision})")
     else:
+        best_seen = (f" (best observed: {wb['precision']:.4f} at "
+                     f">= {wb['best_threshold']:.2f}, coverage "
+                     f"{wb['coverage']:.2f})"
+                     if wb.get("best_threshold") is not None else "")
         print("write-back: no threshold on the grid reaches precision "
-              f"{args.target_precision} — leave --write-back off")
+              f"{args.target_precision} — leave --write-back off"
+              f"{best_seen}")
 
     if args.out:
         payload = {
@@ -1111,7 +1120,15 @@ def cmd_score_events(args):
         rows = json.load(fh)
     truth = None
     if args.events:
-        truth = truth_events_by_clip(load_event_template(args.events))
+        # load_event_template returns {} for missing files (an optional
+        # template elsewhere) — here a typo'd path must not masquerade
+        # as an empty template
+        if not os.path.exists(args.events):
+            raise SystemExit(f"{args.events}: no such file")
+        try:
+            truth = truth_events_by_clip(load_event_template(args.events))
+        except ValueError as e:
+            raise SystemExit(f"{args.events}: {e}")
         if not truth:
             raise SystemExit(f"{args.events}: no event_make/event_miss "
                              "intervals found")

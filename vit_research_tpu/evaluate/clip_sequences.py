@@ -63,7 +63,7 @@ def get_topk_chunks_for_sequence(seq, k: int = 5) -> list[dict]:
     rows = []
     for rank, x in enumerate(top, start=1):
         sf, ef = x.get("start_frame"), x.get("end_frame")
-        rows.append({
+        row = {
             "rank": rank, "vid": x["vid"], "clip": x["clip"],
             "side": x["side"], "label": x["label"],
             "chunk_start_idx": x["start_idx"],
@@ -73,8 +73,14 @@ def get_topk_chunks_for_sequence(seq, k: int = 5) -> list[dict]:
             if sf is not None and ef is not None else None,
             "logit": float(x["logit"]), "prob": float(x["prob"]),
             "pred": int(x["pred"]),
-            "status_id": x.get("status_id"),
-        })
+        }
+        # our extension for cli score-events — added only when the
+        # chunk carries an event label so the row schema stays exactly
+        # the reference's otherwise (the differential pins equality,
+        # reference: nba_proj/test/get_clip_sequences.py:569-598)
+        if x.get("status_id") is not None:
+            row["status_id"] = x["status_id"]
+        rows.append(row)
     return rows
 
 

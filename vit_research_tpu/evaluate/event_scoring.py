@@ -34,11 +34,35 @@ from vit_research_tpu.data import naming
 EVENT_STATUS_IDS = (1, 2)
 
 
+def _subtract_spans(spans, holes):
+    """Remove inclusive-interval ``holes`` from inclusive ``spans``."""
+    for hs, he in holes:
+        nxt = []
+        for s, e in spans:
+            if he < s or hs > e:     # no overlap
+                nxt.append((s, e))
+                continue
+            if s < hs:
+                nxt.append((s, hs - 1))
+            if he < e:
+                nxt.append((he + 1, e))
+        spans = nxt
+    return spans
+
+
 def truth_events_by_clip(event_template: dict,
                          keys=("event_make", "event_miss")) -> dict:
     """``{(vid, clip): [(start_frame, end_frame), ...]}`` from a loaded
     event template (data/labels.py::load_event_template). Template keys
-    are clip paths; vid/clip parse from the dir basename."""
+    are clip paths; vid/clip parse from the dir basename.
+
+    Frames covered by an ``event_none`` range are NOT events even if a
+    make/miss range also covers them: the reference applies categories
+    sequentially with later ones overwriting (make -> miss -> none,
+    reference: nba_proj/dataset.py:126-141, mirrored by
+    data/labels.py::frame_event_status) — so the none ranges are
+    subtracted here, keeping template-mode ground truth consistent with
+    the chunks' own ``status_id`` labels."""
     out: dict = {}
     for clip_path, events in (event_template or {}).items():
         name = os.path.basename(os.path.normpath(str(clip_path)))
@@ -50,6 +74,10 @@ def truth_events_by_clip(event_template: dict,
                 "vid{N}_clip{K}_{side} directory name")
         spans = [(int(s), int(e)) for key in keys
                  for s, e in (events or {}).get(key, ())]
+        if "event_none" not in keys:
+            spans = _subtract_spans(
+                spans, [(int(s), int(e)) for s, e
+                        in (events or {}).get("event_none", ())])
         if spans:
             out.setdefault((vid, clip), []).extend(spans)
     return out

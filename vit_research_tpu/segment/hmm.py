@@ -40,6 +40,29 @@ UNIFORM_PRIOR = np.full((3,), 1.0 / 3.0, dtype=np.float32)
 _PROB_FLOOR = 1e-6  # reference zero-replacement (nba_proj/hmm.py:50-55)
 
 
+def validate_transition_matrix(m) -> np.ndarray:
+    """Check a user-supplied transition matrix and return it as (3, 3)
+    float32. Raises ValueError on anything that would silently corrupt
+    the Viterbi decode: wrong shape, non-finite or negative entries, or
+    rows that are not probability distributions (e.g. raw transition
+    COUNTS — a zero row collapses to log(0) everywhere, an unnormalized
+    row biases every step by a constant)."""
+    m = np.asarray(m, dtype=np.float32)
+    if m.shape != (3, 3):
+        raise ValueError(f"transition matrix must be 3x3, got shape "
+                         f"{m.shape}")
+    if not np.isfinite(m).all():
+        raise ValueError("transition matrix has non-finite entries")
+    if (m < 0).any():
+        raise ValueError("transition matrix has negative entries")
+    rows = m.sum(axis=1)
+    if not np.allclose(rows, 1.0, atol=1e-3):
+        raise ValueError(
+            "transition matrix rows must each sum to 1 (probabilities, "
+            f"not counts); row sums are {rows.tolist()}")
+    return m
+
+
 def _col_to_probs(col) -> np.ndarray:
     if isinstance(col, dict):
         p = np.array([col["left"], col["right"], col["none"]], dtype=np.float32)

@@ -133,8 +133,11 @@ def writeback_threshold(emissions, decision, truth, *,
 
     The write-back gate is ``mean stored prob of the decided class >=
     threshold`` (segment/knn.py::fused_confidence); the reference picked
-    0.7 / 0.85 by eye. Returns ``{'threshold', 'precision', 'coverage'}``
-    with threshold None when no grid value reaches the target.
+    0.7 / 0.85 by eye. Returns ``{'threshold', 'precision', 'coverage'}``.
+    When no grid value reaches the target, ``threshold`` is None and
+    ``precision``/``coverage`` report the BEST precision actually
+    observed (and the grid value achieving it under ``best_threshold``)
+    so the operator can judge whether to lower the target.
     """
     emissions = np.asarray(emissions)
     decision = np.asarray(decision)
@@ -143,15 +146,20 @@ def writeback_threshold(emissions, decision, truth, *,
     labeled = truth >= 0
     grid = np.asarray(sorted(grid if grid is not None
                              else np.round(np.arange(0.50, 1.0, 0.05), 2)))
-    best = {"threshold": None, "precision": 0.0, "coverage": 0.0}
+    best = {"threshold": None, "best_threshold": None,
+            "precision": 0.0, "coverage": 0.0}
     for th in grid:
         sel = labeled & (conf >= th)
         if not sel.any():
             continue
         prec = float((decision[sel] == truth[sel]).mean())
+        cov = float(sel.sum() / max(labeled.sum(), 1))
         if prec >= target_precision:
             return {"threshold": float(th), "precision": prec,
-                    "coverage": float(sel.sum() / max(labeled.sum(), 1))}
+                    "coverage": cov}
+        if prec > best["precision"]:
+            best.update(best_threshold=float(th), precision=prec,
+                        coverage=cov)
     return best
 
 
@@ -187,10 +195,16 @@ def tune_knn_hmm(frame_names, embeddings, corpus, manual, *,
         truth states is added when ``fit_transitions``.
 
     Returns (results sorted best-first by (f1, frame_accuracy),
-    transitions actually swept as {name: matrix}).
+    transitions actually swept as {name: matrix}, knn arrays at
+    ``max(ks)`` as ``{'neighbor_labels': (N, k_max), 'neighbor_probs':
+    (N, k_max, 3)}`` — the k-prefix slice of these IS the kNN result at
+    any smaller k, so callers never need a second device top-k).
     """
     # clamp oversized ks to the corpus size instead of dropping them
     ks = sorted({min(int(k), len(corpus["labels"])) for k in ks})
+    if not ks or not list(min_lens) or not list(pads):
+        raise ValueError("empty parameter grid: ks/min_lens/pads must "
+                         "each have at least one value")
     k_max = max(ks)
     truth = truth_states(manual, frame_names)
     true_iv = truth_intervals(truth)
@@ -231,4 +245,5 @@ def tune_knn_hmm(frame_names, embeddings, corpus, manual, *,
                     n_pred=prf["n_pred"], n_true=prf["n_true"]))
     results.sort(key=lambda r: (-r.f1, -r.frame_accuracy,
                                 r.params["k"], r.params["min_len"]))
-    return results, trans
+    return results, trans, {"neighbor_labels": nl,
+                            "neighbor_probs": all_probs}

@@ -256,11 +256,17 @@ class EmbedServer:
         space = getattr(self.collection, "space", "l2")
         transitions = req.get("transitions")
         if transitions is not None:
-            transitions = np.asarray(transitions, np.float32)
-            if transitions.shape != (3, 3):
-                raise ValueError("'transitions' must be a 3x3 nested "
-                                 f"list, got shape {transitions.shape} "
-                                 "(calibrate with cli tune-segment)")
+            from vit_research_tpu.segment.hmm import \
+                validate_transition_matrix
+
+            try:
+                # full content check (finite, nonneg, row-stochastic):
+                # a counts matrix or zero row would silently corrupt
+                # every decode in the session
+                transitions = validate_transition_matrix(transitions)
+            except ValueError as e:
+                raise ValueError(f"'transitions': {e} (calibrate with "
+                                 "cli tune-segment)")
         corpus = self._corpus_snapshot()  # host read; only staging and
         with self._lock:                  # session setup are device work
             seg = KnnHmmStreamSession(
