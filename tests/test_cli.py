@@ -88,6 +88,60 @@ def test_segment_build_store_train_write(tmp_path, capsys):
     assert "clip rows" in out
     assert os.path.exists(os.path.join(out_dir, "logit_sequences.json"))
 
+    # segment --score-events (offline): every written clip gets a live
+    # make/miss row from the stage-1/stage-2 stack, saved as events.json
+    import json as json_mod
+    import shutil
+
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db_dir, "--collection", "corpus",
+              "--batch-size", "16"])
+    capsys.readouterr()
+    score_args = ["--score-events", "--score-ckpt", ckpt_dir,
+                  "--score-db", db_dir, "--score-collection", "ratt_db",
+                  "--chunk-size", "6", "--chunk-stride", "3",
+                  "--k-sim", "3", "--k-contrast", "3", "--k-temporal", "2",
+                  "--future-step", "1"]
+    scored_root = str(tmp_path / "clips_scored")
+    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db_dir,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", scored_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16"] + score_args)
+    out = capsys.readouterr().out
+    assert "top event chunk" in out and "events.json" in out
+    with open(os.path.join(scored_root, "events.json")) as fh:
+        offline_events = json_mod.load(fh)
+    assert offline_events and all(r["topk_chunks"] for r in offline_events)
+    # live clips are unlabeled by construction
+    assert all(r["label"] == -1 for r in offline_events)
+
+    # --follow --score-events: the same rows stream out mid-game as
+    # events.jsonl, identical to the offline scoring of the same clips
+    live_dir = str(tmp_path / "live")
+    os.makedirs(live_dir)
+    for f in os.listdir(frames_dir):
+        shutil.copy(os.path.join(frames_dir, f), os.path.join(live_dir, f))
+    (tmp_path / "live" / "STOP").write_text("")
+    live_root = str(tmp_path / "clips_live_scored")
+    cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db_dir,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", live_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16", "--follow",
+              "--idle-timeout", "20", "--poll-interval", "0.05",
+              "--max-lag", "64"] + score_args)
+    out = capsys.readouterr().out
+    assert "scored" in out and "clips live" in out
+    events_jsonl = os.path.join(live_root, "events.jsonl")
+    with open(events_jsonl) as fh:
+        live_events = [json_mod.loads(l) for l in fh if l.strip()]
+    assert live_events == offline_events
+
+    # the JSONL stream feeds score-events directly (unlabeled rows ->
+    # clean skip accounting, status_id fallback)
+    cli.main(["score-events", events_jsonl, "--ks", "1"])
+    out = capsys.readouterr().out
+    assert "ground truth: status_id" in out
+
     # write-rag-db (frame-level collection from the store)
     cli.main(["write-rag-db", "--clip-root",
               str(tmp_path / "clips_hmm_smooth_{vid}_smart"),
@@ -840,6 +894,21 @@ def test_segment_transitions_flag_validation(tmp_path):
                   "--corpus-collection", "corpus", "--out",
                   str(tmp_path / "w"), "--vid", "1",
                   "--transitions", str(counts)])
+
+
+def test_score_events_flag_validated_before_engine(tmp_path, monkeypatch):
+    """--score-events without its collection/ckpt args must fail up
+    front, before the engine spins up and embeds the frames dir."""
+    frames_dir, csv_path = _labeled_world(tmp_path)
+
+    def boom(*a, **kw):
+        raise AssertionError("engine spun up despite invalid --score-events")
+
+    monkeypatch.setattr(cli, "_engine", boom)
+    with pytest.raises(SystemExit, match="score-events needs"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "x"), "--vid", "1",
+                  "--score-events"])
 
 
 def test_tune_segment_rejects_empty_grid_before_embedding(tmp_path,

@@ -201,3 +201,30 @@ def test_full_pipeline(tmp_path):
     rep2 = score_event_localization(rows, None, ks=(1, 3))
     assert rep2["ground_truth"] == "status_id"
     assert rep2["clips_scored"] >= 1
+
+    # ---- 11. LIVE event scoring: one finished clip dir, same stack --------
+    from vit_research_tpu.evaluate.live import LiveEventScorer
+
+    scorer = LiveEventScorer(
+        lambda ps: eng.embed_paths(list(ps), num_workers=2),
+        encode, head_apply, col, chunk_size=6, chunk_stride=3,
+        k_sim=3, k_contrast=3, k_temporal=2, future_step=1,
+        search_k_content=16, search_k_temporal=8)
+    cdir = sorted(
+        os.path.join(clip_roots[2], d) for d in os.listdir(clip_roots[2])
+        if d.startswith("vid2_clip"))[0]
+    _, cnum, side = naming.parse_clip_dir(os.path.basename(cdir))
+    frames = naming.list_frames(cdir)
+    live_row = scorer.score_clip([os.path.join(cdir, f) for f in frames],
+                                 side=side, clip_num=cnum, vid=2)
+    offline = next(r for r in rows if r["vid"] == 2 and r["clip"] == cnum)
+    # identical chunk windows and frame bounds as the offline dataset path
+    assert live_row["num_chunks"] == offline["num_chunks"]
+    assert live_row["start_idxs"] == offline["start_idxs"]
+    assert live_row["start_frames"] == offline["start_frames"]
+    assert live_row["end_frames"] == offline["end_frames"]
+    assert live_row["side"] == offline["side"]
+    # a live clip is unlabeled by construction (offline knew the label)
+    assert live_row["label"] == -1
+    assert len(live_row["topk_chunks"]) >= 1
+    assert all(np.isfinite(x) for x in live_row["raw_sequence"])

@@ -105,24 +105,19 @@ def _chunks_from_index(store, idx, vids=None):
     return chunks
 
 
-def _stage1_encode(store, idx, ckpt, run_id):
-    """Frozen stage-1 ChunkEncoder; restored from ``run_id`` when given.
-
-    Returns ``(encode_batch, encode_chunk)``: the raw (B, T, D) ->
-    (embs, logits) callable and a single-chunk dict -> L2-normalized (D,)
-    convenience wrapper (what the cache builders / retrieval DB expect)."""
+def _stage1_encode_batch(dim: int, t: int, ckpt, run_id):
+    """Frozen stage-1 ChunkEncoder as a raw (B, T, D) -> (embs, logits)
+    callable; restored from ``run_id`` when given (store-free — the
+    live-event path encodes chunks that are in no frame store yet)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from vit_research_tpu.models.heads import ChunkEncoder
     from vit_research_tpu.train.checkpoint import CheckpointManager
     from vit_research_tpu.train.train_chunk_encoder import make_encode_fn
     from vit_research_tpu.utils.configs import ChunkEncoderConfig
 
-    t = int(idx["frame_idx"].shape[1])
-    cfg = ChunkEncoderConfig(embed_dim=store.dim, mlp_dim=4 * store.dim,
-                             max_len=t)
+    cfg = ChunkEncoderConfig(embed_dim=dim, mlp_dim=4 * dim, max_len=t)
     model = ChunkEncoder(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, t, cfg.embed_dim)))
@@ -135,7 +130,19 @@ def _stage1_encode(store, idx, ckpt, run_id):
             restored = None
         if restored is not None:
             params = restored["params"]
-    encode_batch = make_encode_fn(model, params)
+    return make_encode_fn(model, params)
+
+
+def _stage1_encode(store, idx, ckpt, run_id):
+    """Frozen stage-1 ChunkEncoder; restored from ``run_id`` when given.
+
+    Returns ``(encode_batch, encode_chunk)``: the raw (B, T, D) ->
+    (embs, logits) callable and a single-chunk dict -> L2-normalized (D,)
+    convenience wrapper (what the cache builders / retrieval DB expect)."""
+    import numpy as np
+
+    encode_batch = _stage1_encode_batch(
+        store.dim, int(idx["frame_idx"].shape[1]), ckpt, run_id)
 
     def encode_chunk(ch):
         emb, _ = encode_batch(store.gather_paths([ch["frames"]]))
@@ -143,6 +150,84 @@ def _stage1_encode(store, idx, ckpt, run_id):
         return v / (np.linalg.norm(v) + 1e-8)
 
     return encode_batch, encode_chunk
+
+
+def _stage2_head(dim: int, ckpt, run_id, *, k_sim: int, k_contrast: int,
+                 k_temporal: int):
+    """Stage-2 RATTHeadV2 as ``apply(query, sim, contrast, temporal) ->
+    (B, 1) logits``; restored from ``run_id`` when given
+    (reference model: nba_proj/models/ratt_v2.py:629-771)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.utils.configs import HeadConfig
+
+    head_cfg = HeadConfig(embed_dim=dim, k_sim=k_sim, k_contrast=k_contrast,
+                          k_temporal=k_temporal)
+    head = RATTHeadV2(head_cfg)
+    h_params = head.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, dim)),
+        jnp.zeros((1, k_sim, dim)), jnp.zeros((1, k_contrast, dim)),
+        jnp.zeros((1, k_temporal, dim)))
+    if run_id:
+        restored = CheckpointManager(ckpt, run_id).restore_best()
+        if restored is not None:
+            h_params = restored["params"]
+    return lambda q, s, c, tm: head.apply(h_params, q, s, c, tm)[0]
+
+
+def _live_event_scorer(args, eng):
+    """Optional live make/miss scorer for ``segment --score-events``
+    (None when the flag is off). Loads the frozen stage-1 encoder + the
+    trained stage-2 head and retrieves live from --score-collection —
+    the offline eval-clips stack, applied per finished clip
+    (evaluate/live.py)."""
+    if not getattr(args, "score_events", False):
+        return None
+    from vit_research_tpu.evaluate.live import LiveEventScorer
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    col = PersistentClient(args.score_db or args.db,
+                           autoflush=False).get_collection(
+        args.score_collection)  # strict: a typo'd name must not score
+    # against an empty just-created collection
+    encode_batch = _stage1_encode_batch(
+        eng.out_dim, args.chunk_size, args.score_ckpt, args.stage1_run_id)
+    head_apply = _stage2_head(
+        eng.out_dim, args.score_ckpt, args.stage2_run_id,
+        k_sim=args.k_sim, k_contrast=args.k_contrast,
+        k_temporal=args.k_temporal)
+    return LiveEventScorer(
+        eng.embed_paths, encode_batch, head_apply, col,
+        chunk_size=args.chunk_size, chunk_stride=args.chunk_stride,
+        k_sim=args.k_sim, k_contrast=args.k_contrast,
+        k_temporal=args.k_temporal, future_step=args.future_step)
+
+
+def _score_clip_dir(scorer, clip_dir):
+    """Score one written clip directory; returns the eval row or None
+    (clip shorter than one chunk)."""
+    from vit_research_tpu.data import naming
+
+    vid, clip_num, side = naming.parse_clip_dir(
+        os.path.basename(os.path.normpath(clip_dir)))
+    frames = naming.list_frames(clip_dir)
+    return scorer.score_clip(
+        [os.path.join(clip_dir, f) for f in frames],
+        side=side, clip_num=clip_num, vid=vid)
+
+
+def _event_row_summary(row) -> str:
+    top = (row.get("topk_chunks") or [None])[0]
+    if top is None:
+        return f"{row['clip_key']}: no chunks"
+    where = (f"frames {top['start_frame']}..{top['end_frame']}"
+             if top.get("start_frame") is not None else
+             f"chunk idx {top['chunk_start_idx']}..{top['chunk_end_idx']}")
+    return (f"{row['clip_key']} ({row['side']}): top event chunk {where} "
+            f"P(make)={top['prob']:.3f} over {row['num_chunks']} chunks")
 
 
 def _split_by_vids(chunks, train_vids, val_vids):
@@ -638,6 +723,13 @@ def cmd_segment(args):
                          "transition override)")
     transitions = _load_transitions(args.transitions) \
         if args.transitions else None
+    if args.score_events and not (args.score_collection and args.score_ckpt
+                                  and (args.score_db or args.db)):
+        raise SystemExit(
+            "--score-events needs --score-collection, --score-ckpt and a "
+            "retrieval store (--score-db, or --db when they share one) — "
+            "the chunk collection and stage-1/stage-2 checkpoints from "
+            "the training pipeline (see eval-clips)")
 
     if args.follow:
         if args.method != "knn-hmm":
@@ -681,6 +773,25 @@ def cmd_segment(args):
             pad=args.pad,
             params_path=os.path.join(args.out, "temporal_head.npz"))
     print(f"decoded {len(decoded)} frames -> {len(clip_dirs)} clips")
+
+    scorer = _live_event_scorer(args, eng)
+    if scorer is not None:
+        from vit_research_tpu.evaluate.clip_sequences import save_results
+
+        rows = []
+        for cdir in clip_dirs:
+            row = _score_clip_dir(scorer, cdir)
+            if row is None:
+                print(f"{os.path.basename(cdir)}: too short to chunk "
+                      f"(< {scorer.chunk_size} frames) — not scored")
+                continue
+            print(_event_row_summary(row))
+            rows.append(row)
+        save_results(rows, os.path.join(args.out, "events.json"),
+                     os.path.join(args.out, "events.csv"))
+        print(f"scored {len(rows)}/{len(clip_dirs)} clips -> "
+              f"{os.path.join(args.out, 'events.json')} "
+              "(score with: score-events)")
 
 
 def _load_transitions(path):
@@ -729,20 +840,27 @@ def _segment_follow(args, corpus, collection, client, *,
     from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
 
     eng = _engine(batch_size=args.batch_size)
+    scorer = _live_event_scorer(args, eng)
+    events_path = os.path.join(args.out, "events.jsonl")
     session = KnnHmmStreamSession(
         corpus, k=args.k, confidence_threshold=args.confidence_threshold,
         min_len=args.min_len, pad=args.pad, max_lag=args.max_lag,
         drain_every=8, collection=collection, vid=args.vid, metric=metric,
         transition_matrix=transition_matrix)
     os.makedirs(args.out, exist_ok=True)
+    if scorer is not None:
+        # one JSONL per session: a rerun into the same --out must not
+        # silently append to the previous game's rows
+        open(events_path, "w").close()
     consumed: list = []  # frame names in stream order
     seen: set = set()    # consumed or permanently skipped
     retries: dict = {}   # name -> failed decode attempts
     clip_count = 0
+    event_count = 0
     last_num = -1        # highest consumed frame number
 
     def emit(clips):
-        nonlocal clip_count
+        nonlocal clip_count, event_count
         for iv in clips:
             clip_count += 1
             cdir = os.path.join(
@@ -755,6 +873,22 @@ def _segment_follow(args, corpus, collection, client, *,
                     shutil.copy(src, os.path.join(cdir, f))
             print(f"clip {clip_count}: {iv.side} frames "
                   f"{iv.start}..{iv.end} -> {cdir}", flush=True)
+            if scorer is None:
+                continue
+            # score the possession the moment it is final — mid-game
+            # (the reference's event harness only ran post-hoc over a
+            # rebuilt dataset, nba_proj/test/get_clip_sequences.py:600-813)
+            import json
+
+            row = _score_clip_dir(scorer, cdir)
+            if row is None:
+                print(f"  not scored: too short to chunk "
+                      f"(< {scorer.chunk_size} frames)", flush=True)
+                continue
+            event_count += 1
+            with open(events_path, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
+            print(f"  {_event_row_summary(row)}", flush=True)
 
     def scan_fresh():
         # os.scandir + seen-check BEFORE parsing: a 2-hour game leaves
@@ -873,6 +1007,10 @@ def _segment_follow(args, corpus, collection, client, *,
         client.flush()
     print(f"followed {len(consumed)} frames -> {clip_count} clips "
           f"({session.forced} forced commits)", flush=True)
+    if scorer is not None:
+        print(f"scored {event_count} clips live -> {events_path} "
+              "(JSONL, one eval row per clip; score with: score-events)",
+              flush=True)
 
 
 def cmd_tune_segment(args):
@@ -1052,18 +1190,12 @@ def cmd_write_ratt_db(args):
 def cmd_eval_clips(args):
     """Per-clip logit sequences + event localization from a trained
     stage-2 run (reference: nba_proj/test/get_clip_sequences.py)."""
-    import jax
-    import jax.numpy as jnp
-
     from vit_research_tpu.db.frame_store import FrameStore, load_chunk_index
     from vit_research_tpu.evaluate.clip_sequences import (
         infer_clip_sequences,
         save_results,
     )
-    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
     from vit_research_tpu.store.vector_store import PersistentClient
-    from vit_research_tpu.train.checkpoint import CheckpointManager
-    from vit_research_tpu.utils.configs import HeadConfig
 
     store = FrameStore(args.store).open()
     idx = load_chunk_index(args.store)
@@ -1075,28 +1207,15 @@ def cmd_eval_clips(args):
 
     _, encode_chunk = _stage1_encode(store, idx, args.ckpt,
                                      args.stage1_run_id)
-    key = jax.random.PRNGKey(0)
-
-    head_cfg = HeadConfig(embed_dim=store.dim, k_sim=args.k_sim,
-                          k_contrast=args.k_contrast,
-                          k_temporal=args.k_temporal)
-    head = RATTHeadV2(head_cfg)
-    h_params = head.init(
-        key, jnp.zeros((1, store.dim)),
-        jnp.zeros((1, args.k_sim, store.dim)),
-        jnp.zeros((1, args.k_contrast, store.dim)),
-        jnp.zeros((1, args.k_temporal, store.dim)))
-    if args.stage2_run_id:
-        mngr = CheckpointManager(args.ckpt, args.stage2_run_id)
-        restored = mngr.restore_best()
-        if restored is not None:
-            h_params = restored["params"]
+    head_apply = _stage2_head(store.dim, args.ckpt, args.stage2_run_id,
+                              k_sim=args.k_sim, k_contrast=args.k_contrast,
+                              k_temporal=args.k_temporal)
 
     col = PersistentClient(args.db, autoflush=False).get_collection(
         args.collection)  # strict: a typo'd name must not silently
     # evaluate against an empty just-created collection
     rows = infer_clip_sequences(
-        chunks, lambda q, s, c, tm: head.apply(h_params, q, s, c, tm)[0],
+        chunks, head_apply,
         encode_chunk, col, k_sim=args.k_sim, k_contrast=args.k_contrast,
         k_temporal=args.k_temporal, future_step=args.future_step,
         zeros_query=args.zeros_query, batch_size=16)
@@ -1117,7 +1236,12 @@ def cmd_score_events(args):
         score_event_localization, truth_events_by_clip)
 
     with open(args.results) as fh:
-        rows = json.load(fh)
+        if args.results.endswith(".jsonl"):
+            # segment --follow --score-events appends one row per live
+            # clip; score the stream output directly
+            rows = [json.loads(line) for line in fh if line.strip()]
+        else:
+            rows = json.load(fh)
     truth = None
     if args.events:
         # load_event_template returns {} for missing files (an optional
@@ -1452,6 +1576,28 @@ def main(argv=None):
                     help="JSON with a 3x3 HMM transition matrix (bare "
                     "list or tune-segment output); default is the "
                     "reference's hand-tuned matrix (knn-hmm method)")
+    sg.add_argument("--score-events", action="store_true",
+                    help="score each clip for make/miss events the "
+                    "moment it is written (live in --follow mode): "
+                    "chunk + stage-1 encode + live retrieval + stage-2 "
+                    "head, one eval row per clip")
+    sg.add_argument("--score-ckpt", default=None,
+                    help="checkpoint root holding the stage-1/stage-2 "
+                    "runs (--score-events)")
+    sg.add_argument("--stage1-run-id", default=None)
+    sg.add_argument("--stage2-run-id", default=None)
+    sg.add_argument("--score-db", default=None,
+                    help="vector-store root of the chunk retrieval "
+                    "collection (defaults to --db)")
+    sg.add_argument("--score-collection", default=None,
+                    help="chunk collection for live retrieval "
+                    "(e.g. ratt_db)")
+    sg.add_argument("--chunk-size", type=int, default=8)
+    sg.add_argument("--chunk-stride", type=int, default=2)
+    sg.add_argument("--k-sim", type=int, default=6)
+    sg.add_argument("--k-contrast", type=int, default=6)
+    sg.add_argument("--k-temporal", type=int, default=4)
+    sg.add_argument("--future-step", type=int, default=2)
     sg.set_defaults(fn=cmd_segment)
 
     tn = sub.add_parser(

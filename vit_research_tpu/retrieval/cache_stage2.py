@@ -88,8 +88,18 @@ def build_future_lookup(all_chunks, future_step: int) -> dict:
 
 
 def _meta_from_chunk(ch) -> dict:
+    # ``retrieval_label`` overrides the true label for BRANCH SELECTION
+    # only (sim=same / contrast=diff): an unlabeled query (label -1 —
+    # the reference's inference-only marker, and every live mid-game
+    # clip) would otherwise zero-pad its sim branch and accept ANY
+    # label as "contrast". Callers with a label estimate (e.g. the
+    # stage-1 proxy class logit, which the reference itself stores as
+    # ``class_logit`` metadata, nba_proj/ratt_write_clips_to_ragdb.py:
+    # 395-424) can retrieve as if labeled while the chunk's reported
+    # ``label`` stays -1.
     return {
-        "label": int(ch["label"]), "side": str(ch["side"]),
+        "label": int(ch.get("retrieval_label", ch["label"])),
+        "side": str(ch["side"]),
         "vid": int(ch["vid"]), "clip": int(ch["clip"]),
         "t_center": float(ch["t_center"]), "t_width": float(ch["t_width"]),
         "start_idx": int(ch["start_idx"]), "end_idx": int(ch["end_idx"]),
