@@ -88,60 +88,6 @@ def test_segment_build_store_train_write(tmp_path, capsys):
     assert "clip rows" in out
     assert os.path.exists(os.path.join(out_dir, "logit_sequences.json"))
 
-    # segment --score-events (offline): every written clip gets a live
-    # make/miss row from the stage-1/stage-2 stack, saved as events.json
-    import json as json_mod
-    import shutil
-
-    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
-              "--db", db_dir, "--collection", "corpus",
-              "--batch-size", "16"])
-    capsys.readouterr()
-    score_args = ["--score-events", "--score-ckpt", ckpt_dir,
-                  "--score-db", db_dir, "--score-collection", "ratt_db",
-                  "--chunk-size", "6", "--chunk-stride", "3",
-                  "--k-sim", "3", "--k-contrast", "3", "--k-temporal", "2",
-                  "--future-step", "1"]
-    scored_root = str(tmp_path / "clips_scored")
-    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db_dir,
-              "--corpus-collection", "corpus", "--k", "5",
-              "--out", scored_root, "--vid", "1", "--min-len", "20",
-              "--pad", "2", "--batch-size", "16"] + score_args)
-    out = capsys.readouterr().out
-    assert "top event chunk" in out and "events.json" in out
-    with open(os.path.join(scored_root, "events.json")) as fh:
-        offline_events = json_mod.load(fh)
-    assert offline_events and all(r["topk_chunks"] for r in offline_events)
-    # live clips are unlabeled by construction
-    assert all(r["label"] == -1 for r in offline_events)
-
-    # --follow --score-events: the same rows stream out mid-game as
-    # events.jsonl, identical to the offline scoring of the same clips
-    live_dir = str(tmp_path / "live")
-    os.makedirs(live_dir)
-    for f in os.listdir(frames_dir):
-        shutil.copy(os.path.join(frames_dir, f), os.path.join(live_dir, f))
-    (tmp_path / "live" / "STOP").write_text("")
-    live_root = str(tmp_path / "clips_live_scored")
-    cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db_dir,
-              "--corpus-collection", "corpus", "--k", "5",
-              "--out", live_root, "--vid", "1", "--min-len", "20",
-              "--pad", "2", "--batch-size", "16", "--follow",
-              "--idle-timeout", "20", "--poll-interval", "0.05",
-              "--max-lag", "64"] + score_args)
-    out = capsys.readouterr().out
-    assert "scored" in out and "clips live" in out
-    events_jsonl = os.path.join(live_root, "events.jsonl")
-    with open(events_jsonl) as fh:
-        live_events = [json_mod.loads(l) for l in fh if l.strip()]
-    assert live_events == offline_events
-
-    # the JSONL stream feeds score-events directly (unlabeled rows ->
-    # clean skip accounting, status_id fallback)
-    cli.main(["score-events", events_jsonl, "--ks", "1"])
-    out = capsys.readouterr().out
-    assert "ground truth: status_id" in out
-
     # write-rag-db (frame-level collection from the store)
     cli.main(["write-rag-db", "--clip-root",
               str(tmp_path / "clips_hmm_smooth_{vid}_smart"),
@@ -194,6 +140,84 @@ def test_segment_build_store_train_write(tmp_path, capsys):
               "--cached-val"])
     out = capsys.readouterr().out
     assert "best val acc" in out
+
+    # segment --score-events (offline): every written clip gets a live
+    # make/miss row from the TRAINED stage-1/stage-2 stack, saved as
+    # events.json
+    import json as json_mod
+    import shutil
+
+    run1 = [d for d in sorted(os.listdir(ckpt_dir))
+            if d.startswith("stage1_")][0]
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db_dir, "--collection", "corpus",
+              "--batch-size", "16"])
+    capsys.readouterr()
+    score_args = ["--score-events", "--score-ckpt", ckpt_dir,
+                  "--stage1-run-id", run1, "--stage2-run-id", run_id,
+                  "--score-db", db_dir, "--score-collection", "ratt_db",
+                  "--chunk-size", "6", "--chunk-stride", "3",
+                  "--k-sim", "3", "--k-contrast", "3", "--k-temporal", "2",
+                  "--future-step", "1"]
+    scored_root = str(tmp_path / "clips_scored")
+    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db_dir,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", scored_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16"] + score_args)
+    out = capsys.readouterr().out
+    assert "top event chunk" in out and "events.json" in out
+    with open(os.path.join(scored_root, "events.json")) as fh:
+        offline_events = json_mod.load(fh)
+    assert offline_events and all(r["topk_chunks"] for r in offline_events)
+    # live clips are unlabeled by construction
+    assert all(r["label"] == -1 for r in offline_events)
+
+    # a missing stage-2 run id must fail up front (random weights would
+    # silently produce plausible-looking garbage rows)
+    i = score_args.index("--stage2-run-id")
+    with pytest.raises(SystemExit, match="stage2-run-id"):
+        cli.main(["segment", frames_dir, "--method", "knn-hmm",
+                  "--db", db_dir, "--corpus-collection", "corpus",
+                  "--out", str(tmp_path / "clips_bad"), "--vid", "1",
+                  "--batch-size", "16"]
+                 + score_args[:i] + score_args[i + 2:])
+    capsys.readouterr()
+    # ... and a TYPO'D run id must fail before any embedding happens
+    typo = list(score_args)
+    typo[typo.index("--stage2-run-id") + 1] = "no_such_run"
+    with pytest.raises(SystemExit, match="no run directory"):
+        cli.main(["segment", frames_dir, "--method", "knn-hmm",
+                  "--db", db_dir, "--corpus-collection", "corpus",
+                  "--out", str(tmp_path / "clips_bad"), "--vid", "1",
+                  "--batch-size", "16"] + typo)
+    capsys.readouterr()
+
+    # --follow --score-events: the same rows stream out mid-game as
+    # events.jsonl, identical to the offline scoring of the same clips
+    live_dir = str(tmp_path / "live")
+    os.makedirs(live_dir)
+    for f in os.listdir(frames_dir):
+        shutil.copy(os.path.join(frames_dir, f), os.path.join(live_dir, f))
+    (tmp_path / "live" / "STOP").write_text("")
+    live_root = str(tmp_path / "clips_live_scored")
+    cli.main(["segment", live_dir, "--method", "knn-hmm", "--db", db_dir,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", live_root, "--vid", "1", "--min-len", "20",
+              "--pad", "2", "--batch-size", "16", "--follow",
+              "--idle-timeout", "20", "--poll-interval", "0.05",
+              "--max-lag", "64"] + score_args)
+    out = capsys.readouterr().out
+    assert "scored" in out and "clips live" in out
+    events_jsonl = os.path.join(live_root, "events.jsonl")
+    with open(events_jsonl) as fh:
+        live_events = [json_mod.loads(l) for l in fh if l.strip()]
+    assert live_events == offline_events
+
+    # the JSONL stream feeds score-events directly (unlabeled rows ->
+    # clean skip accounting, status_id fallback)
+    cli.main(["score-events", events_jsonl, "--ks", "1"])
+    out = capsys.readouterr().out
+    assert "ground truth: status_id" in out
 
 
 def test_multivid_training_has_live_retrieval(tmp_path, capsys):

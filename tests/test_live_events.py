@@ -152,6 +152,120 @@ def test_zeros_query_ablation():
     assert plain["raw_sequence"] != ablated["raw_sequence"]
 
 
+def test_emb_cache_skips_reembedding():
+    """Embeddings remembered from the stream are reused: with every
+    frame cached, score_clip must not call embed_fn at all — and must
+    produce the identical row."""
+    paths = _paths(24)
+    baseline = _scorer().score_clip(paths, side="left", clip_num=1, vid=1)
+
+    def explode(_paths):
+        raise AssertionError("re-embedded frames the stream already paid for")
+
+    scorer = LiveEventScorer(explode, _encode_batch, _head_apply,
+                             _collection(), chunk_size=8, chunk_stride=4,
+                             k_sim=3, k_contrast=3, k_temporal=2)
+    scorer.remember(paths, _embed_fn(paths))
+    cached = scorer.score_clip(paths, side="left", clip_num=1, vid=1)
+    assert cached == baseline
+    # partial cache: misses fall back to ONE embed_fn call
+    calls = []
+    scorer2 = LiveEventScorer(
+        lambda ps: (calls.append(list(ps)), _embed_fn(ps))[1],
+        _encode_batch, _head_apply, _collection(),
+        chunk_size=8, chunk_stride=4, k_sim=3, k_contrast=3, k_temporal=2)
+    scorer2.remember(paths[:10], _embed_fn(paths[:10]))
+    assert scorer2.score_clip(paths, side="left",
+                              clip_num=1, vid=1) == baseline
+    assert len(calls) == 1 and len(calls[0]) == 14
+
+
+def test_emb_cache_cap_is_lru():
+    scorer = _scorer(emb_cache_cap=4)
+    scorer.remember(_paths(6), _embed_fn(_paths(6)))
+    assert len(scorer.emb_cache) == 4
+    # oldest two evicted, newest four kept
+    assert set(scorer.emb_cache) == set(_paths(4, start=3))
+
+
+def test_encode_batches_are_power_of_two():
+    """Every distinct batch shape is a fresh jit compile on the real
+    encoder; clip lengths vary per possession, so the encode batch is
+    padded to a power-of-two bucket (results must be unaffected)."""
+    sizes = []
+
+    def tracking_encode(arr):
+        sizes.append(np.asarray(arr).shape[0])
+        return _encode_batch(arr)
+
+    scorer = LiveEventScorer(_embed_fn, tracking_encode, _head_apply,
+                             _collection(), chunk_size=8, chunk_stride=4,
+                             k_sim=3, k_contrast=3, k_temporal=2)
+    # 40 frames -> 9 chunks -> bucket 16; 24 frames -> 5 -> 8; 8 -> 1 -> 1
+    for n in (40, 24, 8):
+        scorer.score_clip(_paths(n), side="left", clip_num=1, vid=1)
+    assert sizes == [16, 8, 1]
+    assert all(s & (s - 1) == 0 for s in sizes)
+
+
+def test_no_self_exclusion_against_colliding_stored_rows():
+    """A live clip's session-local (vid, clip, start_idx) can collide
+    with unrelated stored rows; self-exclusion must NOT fire (the query
+    is not in the collection), or its best neighbors silently vanish."""
+    rng = np.random.default_rng(1)
+    col = Collection("ratt_db", space="cosine")
+    ids, embs, metas = [], [], []
+    # every stored row collides with the live clip's chunk coordinates
+    # (vid=1, clip=1, start_idx 0/4/8...): with self-exclusion these
+    # would ALL be dropped and the branches zero-padded
+    for s in range(6):
+        for label in (0, 1):
+            ids.append(f"c{s}l{label}")
+            embs.append(rng.normal(size=D).astype(np.float32))
+            metas.append({"vid_num": 1, "clip_num": 1, "side": "left",
+                          "label": label, "t_center": (s + 0.5) / 6,
+                          "t_width": 0.1, "start_idx": s * 4,
+                          "end_idx": s * 4 + 7})
+    col.upsert(ids, np.stack(embs), metas)
+    scorer = LiveEventScorer(_embed_fn, _encode_batch, _head_apply, col,
+                             chunk_size=8, chunk_stride=4,
+                             k_sim=3, k_contrast=3, k_temporal=2)
+    got = scorer.score_clip(_paths(24), side="left", clip_num=1, vid=1)
+    empty = LiveEventScorer(
+        _embed_fn, _encode_batch, _head_apply,
+        Collection("empty", space="cosine"), chunk_size=8, chunk_stride=4,
+        k_sim=3, k_contrast=3, k_temporal=2
+    ).score_clip(_paths(24), side="left", clip_num=1, vid=1)
+    assert got["raw_sequence"] != empty["raw_sequence"]
+
+
+def test_retrieval_label_never_reaches_ground_truth_labels():
+    """chunk['retrieval_label'] steers branch selection only; the
+    entry's query_meta label — what _stack_entries exports as the
+    training/eval ground truth — must stay the TRUE label."""
+    from vit_research_tpu.retrieval.cache_stage2 import (_stack_entries,
+                                                         build_live_entry)
+
+    col = _collection()
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=D).astype(np.float32)
+    ch = {"vid": 1, "clip": 1, "start_idx": 0, "end_idx": 7,
+          "side": "left", "label": -1, "t_center": 0.5, "t_width": 0.1,
+          "retrieval_label": 1}
+    entry = build_live_entry(ch, q, q, col, k_sim=3, k_contrast=3,
+                             k_temporal=2, exclude_self=False)
+    assert entry["query_meta"]["label"] == -1
+    assert _stack_entries([entry])["labels"].tolist() == [-1]
+    # ...while the proxy did drive selection: sim rows are label-1 only,
+    # contrast rows label-0 only (an un-overridden -1 query would have
+    # zero-padded sim entirely)
+    sim_lbls = [m["label"] for m in entry["sim_meta"] if m["side"] != "PAD"]
+    con_lbls = [m["label"] for m in entry["contrast_meta"]
+                if m["side"] != "PAD"]
+    assert sim_lbls and set(sim_lbls) == {1}
+    assert con_lbls and set(con_lbls) == {0}
+
+
 def test_proxy_label_drives_branch_selection():
     """Unlabeled live queries retrieve with the stage-1 proxy label:
     with the proxy OFF, label -1 zero-pads sim (nothing is 'same') and

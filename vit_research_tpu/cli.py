@@ -105,15 +105,17 @@ def _chunks_from_index(store, idx, vids=None):
     return chunks
 
 
-def _stage1_encode_batch(dim: int, t: int, ckpt, run_id):
+def _stage1_encode_batch(dim: int, t: int, ckpt, run_id, *,
+                         strict: bool = False):
     """Frozen stage-1 ChunkEncoder as a raw (B, T, D) -> (embs, logits)
     callable; restored from ``run_id`` when given (store-free — the
-    live-event path encodes chunks that are in no frame store yet)."""
+    live-event path encodes chunks that are in no frame store yet).
+    ``strict=True`` makes a missing/failed restore a hard error instead
+    of silently scoring with randomly-initialized weights."""
     import jax
     import jax.numpy as jnp
 
     from vit_research_tpu.models.heads import ChunkEncoder
-    from vit_research_tpu.train.checkpoint import CheckpointManager
     from vit_research_tpu.train.train_chunk_encoder import make_encode_fn
     from vit_research_tpu.utils.configs import ChunkEncoderConfig
 
@@ -121,16 +123,45 @@ def _stage1_encode_batch(dim: int, t: int, ckpt, run_id):
     model = ChunkEncoder(cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, t, cfg.embed_dim)))
-    if run_id:
-        try:
-            restored = CheckpointManager(ckpt, run_id).restore_best()
-        except Exception as e:  # noqa: BLE001 - fall back to fresh params
-            print(f"[stage1] checkpoint restore failed ({e}); "
-                  "using fresh params")
-            restored = None
-        if restored is not None:
-            params = restored["params"]
+    restored = _restore_best("stage-1", ckpt, run_id, strict=strict)
+    if restored is not None:
+        params = restored["params"]
     return make_encode_fn(model, params)
+
+
+def _restore_best(what: str, ckpt, run_id, *, strict: bool):
+    """``restore_best`` of a run, or None without a run_id. Non-strict
+    callers fall back to fresh params with a console note (the
+    historical eval-clips behavior); strict callers (live event scoring)
+    get a SystemExit — random weights would produce plausible-looking
+    garbage rows."""
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+
+    if not run_id:
+        return None
+    # CheckpointManager's constructor creates the run dir eagerly; probe
+    # first so a typo'd run id fails instead of materializing as an
+    # empty run directory
+    if not os.path.isdir(os.path.join(ckpt, str(run_id))):
+        msg = f"[{what}] no run directory {os.path.join(ckpt, str(run_id))}"
+        if strict:
+            raise SystemExit(msg + " — pass the run id printed by the "
+                             "training command (ls the --ckpt root)")
+        print(msg + "; using fresh params")
+        return None
+    try:
+        restored = CheckpointManager(ckpt, run_id).restore_best()
+    except Exception as e:  # noqa: BLE001 - diagnose instead of crash
+        if strict:
+            raise SystemExit(f"[{what}] checkpoint restore of {run_id!r} "
+                             f"failed: {e}")
+        print(f"[{what}] checkpoint restore failed ({e}); "
+              "using fresh params")
+        return None
+    if restored is None and strict:
+        raise SystemExit(f"[{what}] run {run_id!r} under {ckpt!r} has no "
+                         "best checkpoint (did training finish an epoch?)")
+    return restored
 
 
 def _stage1_encode(store, idx, ckpt, run_id):
@@ -153,7 +184,7 @@ def _stage1_encode(store, idx, ckpt, run_id):
 
 
 def _stage2_head(dim: int, ckpt, run_id, *, k_sim: int, k_contrast: int,
-                 k_temporal: int):
+                 k_temporal: int, strict: bool = False):
     """Stage-2 RATTHeadV2 as ``apply(query, sim, contrast, temporal) ->
     (B, 1) logits``; restored from ``run_id`` when given
     (reference model: nba_proj/models/ratt_v2.py:629-771)."""
@@ -161,7 +192,6 @@ def _stage2_head(dim: int, ckpt, run_id, *, k_sim: int, k_contrast: int,
     import jax.numpy as jnp
 
     from vit_research_tpu.models.ratt_v2 import RATTHeadV2
-    from vit_research_tpu.train.checkpoint import CheckpointManager
     from vit_research_tpu.utils.configs import HeadConfig
 
     head_cfg = HeadConfig(embed_dim=dim, k_sim=k_sim, k_contrast=k_contrast,
@@ -171,19 +201,19 @@ def _stage2_head(dim: int, ckpt, run_id, *, k_sim: int, k_contrast: int,
         jax.random.PRNGKey(0), jnp.zeros((1, dim)),
         jnp.zeros((1, k_sim, dim)), jnp.zeros((1, k_contrast, dim)),
         jnp.zeros((1, k_temporal, dim)))
-    if run_id:
-        restored = CheckpointManager(ckpt, run_id).restore_best()
-        if restored is not None:
-            h_params = restored["params"]
+    restored = _restore_best("stage-2", ckpt, run_id, strict=strict)
+    if restored is not None:
+        h_params = restored["params"]
     return lambda q, s, c, tm: head.apply(h_params, q, s, c, tm)[0]
 
 
-def _live_event_scorer(args, eng):
+def _live_event_scorer(args, eng, emb_cache_cap=None):
     """Optional live make/miss scorer for ``segment --score-events``
     (None when the flag is off). Loads the frozen stage-1 encoder + the
-    trained stage-2 head and retrieves live from --score-collection —
-    the offline eval-clips stack, applied per finished clip
-    (evaluate/live.py)."""
+    trained stage-2 head (both STRICT: a missing checkpoint is an error,
+    not a silent fall-back to random weights) and retrieves live from
+    --score-collection — the offline eval-clips stack, applied per
+    finished clip (evaluate/live.py)."""
     if not getattr(args, "score_events", False):
         return None
     from vit_research_tpu.evaluate.live import LiveEventScorer
@@ -194,16 +224,18 @@ def _live_event_scorer(args, eng):
         args.score_collection)  # strict: a typo'd name must not score
     # against an empty just-created collection
     encode_batch = _stage1_encode_batch(
-        eng.out_dim, args.chunk_size, args.score_ckpt, args.stage1_run_id)
+        eng.out_dim, args.chunk_size, args.score_ckpt, args.stage1_run_id,
+        strict=True)
     head_apply = _stage2_head(
         eng.out_dim, args.score_ckpt, args.stage2_run_id,
         k_sim=args.k_sim, k_contrast=args.k_contrast,
-        k_temporal=args.k_temporal)
+        k_temporal=args.k_temporal, strict=True)
     return LiveEventScorer(
         eng.embed_paths, encode_batch, head_apply, col,
         chunk_size=args.chunk_size, chunk_stride=args.chunk_stride,
         k_sim=args.k_sim, k_contrast=args.k_contrast,
-        k_temporal=args.k_temporal, future_step=args.future_step)
+        k_temporal=args.k_temporal, future_step=args.future_step,
+        emb_cache_cap=emb_cache_cap)
 
 
 def _score_clip_dir(scorer, clip_dir):
@@ -724,12 +756,16 @@ def cmd_segment(args):
     transitions = _load_transitions(args.transitions) \
         if args.transitions else None
     if args.score_events and not (args.score_collection and args.score_ckpt
+                                  and args.stage1_run_id
+                                  and args.stage2_run_id
                                   and (args.score_db or args.db)):
         raise SystemExit(
-            "--score-events needs --score-collection, --score-ckpt and a "
-            "retrieval store (--score-db, or --db when they share one) — "
-            "the chunk collection and stage-1/stage-2 checkpoints from "
-            "the training pipeline (see eval-clips)")
+            "--score-events needs --score-collection, --score-ckpt, "
+            "--stage1-run-id and --stage2-run-id (the TRAINED runs to "
+            "score with — without them the head would be random weights "
+            "producing plausible-looking garbage), plus a retrieval "
+            "store (--score-db, or --db when they share one); see "
+            "eval-clips for the training pipeline")
 
     if args.follow:
         if args.method != "knn-hmm":
@@ -742,7 +778,17 @@ def cmd_segment(args):
     os.makedirs(args.out, exist_ok=True)
     frames = naming.list_frames(args.frames)
     eng = _engine(batch_size=args.batch_size)
-    embs = eng.embed_paths([os.path.join(args.frames, f) for f in frames])
+    # construct the scorer BEFORE the expensive embed: a typo'd
+    # --score-collection or a missing checkpoint must fail here, not
+    # after minutes of embedding + segmentation
+    scorer = _live_event_scorer(args, eng)
+    frame_paths = [os.path.join(args.frames, f) for f in frames]
+    embs = eng.embed_paths(frame_paths)
+    if scorer is not None:
+        # the clip dirs hold COPIES of these frames under the same
+        # basenames — remember the embeddings so scoring does not
+        # re-embed the whole game a second time
+        scorer.remember(frame_paths, embs)
     if args.method in ("knn-hmm", "streaks"):
         if args.method == "streaks":
             from vit_research_tpu.segment.pipeline import (
@@ -774,7 +820,6 @@ def cmd_segment(args):
             params_path=os.path.join(args.out, "temporal_head.npz"))
     print(f"decoded {len(decoded)} frames -> {len(clip_dirs)} clips")
 
-    scorer = _live_event_scorer(args, eng)
     if scorer is not None:
         from vit_research_tpu.evaluate.clip_sequences import save_results
 
@@ -840,7 +885,10 @@ def _segment_follow(args, corpus, collection, client, *,
     from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
 
     eng = _engine(batch_size=args.batch_size)
-    scorer = _live_event_scorer(args, eng)
+    # bounded LRU: a followed game grows without limit, but clips are
+    # always recent (fixed-lag commits) — 16k frames (~48 MB at D=768)
+    # covers any possession; evicted frames just re-embed on miss
+    scorer = _live_event_scorer(args, eng, emb_cache_cap=16384)
     events_path = os.path.join(args.out, "events.jsonl")
     session = KnnHmmStreamSession(
         corpus, k=args.k, confidence_threshold=args.confidence_threshold,
@@ -956,6 +1004,10 @@ def _segment_follow(args, corpus, collection, client, *,
         consumed.extend(chunk)
         seen.update(chunk)
         last_num = naming.frame_num(chunk[-1])
+        if scorer is not None:
+            # the stream already paid for these embeddings; event
+            # scoring reuses them instead of re-embedding each clip
+            scorer.remember(chunk, embs)
         emit(session.push_batch(chunk, embs))
         return True
 
@@ -1584,8 +1636,12 @@ def main(argv=None):
     sg.add_argument("--score-ckpt", default=None,
                     help="checkpoint root holding the stage-1/stage-2 "
                     "runs (--score-events)")
-    sg.add_argument("--stage1-run-id", default=None)
-    sg.add_argument("--stage2-run-id", default=None)
+    sg.add_argument("--stage1-run-id", default=None,
+                    help="trained stage-1 (ChunkEncoder) run under "
+                    "--score-ckpt; required with --score-events")
+    sg.add_argument("--stage2-run-id", default=None,
+                    help="trained stage-2 (RATTHeadV2) run under "
+                    "--score-ckpt; required with --score-events")
     sg.add_argument("--score-db", default=None,
                     help="vector-store root of the chunk retrieval "
                     "collection (defaults to --db)")

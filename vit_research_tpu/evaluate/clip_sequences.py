@@ -89,13 +89,19 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
                          future_step: int = 2, search_k_content: int = 64,
                          search_k_temporal: int = 32, batch_size: int = 16,
                          zeros_query: bool = False,
-                         top_k_event_chunks: int = 5) -> list[dict]:
+                         top_k_event_chunks: int = 5,
+                         exclude_self: bool = True) -> list[dict]:
     """Run the stage-2 head over test chunks with live retrieval.
 
     Args:
       head_apply: callable(query (B,D), sim, contrast, temporal) ->
         logits (B, 1) (e.g. functools.partial(model.apply, params)).
       zeros_query: zero the local query embedding (ablation).
+      exclude_self: drop collection candidates with the query's own
+        (vid, clip, start_idx). Keep True when the chunks ARE in the
+        collection (the offline eval path, like the reference's);
+        pass False for chunks that are not stored (live clips), whose
+        session-local coordinates can collide with unrelated rows.
     Returns one row dict per clip (reference row schema)."""
     clip_outputs: dict = {}
     # Encode the pool ONCE: fetch_live_batch would otherwise re-encode
@@ -109,7 +115,7 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
             k_temporal=k_temporal, future_step=future_step,
             search_k_content=search_k_content,
             search_k_temporal=search_k_temporal, all_chunks=chunks,
-            pool_embs=pool_embs)
+            pool_embs=pool_embs, exclude_self=exclude_self)
         query = raw["query_emb"]
         if zeros_query:
             query = np.zeros_like(query)

@@ -26,6 +26,9 @@ store yet).
 
 from __future__ import annotations
 
+import os
+from collections import OrderedDict
+
 import numpy as np
 
 from vit_research_tpu.data.chunks import build_chunks
@@ -65,7 +68,7 @@ class LiveEventScorer:
                  future_step: int = 2, search_k_content: int = 64,
                  search_k_temporal: int = 32, top_k_event_chunks: int = 5,
                  batch_size: int = 16, zeros_query: bool = False,
-                 proxy_label: bool = True):
+                 proxy_label: bool = True, emb_cache_cap: int | None = None):
         self.embed_fn = embed_fn
         self.encode_batch = encode_batch
         self.head_apply = head_apply
@@ -82,6 +85,40 @@ class LiveEventScorer:
         self.batch_size = int(batch_size)
         self.zeros_query = bool(zeros_query)
         self.proxy_label = bool(proxy_label)
+        # frame basename -> (D,) embedding, LRU-bounded at emb_cache_cap
+        # (None = unbounded). Segmentation already embedded every frame
+        # once; without this score_clip re-embeds each clip's copied
+        # frames from disk — a second full embed pass on the deployment
+        # target (TPU behind a ~25 MB/s tunnel). Populate with
+        # ``remember``; misses fall back to ``embed_fn``.
+        self.emb_cache: OrderedDict = OrderedDict()
+        self.emb_cache_cap = emb_cache_cap
+
+    def remember(self, frame_paths, embs) -> None:
+        """Cache frame embeddings (keyed by basename — clip dirs hold
+        copies of the source frames under the same names) so a later
+        ``score_clip`` need not re-embed them."""
+        embs = np.asarray(embs, np.float32)
+        for p, e in zip(frame_paths, embs):
+            key = os.path.basename(str(p))
+            self.emb_cache[key] = e
+            self.emb_cache.move_to_end(key)
+        if self.emb_cache_cap is not None:
+            while len(self.emb_cache) > self.emb_cache_cap:
+                self.emb_cache.popitem(last=False)
+
+    def _frame_embeddings(self, frame_paths) -> np.ndarray:
+        """(N, D) embeddings for the clip's frames: cache hits by
+        basename, ONE embed_fn call for all misses."""
+        rows = [self.emb_cache.get(os.path.basename(p))
+                for p in frame_paths]
+        miss = [i for i, r in enumerate(rows) if r is None]
+        if miss:
+            fresh = np.asarray(
+                self.embed_fn([frame_paths[i] for i in miss]), np.float32)
+            for j, i in enumerate(miss):
+                rows[i] = fresh[j]
+        return np.stack([np.asarray(r, np.float32) for r in rows])
 
     def build_clip_chunks(self, frame_paths, *, side: str, clip_num: int,
                           vid: int) -> list[dict]:
@@ -113,16 +150,26 @@ class LiveEventScorer:
                                         clip_num=clip_num, vid=vid)
         if not chunks:
             return None
-        embs = np.asarray(self.embed_fn(frame_paths), np.float32)
+        embs = self._frame_embeddings(frame_paths)
         row_of = {p: i for i, p in enumerate(frame_paths)}
 
         # ONE batched ChunkEncoder dispatch for the whole clip (the
         # pool-encode inside infer_clip_sequences would otherwise issue
-        # one per chunk), which also yields the stage-1 proxy logits
+        # one per chunk), which also yields the stage-1 proxy logits.
+        # Batch dim padded to a power-of-two bucket: the encoder is
+        # jitted, and every distinct num_chunks would otherwise be a
+        # fresh TPU compile (60-340 s over the tunnel) stalling the
+        # live follow loop mid-game.
+        n = len(chunks)
         gathered = np.stack([embs[[row_of[p] for p in ch["frames"]]]
                              for ch in chunks])
+        bucket = 1 << (n - 1).bit_length()
+        if bucket != n:
+            pad = np.zeros((bucket - n,) + gathered.shape[1:], np.float32)
+            gathered = np.concatenate([gathered, pad])
         chunk_embs, logits = self.encode_batch(gathered)
-        chunk_embs = np.asarray(chunk_embs, np.float32)
+        chunk_embs = np.asarray(chunk_embs, np.float32)[:n]
+        logits = None if logits is None else np.asarray(logits)[:n]
         chunk_embs = chunk_embs / (np.linalg.norm(chunk_embs, axis=-1,
                                                   keepdims=True) + 1e-8)
         if self.proxy_label and logits is not None:
@@ -141,5 +188,9 @@ class LiveEventScorer:
             search_k_content=self.search_k_content,
             search_k_temporal=self.search_k_temporal,
             batch_size=self.batch_size, zeros_query=self.zeros_query,
-            top_k_event_chunks=self.top_k_event_chunks)
+            top_k_event_chunks=self.top_k_event_chunks,
+            # a live clip is in NO store: its session-local
+            # (vid, clip, start_idx) can collide with unrelated stored
+            # rows, and self-exclusion would silently drop them
+            exclude_self=False)
         return rows[0] if rows else None

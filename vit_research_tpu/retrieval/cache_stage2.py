@@ -88,18 +88,8 @@ def build_future_lookup(all_chunks, future_step: int) -> dict:
 
 
 def _meta_from_chunk(ch) -> dict:
-    # ``retrieval_label`` overrides the true label for BRANCH SELECTION
-    # only (sim=same / contrast=diff): an unlabeled query (label -1 —
-    # the reference's inference-only marker, and every live mid-game
-    # clip) would otherwise zero-pad its sim branch and accept ANY
-    # label as "contrast". Callers with a label estimate (e.g. the
-    # stage-1 proxy class logit, which the reference itself stores as
-    # ``class_logit`` metadata, nba_proj/ratt_write_clips_to_ragdb.py:
-    # 395-424) can retrieve as if labeled while the chunk's reported
-    # ``label`` stays -1.
     return {
-        "label": int(ch.get("retrieval_label", ch["label"])),
-        "side": str(ch["side"]),
+        "label": int(ch["label"]), "side": str(ch["side"]),
         "vid": int(ch["vid"]), "clip": int(ch["clip"]),
         "t_center": float(ch["t_center"]), "t_width": float(ch["t_width"]),
         "start_idx": int(ch["start_idx"]), "end_idx": int(ch["end_idx"]),
@@ -115,13 +105,22 @@ def _pad_or_trim(items, k, dim):
     return embs, metas
 
 
-def _select_branch(candidates, query_meta, *, want, k, dim):
-    """want: 'same' | 'diff' | 'any' (label relation to the query)."""
+def _select_branch(candidates, query_meta, *, want, k, dim,
+                   q_label=None, exclude_self=True):
+    """want: 'same' | 'diff' | 'any' (label relation to the query).
+
+    ``q_label`` overrides the query's label for the relation test only
+    (the entry's reported metadata is untouched). ``exclude_self=False``
+    skips the same-chunk drop — correct for queries that are NOT in the
+    collection (live mid-game chunks), whose session-local
+    (vid, clip, start_idx) coordinates can collide with unrelated stored
+    rows and would otherwise silently drop legitimate neighbors."""
     items, seen = [], set()
-    q_label = int(query_meta["label"])
+    if q_label is None:
+        q_label = int(query_meta["label"])
     for cand in candidates:
         m = cand["meta"]
-        if same_chunk_meta(query_meta, m):
+        if exclude_self and same_chunk_meta(query_meta, m):
             continue
         if str(m["side"]) != str(query_meta["side"]):
             continue
@@ -157,21 +156,40 @@ def _query(collection, emb, search_k):
 def build_live_entry(chunk, query_emb, future_emb, collection, *,
                      k_sim: int, k_contrast: int, k_temporal: int,
                      search_k_content: int = 64,
-                     search_k_temporal: int = 32) -> dict:
+                     search_k_temporal: int = 32,
+                     exclude_self: bool = True) -> dict:
     """One chunk's sim/contrast/temporal branches against the *current*
-    collection (shared by the cache builder and the live validation path)."""
+    collection (shared by the cache builder and the live validation path).
+
+    ``chunk['retrieval_label']``, when present, overrides the true label
+    for BRANCH SELECTION only (sim=same / contrast=diff): an unlabeled
+    query (label -1 — the reference's inference-only marker, and every
+    live mid-game clip) would otherwise zero-pad its sim branch and
+    accept ANY label as "contrast". Callers with a label estimate (e.g.
+    the stage-1 proxy class logit, which the reference itself stores as
+    ``class_logit`` metadata, nba_proj/ratt_write_clips_to_ragdb.py:
+    395-424) can retrieve as if labeled while the entry's
+    ``query_meta['label']`` — what ``_stack_entries`` exports as the
+    ground-truth ``labels`` array — stays the true label.
+
+    ``exclude_self=False`` is for queries NOT in the collection (live
+    chunks): see ``_select_branch``."""
     dim = int(np.shape(query_emb)[-1])
     query_meta = _meta_from_chunk(chunk)
+    q_label = int(chunk.get("retrieval_label", query_meta["label"]))
 
     content = _query(collection, query_emb, search_k_content)
     sim_embs, sim_meta = _select_branch(
-        content, query_meta, want="same", k=k_sim, dim=dim)
+        content, query_meta, want="same", k=k_sim, dim=dim,
+        q_label=q_label, exclude_self=exclude_self)
     con_embs, con_meta = _select_branch(
-        content, query_meta, want="diff", k=k_contrast, dim=dim)
+        content, query_meta, want="diff", k=k_contrast, dim=dim,
+        q_label=q_label, exclude_self=exclude_self)
 
     temporal = _query(collection, future_emb, search_k_temporal)
     tmp_embs, tmp_meta = _select_branch(
-        temporal, query_meta, want="any", k=k_temporal, dim=dim)
+        temporal, query_meta, want="any", k=k_temporal, dim=dim,
+        q_label=q_label, exclude_self=exclude_self)
 
     return {
         "query_emb": np.asarray(query_emb, np.float32),
@@ -248,7 +266,8 @@ def fetch_cache_batch(cache, chunks):
 def fetch_live_batch(chunks, encode_fn, collection, *, k_sim, k_contrast,
                      k_temporal, future_step: int = 2,
                      search_k_content: int = 64, search_k_temporal: int = 32,
-                     all_chunks=None, pool_embs: dict | None = None):
+                     all_chunks=None, pool_embs: dict | None = None,
+                     exclude_self: bool = True):
     """Live (uncached) retrieval for validation
     (reference: nba_proj/train/training_stage2.py:894-941).
 
@@ -271,7 +290,8 @@ def fetch_live_batch(chunks, encode_fn, collection, *, k_sim, k_contrast,
             ch, embs[key], future_emb, collection,
             k_sim=k_sim, k_contrast=k_contrast, k_temporal=k_temporal,
             search_k_content=search_k_content,
-            search_k_temporal=search_k_temporal))
+            search_k_temporal=search_k_temporal,
+            exclude_self=exclude_self))
     return _stack_entries(entries)
 
 
