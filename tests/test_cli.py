@@ -952,3 +952,90 @@ def test_tune_segment_rejects_empty_grid_before_embedding(tmp_path,
         cli.main(["tune-segment", frames_dir, "--manual-csv", csv_path,
                   "--db", db, "--corpus-collection", "corpus",
                   "--k-grid", ",", "--out", str(tmp_path / "t.json")])
+
+
+def test_score_events_rejects_nonpositive_chunking_before_engine(
+        tmp_path, monkeypatch):
+    """A zero --chunk-stride must fail up front: build_chunks would only
+    raise AFTER the full game embed (offline) or mid-game at the first
+    clip commit (--follow)."""
+    frames_dir, csv_path = _labeled_world(tmp_path)
+
+    def boom(*a, **kw):
+        raise AssertionError("engine spun up despite zero --chunk-stride")
+
+    monkeypatch.setattr(cli, "_engine", boom)
+    with pytest.raises(SystemExit, match="positive --chunk-size"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "x"), "--vid", "1",
+                  "--score-events", "--score-ckpt", str(tmp_path / "ck"),
+                  "--stage1-run-id", "r1", "--stage2-run-id", "r2",
+                  "--score-db", str(tmp_path / "sdb"),
+                  "--score-collection", "ratt_db", "--chunk-stride", "0"])
+
+
+def test_score_events_typod_db_not_materialized(tmp_path, monkeypatch):
+    """A typo'd --score-db must fail cleanly and must NOT be left behind
+    on disk as an empty store root (PersistentClient creates its path
+    eagerly) — nor embed anything first."""
+    frames_dir, csv_path = _labeled_world(tmp_path)
+
+    class _Eng:
+        out_dim = 16
+
+        def embed_paths(self, paths):
+            raise AssertionError("embedded before the store probe failed")
+
+    monkeypatch.setattr(cli, "_engine", lambda *a, **kw: _Eng())
+    missing = str(tmp_path / "vecstoer")
+    with pytest.raises(SystemExit, match="no vector store"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "x"), "--vid", "1",
+                  "--score-events", "--score-ckpt", str(tmp_path / "ck"),
+                  "--stage1-run-id", "r1", "--stage2-run-id", "r2",
+                  "--score-db", missing, "--score-collection", "ratt_db"])
+    assert not os.path.exists(missing)
+
+
+def test_stage1_checkpoint_chunk_size_mismatch(monkeypatch, tmp_path):
+    """A restored stage-1 pos_embedding that disagrees with the
+    requested chunk size must be a hard error: ChunkEncoder's
+    pos[:, :t+1] slice would silently accept a SMALLER window and score
+    out-of-distribution chunks against a store built at the trained
+    size."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.heads import ChunkEncoder
+    from vit_research_tpu.utils.configs import ChunkEncoderConfig
+
+    cfg = ChunkEncoderConfig(embed_dim=16, mlp_dim=64, max_len=8)
+    trained = ChunkEncoder(cfg).init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 8, 16)))
+    monkeypatch.setattr(cli, "_restore_best",
+                        lambda *a, **kw: {"params": trained})
+    with pytest.raises(SystemExit, match="chunk_size 8"):
+        cli._stage1_encode_batch(16, 4, str(tmp_path), "run", strict=True)
+    # the matching size loads fine
+    cli._stage1_encode_batch(16, 8, str(tmp_path), "run", strict=True)
+
+
+def test_restore_failure_is_fatal_even_nonstrict(tmp_path, monkeypatch):
+    """A named run that EXISTS but fails to restore must never fall back
+    to fresh params — eval-clips would write plausible-looking garbage
+    rows from a random-weight head."""
+    run_dir = tmp_path / "ck" / "stage1_x"
+    run_dir.mkdir(parents=True)
+
+    class _Boom:
+        def __init__(self, *a, **kw):
+            pass
+
+        def restore_best(self):
+            raise RuntimeError("corrupt step")
+
+    import vit_research_tpu.train.checkpoint as ckpt_mod
+    monkeypatch.setattr(ckpt_mod, "CheckpointManager", _Boom)
+    with pytest.raises(SystemExit, match="failed"):
+        cli._restore_best("stage-1", str(tmp_path / "ck"), "stage1_x",
+                          strict=False)

@@ -239,6 +239,40 @@ def test_no_self_exclusion_against_colliding_stored_rows():
     assert got["raw_sequence"] != empty["raw_sequence"]
 
 
+def test_stored_twin_dropped_by_similarity_cap():
+    """Scoring a game whose chunks ALREADY sit in the collection (the
+    offline re-score flow: segment --score-events against the ratt_db
+    built from the same game) must not retrieve the query's own stored
+    twin at cosine ~1.0 — coordinates can't identify it (session-local
+    numbering), the default self_sim_cap must. The twin's OWNER chunk
+    must score exactly as if the twin were absent (for the other chunks
+    the new row is a legitimate neighbor and may shift them)."""
+    paths = _paths(24)
+    # the first chunk's exact stage-1 embedding, as the store would
+    # hold it (mean of frames 1..8, L2-normalized like score_clip's)
+    twin = _embed_fn(paths[:8]).mean(0)
+    twin = twin / np.linalg.norm(twin)
+
+    def score(col, **kw):
+        return LiveEventScorer(
+            _embed_fn, _encode_batch, _head_apply, col, chunk_size=8,
+            chunk_stride=4, k_sim=3, k_contrast=3, k_temporal=2, **kw
+        ).score_clip(paths, side="left", clip_num=1, vid=1)
+
+    base = score(_collection())
+    col_twin = _collection()
+    col_twin.upsert(["twin"], twin[None], [{
+        "vid_num": 99, "clip_num": 0, "side": "left", "label": 1,
+        "t_center": 0.5, "t_width": 0.1, "start_idx": 0, "end_idx": 7}])
+    # default cap drops the twin for chunk 0 (start_idx 0, the twin's
+    # owner): its logit is exactly the no-twin value
+    assert score(col_twin)["raw_sequence"][0] == base["raw_sequence"][0]
+    # ...and the leak it guards against is real: with the cap off, the
+    # twin tops chunk 0's branch and shifts its logit
+    capless = score(col_twin, self_sim_cap=None)
+    assert capless["raw_sequence"][0] != base["raw_sequence"][0]
+
+
 def test_retrieval_label_never_reaches_ground_truth_labels():
     """chunk['retrieval_label'] steers branch selection only; the
     entry's query_meta label — what _stack_entries exports as the

@@ -126,15 +126,30 @@ def _stage1_encode_batch(dim: int, t: int, ckpt, run_id, *,
     restored = _restore_best("stage-1", ckpt, run_id, strict=strict)
     if restored is not None:
         params = restored["params"]
+        # the restored pos_embedding table encodes the chunk size the
+        # encoder was TRAINED with ((1, 1+max_len, D)); ChunkEncoder's
+        # `pos[:, :t+1]` slice would silently accept a smaller window
+        # and score out-of-distribution chunks against a store built
+        # with the trained size
+        inner = params.get("params", params)
+        pos = inner.get("pos_embedding") if hasattr(inner, "get") else None
+        if pos is not None and int(pos.shape[1]) != t + 1:
+            raise SystemExit(
+                f"[stage-1] run {run_id!r} was trained with chunk_size "
+                f"{int(pos.shape[1]) - 1} (pos_embedding "
+                f"{tuple(pos.shape)}), but this command is chunking with "
+                f"chunk_size {t} — pass the matching --chunk-size, or "
+                "retrain/rebuild with the new size")
     return make_encode_fn(model, params)
 
 
 def _restore_best(what: str, ckpt, run_id, *, strict: bool):
-    """``restore_best`` of a run, or None without a run_id. Non-strict
-    callers fall back to fresh params with a console note (the
-    historical eval-clips behavior); strict callers (live event scoring)
-    get a SystemExit — random weights would produce plausible-looking
-    garbage rows."""
+    """``restore_best`` of a run, or None without a run_id. A MISSING
+    run falls back to fresh params with a console note for non-strict
+    callers (the historical eval-clips behavior); strict callers (live
+    event scoring) get a SystemExit. A run that exists but FAILS to
+    restore is fatal for everyone — random weights would produce
+    plausible-looking garbage rows."""
     from vit_research_tpu.train.checkpoint import CheckpointManager
 
     if not run_id:
@@ -152,15 +167,18 @@ def _restore_best(what: str, ckpt, run_id, *, strict: bool):
     try:
         restored = CheckpointManager(ckpt, run_id).restore_best()
     except Exception as e:  # noqa: BLE001 - diagnose instead of crash
+        # an explicitly named run that EXISTS but cannot be restored is
+        # always fatal (strict or not): falling back to random weights
+        # would evaluate/score plausible-looking garbage
+        raise SystemExit(f"[{what}] checkpoint restore of {run_id!r} "
+                         f"failed: {e} (see MIGRATING.md for checkpoint "
+                         "layout changes)")
+    if restored is None:
+        msg = (f"[{what}] run {run_id!r} under {ckpt!r} has no best "
+               "checkpoint (did training finish an epoch?)")
         if strict:
-            raise SystemExit(f"[{what}] checkpoint restore of {run_id!r} "
-                             f"failed: {e}")
-        print(f"[{what}] checkpoint restore failed ({e}); "
-              "using fresh params")
-        return None
-    if restored is None and strict:
-        raise SystemExit(f"[{what}] run {run_id!r} under {ckpt!r} has no "
-                         "best checkpoint (did training finish an epoch?)")
+            raise SystemExit(msg)
+        print(msg + "; using fresh params")
     return restored
 
 
@@ -207,6 +225,22 @@ def _stage2_head(dim: int, ckpt, run_id, *, k_sim: int, k_contrast: int,
     return lambda q, s, c, tm: head.apply(h_params, q, s, c, tm)[0]
 
 
+def _open_collection(db_path, name):
+    """Open an EXISTING collection for read-side commands (strict both
+    ways): PersistentClient creates its root directory eagerly, so a
+    typo'd store path would be materialized on disk as an empty store
+    before the collection lookup even fails — probe first. A typo'd
+    NAME must likewise not evaluate against an empty just-created
+    collection (get_collection raises, never creates)."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    if not os.path.isdir(db_path):
+        raise SystemExit(f"no vector store at {db_path!r} — the store "
+                         "root must already exist (see write-frame-db / "
+                         "write-clips-to-ragdb)")
+    return PersistentClient(db_path, autoflush=False).get_collection(name)
+
+
 def _live_event_scorer(args, eng, emb_cache_cap=None):
     """Optional live make/miss scorer for ``segment --score-events``
     (None when the flag is off). Loads the frozen stage-1 encoder + the
@@ -217,12 +251,8 @@ def _live_event_scorer(args, eng, emb_cache_cap=None):
     if not getattr(args, "score_events", False):
         return None
     from vit_research_tpu.evaluate.live import LiveEventScorer
-    from vit_research_tpu.store.vector_store import PersistentClient
 
-    col = PersistentClient(args.score_db or args.db,
-                           autoflush=False).get_collection(
-        args.score_collection)  # strict: a typo'd name must not score
-    # against an empty just-created collection
+    col = _open_collection(args.score_db or args.db, args.score_collection)
     encode_batch = _stage1_encode_batch(
         eng.out_dim, args.chunk_size, args.score_ckpt, args.stage1_run_id,
         strict=True)
@@ -766,6 +796,12 @@ def cmd_segment(args):
             "producing plausible-looking garbage), plus a retrieval "
             "store (--score-db, or --db when they share one); see "
             "eval-clips for the training pipeline")
+    if args.score_events and (args.chunk_size < 1 or args.chunk_stride < 1):
+        # build_chunks raises the same complaint, but only AFTER the
+        # full game embed (offline) or mid-game at the first clip
+        # (--follow) — this block exists to fail before embedding
+        raise SystemExit("--score-events needs positive --chunk-size and "
+                         "--chunk-stride")
 
     if args.follow:
         if args.method != "knn-hmm":
@@ -1247,7 +1283,6 @@ def cmd_eval_clips(args):
         infer_clip_sequences,
         save_results,
     )
-    from vit_research_tpu.store.vector_store import PersistentClient
 
     store = FrameStore(args.store).open()
     idx = load_chunk_index(args.store)
@@ -1263,9 +1298,7 @@ def cmd_eval_clips(args):
                               k_sim=args.k_sim, k_contrast=args.k_contrast,
                               k_temporal=args.k_temporal)
 
-    col = PersistentClient(args.db, autoflush=False).get_collection(
-        args.collection)  # strict: a typo'd name must not silently
-    # evaluate against an empty just-created collection
+    col = _open_collection(args.db, args.collection)
     rows = infer_clip_sequences(
         chunks, head_apply,
         encode_chunk, col, k_sim=args.k_sim, k_contrast=args.k_contrast,

@@ -90,7 +90,8 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
                          search_k_temporal: int = 32, batch_size: int = 16,
                          zeros_query: bool = False,
                          top_k_event_chunks: int = 5,
-                         exclude_self: bool = True) -> list[dict]:
+                         exclude_self: bool = True,
+                         self_sim_cap: float | None = None) -> list[dict]:
     """Run the stage-2 head over test chunks with live retrieval.
 
     Args:
@@ -102,6 +103,10 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
         collection (the offline eval path, like the reference's);
         pass False for chunks that are not stored (live clips), whose
         session-local coordinates can collide with unrelated rows.
+      self_sim_cap: when set, drop candidates at cosine >= cap to the
+        query embedding — the embedding-based self-exclusion for live
+        queries whose coordinates cannot identify their stored twin
+        (cache_stage2.build_live_entry).
     Returns one row dict per clip (reference row schema)."""
     clip_outputs: dict = {}
     # Encode the pool ONCE: fetch_live_batch would otherwise re-encode
@@ -115,7 +120,8 @@ def infer_clip_sequences(chunks, head_apply, encode_fn, collection, *,
             k_temporal=k_temporal, future_step=future_step,
             search_k_content=search_k_content,
             search_k_temporal=search_k_temporal, all_chunks=chunks,
-            pool_embs=pool_embs, exclude_self=exclude_self)
+            pool_embs=pool_embs, exclude_self=exclude_self,
+            self_sim_cap=self_sim_cap)
         query = raw["query_emb"]
         if zeros_query:
             query = np.zeros_like(query)

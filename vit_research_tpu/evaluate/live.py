@@ -60,6 +60,14 @@ class LiveEventScorer:
         nba_proj/ratt_write_clips_to_ragdb.py:395-424) estimates each
         chunk's label for branch selection only; the emitted row still
         reports ``label`` -1.
+      self_sim_cap: drop retrieved candidates at cosine >= this to the
+        query chunk (default 0.9999; None disables). Live chunks can't
+        use coordinate self-exclusion (session-local numbering), but
+        when the scored game is already IN the collection its stored
+        twin returns at cosine ~1.0 — a self-leak the stage-2 head never
+        saw in training. Genuine neighbors, even overlapping windows of
+        near-static video, sit below the cap or are informationally the
+        query itself.
     """
 
     def __init__(self, embed_fn, encode_batch, head_apply, collection, *,
@@ -68,7 +76,8 @@ class LiveEventScorer:
                  future_step: int = 2, search_k_content: int = 64,
                  search_k_temporal: int = 32, top_k_event_chunks: int = 5,
                  batch_size: int = 16, zeros_query: bool = False,
-                 proxy_label: bool = True, emb_cache_cap: int | None = None):
+                 proxy_label: bool = True, emb_cache_cap: int | None = None,
+                 self_sim_cap: float | None = 0.9999):
         self.embed_fn = embed_fn
         self.encode_batch = encode_batch
         self.head_apply = head_apply
@@ -93,6 +102,7 @@ class LiveEventScorer:
         # ``remember``; misses fall back to ``embed_fn``.
         self.emb_cache: OrderedDict = OrderedDict()
         self.emb_cache_cap = emb_cache_cap
+        self.self_sim_cap = self_sim_cap
 
     def remember(self, frame_paths, embs) -> None:
         """Cache frame embeddings (keyed by basename — clip dirs hold
@@ -191,6 +201,11 @@ class LiveEventScorer:
             top_k_event_chunks=self.top_k_event_chunks,
             # a live clip is in NO store: its session-local
             # (vid, clip, start_idx) can collide with unrelated stored
-            # rows, and self-exclusion would silently drop them
-            exclude_self=False)
+            # rows, and coordinate self-exclusion would silently drop
+            # them. self_sim_cap is the live substitute: when the SAME
+            # game already sits in the collection (the offline re-score
+            # flow), the query's stored twin comes back at cosine ~1.0
+            # and would systematically inflate the branches — drop it by
+            # embedding instead of coordinates
+            exclude_self=False, self_sim_cap=self.self_sim_cap)
         return rows[0] if rows else None

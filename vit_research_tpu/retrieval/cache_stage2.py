@@ -106,7 +106,8 @@ def _pad_or_trim(items, k, dim):
 
 
 def _select_branch(candidates, query_meta, *, want, k, dim,
-                   q_label=None, exclude_self=True):
+                   q_label=None, exclude_self=True,
+                   near_self_emb=None, self_sim_cap=0.9999):
     """want: 'same' | 'diff' | 'any' (label relation to the query).
 
     ``q_label`` overrides the query's label for the relation test only
@@ -114,14 +115,31 @@ def _select_branch(candidates, query_meta, *, want, k, dim,
     skips the same-chunk drop — correct for queries that are NOT in the
     collection (live mid-game chunks), whose session-local
     (vid, clip, start_idx) coordinates can collide with unrelated stored
-    rows and would otherwise silently drop legitimate neighbors."""
+    rows and would otherwise silently drop legitimate neighbors.
+
+    ``near_self_emb`` is the live-query analogue of ``exclude_self``:
+    drop candidates whose cosine to it is >= ``self_sim_cap``. A live
+    clip scored against a collection that ALREADY holds the same game
+    (the offline re-score flow) would otherwise retrieve its own stored
+    twin at cosine ~1.0 — a neighbor distribution the stage-2 head,
+    trained with coordinate self-exclusion, never saw. Coordinates
+    cannot identify the twin here because live numbering is
+    session-local; the embedding can."""
     items, seen = [], set()
     if q_label is None:
         q_label = int(query_meta["label"])
+    if near_self_emb is not None:
+        ns = np.asarray(near_self_emb, np.float32)
+        ns = ns / (np.linalg.norm(ns) + 1e-8)
     for cand in candidates:
         m = cand["meta"]
         if exclude_self and same_chunk_meta(query_meta, m):
             continue
+        if near_self_emb is not None:
+            ce = np.asarray(cand["emb"], np.float32)
+            cos = float(np.dot(ce, ns)) / (float(np.linalg.norm(ce)) + 1e-8)
+            if cos >= self_sim_cap:
+                continue
         if str(m["side"]) != str(query_meta["side"]):
             continue
         sig = dedup_signature(m)
@@ -157,7 +175,8 @@ def build_live_entry(chunk, query_emb, future_emb, collection, *,
                      k_sim: int, k_contrast: int, k_temporal: int,
                      search_k_content: int = 64,
                      search_k_temporal: int = 32,
-                     exclude_self: bool = True) -> dict:
+                     exclude_self: bool = True,
+                     self_sim_cap: float | None = None) -> dict:
     """One chunk's sim/contrast/temporal branches against the *current*
     collection (shared by the cache builder and the live validation path).
 
@@ -173,23 +192,32 @@ def build_live_entry(chunk, query_emb, future_emb, collection, *,
     ground-truth ``labels`` array — stays the true label.
 
     ``exclude_self=False`` is for queries NOT in the collection (live
-    chunks): see ``_select_branch``."""
+    chunks): see ``_select_branch``. ``self_sim_cap``, when set, drops
+    candidates at cosine >= cap to ``query_emb`` in EVERY branch — the
+    embedding-based twin drop for live queries (only the QUERY's twin,
+    mirroring the coordinate rule: the future chunk's own stored row
+    stays retrievable from the temporal branch, as offline)."""
     dim = int(np.shape(query_emb)[-1])
     query_meta = _meta_from_chunk(chunk)
     q_label = int(chunk.get("retrieval_label", query_meta["label"]))
+    near_self = query_emb if self_sim_cap is not None else None
+    cap = self_sim_cap if self_sim_cap is not None else 0.9999
 
     content = _query(collection, query_emb, search_k_content)
     sim_embs, sim_meta = _select_branch(
         content, query_meta, want="same", k=k_sim, dim=dim,
-        q_label=q_label, exclude_self=exclude_self)
+        q_label=q_label, exclude_self=exclude_self,
+        near_self_emb=near_self, self_sim_cap=cap)
     con_embs, con_meta = _select_branch(
         content, query_meta, want="diff", k=k_contrast, dim=dim,
-        q_label=q_label, exclude_self=exclude_self)
+        q_label=q_label, exclude_self=exclude_self,
+        near_self_emb=near_self, self_sim_cap=cap)
 
     temporal = _query(collection, future_emb, search_k_temporal)
     tmp_embs, tmp_meta = _select_branch(
         temporal, query_meta, want="any", k=k_temporal, dim=dim,
-        q_label=q_label, exclude_self=exclude_self)
+        q_label=q_label, exclude_self=exclude_self,
+        near_self_emb=near_self, self_sim_cap=cap)
 
     return {
         "query_emb": np.asarray(query_emb, np.float32),
@@ -267,7 +295,8 @@ def fetch_live_batch(chunks, encode_fn, collection, *, k_sim, k_contrast,
                      k_temporal, future_step: int = 2,
                      search_k_content: int = 64, search_k_temporal: int = 32,
                      all_chunks=None, pool_embs: dict | None = None,
-                     exclude_self: bool = True):
+                     exclude_self: bool = True,
+                     self_sim_cap: float | None = None):
     """Live (uncached) retrieval for validation
     (reference: nba_proj/train/training_stage2.py:894-941).
 
@@ -291,7 +320,7 @@ def fetch_live_batch(chunks, encode_fn, collection, *, k_sim, k_contrast,
             k_sim=k_sim, k_contrast=k_contrast, k_temporal=k_temporal,
             search_k_content=search_k_content,
             search_k_temporal=search_k_temporal,
-            exclude_self=exclude_self))
+            exclude_self=exclude_self, self_sim_cap=self_sim_cap))
     return _stack_entries(entries)
 
 
