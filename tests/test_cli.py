@@ -1009,10 +1009,12 @@ def test_stage1_checkpoint_chunk_size_mismatch(monkeypatch, tmp_path):
     from vit_research_tpu.models.heads import ChunkEncoder
     from vit_research_tpu.utils.configs import ChunkEncoderConfig
 
+    from vit_research_tpu.evaluate import scoring
+
     cfg = ChunkEncoderConfig(embed_dim=16, mlp_dim=64, max_len=8)
     trained = ChunkEncoder(cfg).init(jax.random.PRNGKey(0),
                                      jnp.zeros((1, 8, 16)))
-    monkeypatch.setattr(cli, "_restore_best",
+    monkeypatch.setattr(scoring, "restore_best",
                         lambda *a, **kw: {"params": trained})
     with pytest.raises(SystemExit, match="chunk_size 8"):
         cli._stage1_encode_batch(16, 4, str(tmp_path), "run", strict=True)
@@ -1035,7 +1037,8 @@ def test_restore_failure_is_fatal_even_nonstrict(tmp_path, monkeypatch):
             raise RuntimeError("corrupt step")
 
     import vit_research_tpu.train.checkpoint as ckpt_mod
+    from vit_research_tpu.evaluate import scoring
     monkeypatch.setattr(ckpt_mod, "CheckpointManager", _Boom)
-    with pytest.raises(SystemExit, match="failed"):
-        cli._restore_best("stage-1", str(tmp_path / "ck"), "stage1_x",
-                          strict=False)
+    with pytest.raises(scoring.ScoringUnavailable, match="failed"):
+        scoring.restore_best("stage-1", str(tmp_path / "ck"), "stage1_x",
+                             strict=False)

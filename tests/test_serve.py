@@ -671,3 +671,188 @@ def test_segment_session_accepts_transition_override(seg_server):
     # same decisive world as the mid-game test: the (valid) override
     # still decodes the single left possession exactly
     assert clips == [{"side": "left", "start": 0, "end": 31}]
+
+
+# ---- live event scoring over the socket -----------------------------------
+
+
+@pytest.fixture()
+def score_world(engine, tmp_path):
+    """Trained-run checkpoints (saved directly, no training — the
+    restore path is what's under test) + a ratt_db-schema chunk
+    collection, as cli train-stage1/train-stage2 + write-ratt-db would
+    leave them. Geometry: chunk_size 6, k_sim 3 / k_contrast 3 /
+    k_temporal 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.heads import ChunkEncoder
+    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
+    from vit_research_tpu.store.vector_store import PersistentClient
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.utils.configs import ChunkEncoderConfig, HeadConfig
+
+    dim, cs, ks, kc, kt = engine.out_dim, 6, 3, 3, 2
+    enc = ChunkEncoder(ChunkEncoderConfig(embed_dim=dim, mlp_dim=4 * dim,
+                                          max_len=cs))
+    p1 = enc.init(jax.random.PRNGKey(1), jnp.zeros((1, cs, dim)))
+    head = RATTHeadV2(HeadConfig(embed_dim=dim, k_sim=ks, k_contrast=kc,
+                                 k_temporal=kt))
+    p2 = head.init(jax.random.PRNGKey(2), jnp.zeros((1, dim)),
+                   jnp.zeros((1, ks, dim)), jnp.zeros((1, kc, dim)),
+                   jnp.zeros((1, kt, dim)))
+    ckpt = str(tmp_path / "score_ckpts")
+    for run, params in (("stage1_served", p1), ("stage2_served", p2)):
+        m = CheckpointManager(ckpt, run)
+        m.save(1, {"params": params}, metrics={"val_acc": 1.0})
+        m.maybe_update_best(1, 1.0)
+        m.wait()
+
+    db = str(tmp_path / "score_db")
+    client = PersistentClient(db)
+    col = client.get_or_create_collection(
+        "ratt_db", metadata={"hnsw:space": "cosine"})
+    rng = np.random.default_rng(3)
+    ids, embs, metas = [], [], []
+    for vid in (7, 8):
+        for clip in range(2):
+            side = "left" if clip % 2 == 0 else "right"
+            for s in range(4):
+                ids.append(f"v{vid}c{clip}s{s}")
+                e = rng.normal(size=dim).astype(np.float32)
+                embs.append(e / np.linalg.norm(e))
+                metas.append({"vid_num": vid, "clip_num": clip,
+                              "side": side, "label": (vid + clip) % 2,
+                              "t_center": (s + 0.5) / 4, "t_width": 0.1,
+                              "start_idx": s * 3, "end_idx": s * 3 + 5})
+    col.upsert(ids, np.stack(embs), metadatas=metas)
+    client.flush()  # the scorer opens the db with a FRESH client
+    cfg = {"ckpt": ckpt, "stage1_run_id": "stage1_served",
+           "stage2_run_id": "stage2_served", "db": db,
+           "collection": "ratt_db", "chunk_size": cs, "chunk_stride": 3,
+           "k_sim": ks, "k_contrast": kc, "k_temporal": kt,
+           "future_step": 1}
+    return cfg
+
+
+def test_segment_session_scores_events_mid_game(engine, seg_server,
+                                                score_world):
+    """segment_start with a score_events config: every finished clip
+    comes back with an eval row, equal to the library LiveEventScorer
+    run on the same frames — the CLI's segment --score-events surface
+    over the socket."""
+    import json
+
+    from vit_research_tpu.evaluate import scoring
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    stream = ["left"] * 30 + ["none"] * 20
+    stream_paths = [paths[s] for s in stream]
+    clips, events = [], []
+    with SessionClient(sock) as c:
+        r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64, "vid": 7,
+                       "score_events": score_world})
+        assert r["ok"] and r["scoring"]
+        for i in range(0, len(stream_paths), 10):
+            resp = c.request({"op": "segment_push",
+                              "paths": stream_paths[i: i + 10]})
+            assert resp["ok"]
+            clips.extend(resp["clips"])
+            events.extend(resp.get("events", []))
+            # events align with clips in EVERY response
+            assert len(resp.get("events", [])) == len(resp["clips"])
+        fin = c.request({"op": "segment_finish"})
+        clips.extend(fin["clips"])
+        events.extend(fin.get("events", []))
+    assert clips == [{"side": "left", "start": 0, "end": 31}]
+    assert len(events) == 1 and events[0] is not None
+
+    # the daemon row equals the library scorer on the identical frames
+    scorer = scoring.make_live_scorer(
+        engine.embed_paths, dim=engine.out_dim,
+        ckpt=score_world["ckpt"],
+        stage1_run_id=score_world["stage1_run_id"],
+        stage2_run_id=score_world["stage2_run_id"],
+        db=score_world["db"], collection=score_world["collection"],
+        chunk_size=score_world["chunk_size"],
+        chunk_stride=score_world["chunk_stride"],
+        k_sim=score_world["k_sim"], k_contrast=score_world["k_contrast"],
+        k_temporal=score_world["k_temporal"],
+        future_step=score_world["future_step"])
+    lib_row = scorer.score_clip(stream_paths[0:32], side="left",
+                                clip_num=1, vid=7)
+    assert events[0] == json.loads(json.dumps(lib_row))
+    # eval-clips schema: score-events consumes these rows unchanged
+    assert events[0]["clip_key"] == "vid7_clip1"
+    assert events[0]["label"] == -1
+    assert events[0]["topk_chunks"][0]["rank"] == 1
+
+
+def test_segment_session_score_config_rejected_cleanly(seg_server,
+                                                       score_world):
+    """A bad score_events config is an error reply that leaves NO
+    session state — the connection immediately accepts a good start."""
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    with SessionClient(sock) as c:
+        r = c.request({"op": "segment_start", "k": 5,
+                       "score_events": {"ckpt": "x"}})
+        assert not r["ok"] and "score_events config missing" in r["error"]
+        bad_run = dict(score_world, stage2_run_id="no_such_run")
+        r = c.request({"op": "segment_start", "k": 5,
+                       "score_events": bad_run})
+        assert not r["ok"] and "no run directory" in r["error"]
+        bad_db = dict(score_world, db=score_world["db"] + "_typo")
+        r = c.request({"op": "segment_start", "k": 5,
+                       "score_events": bad_db})
+        assert not r["ok"] and "no vector store" in r["error"]
+        assert not os.path.exists(score_world["db"] + "_typo")
+        # no half-open session left behind; scoring stays off when the
+        # key is absent
+        r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64})
+        assert r["ok"] and r["scoring"] is False
+        resp = c.request({"op": "segment_push", "paths": [paths["left"]]})
+        assert resp["ok"] and "events" not in resp
+        assert "events" not in c.request({"op": "segment_finish"})
+
+
+def test_segment_session_b64_eviction_errors_per_row(seg_server,
+                                                     score_world):
+    """Frames pushed as b64 have no disk fallback: once evicted from the
+    scorer's LRU they cannot be re-embedded, and the affected CLIP's
+    event row carries an error — the clip itself (and the stream) must
+    survive."""
+    import base64
+
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    b64 = {s: base64.b64encode(open(p, "rb").read()).decode()
+           for s, p in paths.items()}
+    stream = ["left"] * 30 + ["none"] * 20
+    cfg = dict(score_world, emb_cache_cap=2)
+    clips, events = [], []
+    with SessionClient(sock) as c:
+        r = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64,
+                       "score_events": cfg})
+        assert r["ok"]
+        for i in range(0, len(stream), 10):
+            resp = c.request({"op": "segment_push",
+                              "frames_b64": [b64[s]
+                                             for s in stream[i: i + 10]]})
+            assert resp["ok"]
+            clips.extend(resp["clips"])
+            events.extend(resp.get("events", []))
+        fin = c.request({"op": "segment_finish"})
+        assert fin["ok"]
+        clips.extend(fin["clips"])
+        events.extend(fin.get("events", []))
+    # the clip still arrived, with a per-row scoring error
+    assert clips == [{"side": "left", "start": 0, "end": 31}]
+    assert len(events) == 1
+    assert "evicted" in events[0]["error"]

@@ -105,81 +105,27 @@ def _chunks_from_index(store, idx, vids=None):
     return chunks
 
 
+def _scoring_call(fn, *a, **kw):
+    """Run an evaluate/scoring loader, converting its
+    :class:`ScoringUnavailable` into the CLI's clean-exit convention
+    (the daemon converts the same error into a protocol reply instead —
+    evaluate/scoring.py holds the shared logic)."""
+    from vit_research_tpu.evaluate.scoring import ScoringUnavailable
+
+    try:
+        return fn(*a, **kw)
+    except ScoringUnavailable as e:
+        raise SystemExit(str(e))
+
+
 def _stage1_encode_batch(dim: int, t: int, ckpt, run_id, *,
                          strict: bool = False):
     """Frozen stage-1 ChunkEncoder as a raw (B, T, D) -> (embs, logits)
-    callable; restored from ``run_id`` when given (store-free — the
-    live-event path encodes chunks that are in no frame store yet).
-    ``strict=True`` makes a missing/failed restore a hard error instead
-    of silently scoring with randomly-initialized weights."""
-    import jax
-    import jax.numpy as jnp
+    callable (evaluate/scoring.py, CLI error convention)."""
+    from vit_research_tpu.evaluate import scoring
 
-    from vit_research_tpu.models.heads import ChunkEncoder
-    from vit_research_tpu.train.train_chunk_encoder import make_encode_fn
-    from vit_research_tpu.utils.configs import ChunkEncoderConfig
-
-    cfg = ChunkEncoderConfig(embed_dim=dim, mlp_dim=4 * dim, max_len=t)
-    model = ChunkEncoder(cfg)
-    params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, t, cfg.embed_dim)))
-    restored = _restore_best("stage-1", ckpt, run_id, strict=strict)
-    if restored is not None:
-        params = restored["params"]
-        # the restored pos_embedding table encodes the chunk size the
-        # encoder was TRAINED with ((1, 1+max_len, D)); ChunkEncoder's
-        # `pos[:, :t+1]` slice would silently accept a smaller window
-        # and score out-of-distribution chunks against a store built
-        # with the trained size
-        inner = params.get("params", params)
-        pos = inner.get("pos_embedding") if hasattr(inner, "get") else None
-        if pos is not None and int(pos.shape[1]) != t + 1:
-            raise SystemExit(
-                f"[stage-1] run {run_id!r} was trained with chunk_size "
-                f"{int(pos.shape[1]) - 1} (pos_embedding "
-                f"{tuple(pos.shape)}), but this command is chunking with "
-                f"chunk_size {t} — pass the matching --chunk-size, or "
-                "retrain/rebuild with the new size")
-    return make_encode_fn(model, params)
-
-
-def _restore_best(what: str, ckpt, run_id, *, strict: bool):
-    """``restore_best`` of a run, or None without a run_id. A MISSING
-    run falls back to fresh params with a console note for non-strict
-    callers (the historical eval-clips behavior); strict callers (live
-    event scoring) get a SystemExit. A run that exists but FAILS to
-    restore is fatal for everyone — random weights would produce
-    plausible-looking garbage rows."""
-    from vit_research_tpu.train.checkpoint import CheckpointManager
-
-    if not run_id:
-        return None
-    # CheckpointManager's constructor creates the run dir eagerly; probe
-    # first so a typo'd run id fails instead of materializing as an
-    # empty run directory
-    if not os.path.isdir(os.path.join(ckpt, str(run_id))):
-        msg = f"[{what}] no run directory {os.path.join(ckpt, str(run_id))}"
-        if strict:
-            raise SystemExit(msg + " — pass the run id printed by the "
-                             "training command (ls the --ckpt root)")
-        print(msg + "; using fresh params")
-        return None
-    try:
-        restored = CheckpointManager(ckpt, run_id).restore_best()
-    except Exception as e:  # noqa: BLE001 - diagnose instead of crash
-        # an explicitly named run that EXISTS but cannot be restored is
-        # always fatal (strict or not): falling back to random weights
-        # would evaluate/score plausible-looking garbage
-        raise SystemExit(f"[{what}] checkpoint restore of {run_id!r} "
-                         f"failed: {e} (see MIGRATING.md for checkpoint "
-                         "layout changes)")
-    if restored is None:
-        msg = (f"[{what}] run {run_id!r} under {ckpt!r} has no best "
-               "checkpoint (did training finish an epoch?)")
-        if strict:
-            raise SystemExit(msg)
-        print(msg + "; using fresh params")
-    return restored
+    return _scoring_call(scoring.stage1_encode_batch, dim, t, ckpt,
+                         run_id, strict=strict)
 
 
 def _stage1_encode(store, idx, ckpt, run_id):
@@ -204,68 +150,38 @@ def _stage1_encode(store, idx, ckpt, run_id):
 def _stage2_head(dim: int, ckpt, run_id, *, k_sim: int, k_contrast: int,
                  k_temporal: int, strict: bool = False):
     """Stage-2 RATTHeadV2 as ``apply(query, sim, contrast, temporal) ->
-    (B, 1) logits``; restored from ``run_id`` when given
-    (reference model: nba_proj/models/ratt_v2.py:629-771)."""
-    import jax
-    import jax.numpy as jnp
+    (B, 1) logits`` (evaluate/scoring.py, CLI error convention)."""
+    from vit_research_tpu.evaluate import scoring
 
-    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
-    from vit_research_tpu.utils.configs import HeadConfig
-
-    head_cfg = HeadConfig(embed_dim=dim, k_sim=k_sim, k_contrast=k_contrast,
-                          k_temporal=k_temporal)
-    head = RATTHeadV2(head_cfg)
-    h_params = head.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, dim)),
-        jnp.zeros((1, k_sim, dim)), jnp.zeros((1, k_contrast, dim)),
-        jnp.zeros((1, k_temporal, dim)))
-    restored = _restore_best("stage-2", ckpt, run_id, strict=strict)
-    if restored is not None:
-        h_params = restored["params"]
-    return lambda q, s, c, tm: head.apply(h_params, q, s, c, tm)[0]
+    return _scoring_call(scoring.stage2_head, dim, ckpt, run_id,
+                         k_sim=k_sim, k_contrast=k_contrast,
+                         k_temporal=k_temporal, strict=strict)
 
 
 def _open_collection(db_path, name):
-    """Open an EXISTING collection for read-side commands (strict both
-    ways): PersistentClient creates its root directory eagerly, so a
-    typo'd store path would be materialized on disk as an empty store
-    before the collection lookup even fails — probe first. A typo'd
-    NAME must likewise not evaluate against an empty just-created
-    collection (get_collection raises, never creates)."""
-    from vit_research_tpu.store.vector_store import PersistentClient
+    """Open an EXISTING collection for read-side commands
+    (evaluate/scoring.py, CLI error convention)."""
+    from vit_research_tpu.evaluate import scoring
 
-    if not os.path.isdir(db_path):
-        raise SystemExit(f"no vector store at {db_path!r} — the store "
-                         "root must already exist (see write-frame-db / "
-                         "write-clips-to-ragdb)")
-    return PersistentClient(db_path, autoflush=False).get_collection(name)
+    return _scoring_call(scoring.open_collection, db_path, name)
 
 
 def _live_event_scorer(args, eng, emb_cache_cap=None):
     """Optional live make/miss scorer for ``segment --score-events``
-    (None when the flag is off). Loads the frozen stage-1 encoder + the
-    trained stage-2 head (both STRICT: a missing checkpoint is an error,
-    not a silent fall-back to random weights) and retrieves live from
-    --score-collection — the offline eval-clips stack, applied per
-    finished clip (evaluate/live.py)."""
+    (None when the flag is off) — evaluate/scoring.make_live_scorer
+    with the CLI's flags and error convention."""
     if not getattr(args, "score_events", False):
         return None
-    from vit_research_tpu.evaluate.live import LiveEventScorer
+    from vit_research_tpu.evaluate import scoring
 
-    col = _open_collection(args.score_db or args.db, args.score_collection)
-    encode_batch = _stage1_encode_batch(
-        eng.out_dim, args.chunk_size, args.score_ckpt, args.stage1_run_id,
-        strict=True)
-    head_apply = _stage2_head(
-        eng.out_dim, args.score_ckpt, args.stage2_run_id,
-        k_sim=args.k_sim, k_contrast=args.k_contrast,
-        k_temporal=args.k_temporal, strict=True)
-    return LiveEventScorer(
-        eng.embed_paths, encode_batch, head_apply, col,
-        chunk_size=args.chunk_size, chunk_stride=args.chunk_stride,
-        k_sim=args.k_sim, k_contrast=args.k_contrast,
-        k_temporal=args.k_temporal, future_step=args.future_step,
-        emb_cache_cap=emb_cache_cap)
+    return _scoring_call(
+        scoring.make_live_scorer, eng.embed_paths, dim=eng.out_dim,
+        ckpt=args.score_ckpt, stage1_run_id=args.stage1_run_id,
+        stage2_run_id=args.stage2_run_id, db=args.score_db or args.db,
+        collection=args.score_collection, chunk_size=args.chunk_size,
+        chunk_stride=args.chunk_stride, k_sim=args.k_sim,
+        k_contrast=args.k_contrast, k_temporal=args.k_temporal,
+        future_step=args.future_step, emb_cache_cap=emb_cache_cap)
 
 
 def _score_clip_dir(scorer, clip_dir):

@@ -40,6 +40,32 @@ StreamingViterbi + StreamingClipExtractor under the hood):
                                     positions within the session)
     {"op": "segment_finish"}       -> remaining clips + "forced" count
 
+Live event scoring (optional): give ``segment_start`` a
+``"score_events"`` config and every finished clip comes back with a
+make/miss eval row the moment it is emitted — the CLI's
+``segment --score-events`` surface (evaluate/live.py) over the socket:
+
+    {"op": "segment_start", ..., "score_events": {
+        "ckpt": "ckpts", "stage1_run_id": "...", "stage2_run_id": "...",
+        "db": "db", "collection": "ratt_db",
+        "chunk_size": 8, "chunk_stride": 2, "k_sim": 8, "k_contrast": 8,
+        "k_temporal": 4, "future_step": 2, "emb_cache_cap": 16384}}
+        -> {"ok": true, ..., "scoring": true}
+           (required: ckpt/stage1_run_id/stage2_run_id/db/collection —
+            the TRAINED runs and chunk retrieval collection; a missing
+            or typo'd run is an error reply, never a random-weight head)
+    segment_push / segment_finish responses then carry
+        "events": [row | null, ...]   (aligned with "clips"; null =
+                                       clip shorter than one chunk;
+                                       {"error": ...} = that clip failed
+                                       to score — the clip itself is
+                                       still delivered)
+    rows use the exact eval-clips schema — cli score-events consumes
+    them unchanged. Stream embeddings are reused for scoring
+    (emb_cache_cap LRU); frames pushed as b64 that age out of the cache
+    cannot be re-embedded (no path) and error — push paths for long
+    games or raise emb_cache_cap.
+
 Concurrency: requests are parsed on per-connection threads; device work
 is serialized by a lock (one chip, one engine — batching inside
 ``embed_batch`` already pipelines sub-batches). Malformed requests get
@@ -239,6 +265,82 @@ class EmbedServer:
                 self._corpus_cache = (muts, corpus)
             return self._corpus_cache[1]
 
+    def _make_scorer(self, cfg):
+        """Live event scorer for a segment session
+        (evaluate/scoring.make_live_scorer). Raises ValueError on
+        misconfiguration — a protocol error reply, never a random-weight
+        head or a dead connection."""
+        from vit_research_tpu.evaluate import scoring
+
+        if not isinstance(cfg, dict):
+            raise ValueError(
+                "'score_events' must be an object: {ckpt, stage1_run_id, "
+                "stage2_run_id, db, collection, ...}")
+        required = ("ckpt", "stage1_run_id", "stage2_run_id", "db",
+                    "collection")
+        missing = [k for k in required if not cfg.get(k)]
+        if missing:
+            raise ValueError(
+                f"score_events config missing {missing} — the TRAINED "
+                "runs to score with (cli train-stage1 / train-stage2) and "
+                "the chunk retrieval collection (cli write-ratt-db)")
+
+        def embed_missing(paths):
+            # score_clip's fallback for frames evicted from the scorer's
+            # LRU: re-embed from disk. Runs UNDER the device lock
+            # (scoring is device work), so call the engine directly —
+            # not _embed_request/_coalescer, which take the lock.
+            paths = [str(p) for p in paths]
+            gone = [p for p in paths if not os.path.exists(p)]
+            if gone:
+                raise ValueError(
+                    "score_events: frames evicted from the embedding "
+                    f"cache and not on disk (e.g. {gone[:2]}); push "
+                    "frames as paths or raise emb_cache_cap")
+            from vit_research_tpu.data.preprocess import load_frames
+
+            return self.engine.embed_batch(
+                load_frames(paths, self.engine.spec))
+
+        # ScoringUnavailable is a ValueError: the handler turns it into
+        # {"ok": false, "error": ...} like every other bad request
+        return scoring.make_live_scorer(
+            embed_missing, dim=self.engine.out_dim,
+            ckpt=cfg["ckpt"], stage1_run_id=cfg["stage1_run_id"],
+            stage2_run_id=cfg["stage2_run_id"], db=cfg["db"],
+            collection=cfg["collection"],
+            chunk_size=int(cfg.get("chunk_size", 8)),
+            chunk_stride=int(cfg.get("chunk_stride", 2)),
+            k_sim=int(cfg.get("k_sim", 8)),
+            k_contrast=int(cfg.get("k_contrast", 8)),
+            k_temporal=int(cfg.get("k_temporal", 4)),
+            future_step=int(cfg.get("future_step", 2)),
+            emb_cache_cap=int(cfg.get("emb_cache_cap", 16384)))
+
+    def _score_clips(self, session, clips):
+        """Eval rows for just-finished clips, aligned with ``clips``
+        (null = shorter than one chunk); None when the session scores
+        nothing. Clip numbering counts every emitted clip, scored or
+        not, like the CLI's --follow loop."""
+        st = session.get("segment_score")
+        if st is None:
+            return None
+        rows = []
+        for c in clips:
+            st["clips"] += 1
+            frames = st["refs"][c.start: c.end + 1]
+            try:
+                with self._lock:  # stage-1 encode + stage-2 head are
+                    rows.append(st["scorer"].score_clip(  # device work
+                        frames, side=c.side,  # (+ cache-miss re-embeds)
+                        clip_num=st["clips"], vid=st["vid"]))
+            except Exception as e:  # noqa: BLE001 - a scoring failure
+                # must not fail the push reply: the CLIPS in it would be
+                # lost to the client while the session state has already
+                # advanced past them. Surface the error in the row.
+                rows.append({"error": str(e)})
+        return rows
+
     def _segment_start(self, req, session) -> dict:
         from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
 
@@ -267,6 +369,13 @@ class EmbedServer:
             except ValueError as e:
                 raise ValueError(f"'transitions': {e} (calibrate with "
                                  "cli tune-segment)")
+        scorer = None
+        if req.get("score_events"):
+            # build BEFORE any session state: a bad scoring config must
+            # leave the connection exactly as it was (model init is
+            # device work, like session setup below)
+            with self._lock:
+                scorer = self._make_scorer(req["score_events"])
         corpus = self._corpus_snapshot()  # host read; only staging and
         with self._lock:                  # session setup are device work
             seg = KnnHmmStreamSession(
@@ -293,8 +402,12 @@ class EmbedServer:
                 # the snapshot already normalized cosine rows
                 metric=space, corpus_prenormalized=True)
         session["segment"] = seg
+        if scorer is not None:
+            session["segment_score"] = {
+                "scorer": scorer, "refs": [], "clips": 0,
+                "vid": int(req.get("vid") or 0)}
         return {"ok": True, "corpus_size": seg.corpus_size,
-                "metric": space}
+                "metric": space, "scoring": scorer is not None}
 
     @staticmethod
     def _clips_json(clips) -> list:
@@ -313,10 +426,23 @@ class EmbedServer:
                  [f"frame_{seg.frames_seen + i}"
                   for i in range(len(req.get("frames_b64", ())))])
         embs = self._embed_request(req)
+        st = session.get("segment_score")
+        if st is not None:
+            # refs index frames by GLOBAL session position (what clip
+            # start/end mean); full paths when available so cache-missed
+            # frames can be re-embedded from disk. The scorer's LRU is
+            # keyed by basename, so remember() under either ref form
+            # resolves the same way score_clip looks it up.
+            st["refs"].extend(req["paths"] if "paths" in req else names)
+            st["scorer"].remember(names, embs)
         with self._lock:  # the kNN top-k matmul is device work
             clips = seg.push_batch(names, embs)
-        return {"ok": True, "frames_seen": seg.frames_seen,
+        resp = {"ok": True, "frames_seen": seg.frames_seen,
                 "clips": self._clips_json(clips)}
+        events = self._score_clips(session, clips)
+        if events is not None:
+            resp["events"] = events
+        return resp
 
     def _segment_finish(self, session) -> dict:
         seg = session.get("segment")
@@ -326,7 +452,11 @@ class EmbedServer:
         resp = {"ok": True, "frames_seen": seg.frames_seen,  # must not
                 "forced": seg.forced,  # lose the pending clips silently
                 "clips": self._clips_json(clips)}
+        events = self._score_clips(session, clips)
+        if events is not None:
+            resp["events"] = events
         session.pop("segment")
+        session.pop("segment_score", None)
         return resp
 
     def handle(self, req: dict, session: dict | None = None) -> dict:
