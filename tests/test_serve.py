@@ -856,3 +856,105 @@ def test_segment_session_b64_eviction_errors_per_row(seg_server,
     assert clips == [{"side": "left", "start": 0, "end": 31}]
     assert len(events) == 1
     assert "evicted" in events[0]["error"]
+
+
+# ---- cli segment --follow --socket (daemon-routed live mode) ---------------
+
+
+def _follow_world(tmp_path, paths, n_left=30, n_none=20):
+    """A canonical-named frames dir (vid1_frame_N.jpg) + STOP marker,
+    built from the seg_world frames."""
+    import shutil
+
+    fdir = tmp_path / "follow_frames"
+    fdir.mkdir()
+    stream = ["left"] * n_left + ["none"] * n_none
+    for i, s in enumerate(stream, start=1):
+        shutil.copy(paths[s], str(fdir / f"vid1_frame_{i}.jpg"))
+    (fdir / "STOP").write_text("")
+    return str(fdir)
+
+
+def test_follow_via_daemon_writes_clips(seg_server, tmp_path, capsys):
+    """segment --follow --socket: no local engine — the daemon embeds,
+    segments against ITS collection, and the follow loop writes the
+    same clip dirs the local mode would."""
+    from vit_research_tpu import cli
+
+    sock, paths = seg_server
+    fdir = _follow_world(tmp_path, paths)
+    out = str(tmp_path / "clips_daemon")
+    cli.main(["segment", fdir, "--method", "knn-hmm", "--follow",
+              "--socket", sock, "--k", "5", "--min-len", "20", "--pad", "2",
+              "--max-lag", "64", "--out", out, "--vid", "1",
+              "--idle-timeout", "20", "--poll-interval", "0.05",
+              "--batch-size", "16"])
+    msg = capsys.readouterr().out
+    assert "followed 50 frames -> 1 clips" in msg
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("vid1_clip"))
+    assert dirs == ["vid1_clip_1_left"]
+    # padded extent 0..31 like the in-daemon session test: 32 frames
+    assert len(os.listdir(os.path.join(out, dirs[0]))) == 32
+
+
+def test_follow_via_daemon_scores_events(seg_server, score_world, tmp_path,
+                                         capsys):
+    """--socket + --score-events: scoring runs daemon-side; the follow
+    loop writes the event rows it receives to events.jsonl, exactly like
+    the local surface."""
+    import json
+
+    from vit_research_tpu import cli
+
+    sock, paths = seg_server
+    fdir = _follow_world(tmp_path, paths)
+    out = str(tmp_path / "clips_daemon_scored")
+    cli.main(["segment", fdir, "--method", "knn-hmm", "--follow",
+              "--socket", sock, "--k", "5", "--min-len", "20", "--pad", "2",
+              "--max-lag", "64", "--out", out, "--vid", "1",
+              "--idle-timeout", "20", "--poll-interval", "0.05",
+              "--batch-size", "16",
+              "--score-events", "--score-ckpt", score_world["ckpt"],
+              "--stage1-run-id", score_world["stage1_run_id"],
+              "--stage2-run-id", score_world["stage2_run_id"],
+              "--score-db", score_world["db"],
+              "--score-collection", score_world["collection"],
+              "--chunk-size", str(score_world["chunk_size"]),
+              "--chunk-stride", str(score_world["chunk_stride"]),
+              "--k-sim", str(score_world["k_sim"]),
+              "--k-contrast", str(score_world["k_contrast"]),
+              "--k-temporal", str(score_world["k_temporal"]),
+              "--future-step", str(score_world["future_step"])])
+    msg = capsys.readouterr().out
+    assert "scored 1 clips live" in msg
+    with open(os.path.join(out, "events.jsonl")) as fh:
+        rows = [json.loads(l) for l in fh if l.strip()]
+    assert len(rows) == 1
+    assert rows[0]["clip_key"] == "vid1_clip1"
+    assert rows[0]["label"] == -1 and rows[0]["topk_chunks"]
+
+
+def test_follow_via_daemon_flag_validation(seg_server, tmp_path):
+    """--socket without --follow, with a local corpus, or with a bad
+    scoring config must fail cleanly before touching anything."""
+    from vit_research_tpu import cli
+
+    sock, paths = seg_server
+    fdir = _follow_world(tmp_path, paths)
+    out = str(tmp_path / "x")
+    with pytest.raises(SystemExit, match="requires --follow"):
+        cli.main(["segment", fdir, "--method", "knn-hmm",
+                  "--socket", sock, "--out", out, "--vid", "1"])
+    with pytest.raises(SystemExit, match="DAEMON's"):
+        cli.main(["segment", fdir, "--method", "knn-hmm", "--follow",
+                  "--socket", sock, "--db", str(tmp_path / "db"),
+                  "--corpus-collection", "corpus",
+                  "--out", out, "--vid", "1"])
+    # a bad daemon-side scoring config comes back as a clean CLI error
+    # (here: the score collection doesn't exist in that db root)
+    with pytest.raises(SystemExit, match="refused the segment session"):
+        cli.main(["segment", fdir, "--method", "knn-hmm", "--follow",
+                  "--socket", sock, "--out", out, "--vid", "1",
+                  "--score-events", "--score-ckpt", str(tmp_path),
+                  "--stage1-run-id", "nope", "--stage2-run-id", "nope",
+                  "--score-db", str(tmp_path), "--score-collection", "r"])

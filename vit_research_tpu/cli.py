@@ -679,7 +679,21 @@ def cmd_segment(args):
     # Validate method arguments BEFORE the engine spins up: embedding a
     # whole frames dir (minutes of TPU compile + transfer) only to fail
     # on a missing flag is hostile.
-    if args.method in ("knn-hmm", "streaks"):
+    if args.socket:
+        if not args.follow:
+            raise SystemExit("--socket is the daemon-routed live mode: "
+                             "it requires --follow (for offline scoring "
+                             "against a daemon, use the daemon's query/"
+                             "embed ops or run segment locally)")
+        if args.method != "knn-hmm":
+            raise SystemExit("--socket supports --method knn-hmm only "
+                             "(the daemon's segment sessions)")
+        if args.db or args.corpus_collection:
+            raise SystemExit("--socket ranks against the DAEMON's "
+                             "collection (cli serve --collection); drop "
+                             "--db/--corpus-collection — scoring still "
+                             "takes --score-db/--score-collection")
+    if args.method in ("knn-hmm", "streaks") and not args.socket:
         if not (args.db and args.corpus_collection):
             raise SystemExit(f"--method {args.method} needs --db and "
                              "--corpus-collection (see write-frame-db)")
@@ -692,7 +706,7 @@ def cmd_segment(args):
         # daemon's segment sessions already do; a cosine corpus must not
         # silently rank by L2 here)
         space = getattr(col, "space", "l2")
-    elif not args.manual_csv:
+    elif args.method == "temporal" and not args.manual_csv:
         raise SystemExit("--method temporal needs --manual-csv")
 
     if args.transitions and args.method != "knn-hmm":
@@ -722,10 +736,15 @@ def cmd_segment(args):
     if args.follow:
         if args.method != "knn-hmm":
             raise SystemExit("--follow supports --method knn-hmm only")
-        return _segment_follow(args, corpus,
-                               col if args.write_back else None,
-                               client if args.write_back else None,
-                               metric=space, transition_matrix=transitions)
+        if args.socket:
+            backend = _DaemonFollowBackend(args,
+                                           transition_matrix=transitions)
+        else:
+            backend = _LocalFollowBackend(
+                args, corpus, col if args.write_back else None,
+                client if args.write_back else None,
+                metric=space, transition_matrix=transitions)
+        return _segment_follow(args, backend)
 
     os.makedirs(args.out, exist_ok=True)
     frames = naming.list_frames(args.frames)
@@ -813,8 +832,128 @@ def _load_transitions(path):
         raise SystemExit(f"{path}: {e}")
 
 
-def _segment_follow(args, corpus, collection, client, *,
-                    metric: str = "l2", transition_matrix=None):
+class _LocalFollowBackend:
+    """--follow in-process: own engine + KnnHmmStreamSession (+ scorer).
+    Clips are scored from their just-written dirs, reusing the stream's
+    embeddings via the scorer's LRU."""
+
+    def __init__(self, args, corpus, collection, client, *,
+                 metric: str = "l2", transition_matrix=None):
+        from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
+
+        self.eng = _engine(batch_size=args.batch_size)
+        # bounded LRU: a followed game grows without limit, but clips
+        # are always recent (fixed-lag commits) — 16k frames (~48 MB at
+        # D=768) covers any possession; evicted frames re-embed on miss
+        self.scorer = _live_event_scorer(args, self.eng,
+                                         emb_cache_cap=16384)
+        self.scoring = self.scorer is not None
+        self._client = client
+        self.session = KnnHmmStreamSession(
+            corpus, k=args.k,
+            confidence_threshold=args.confidence_threshold,
+            min_len=args.min_len, pad=args.pad, max_lag=args.max_lag,
+            drain_every=8, collection=collection, vid=args.vid,
+            metric=metric, transition_matrix=transition_matrix)
+
+    def push(self, names, paths):
+        """(clip intervals, None): local clips are scored later, from
+        the written dir (score_dir)."""
+        # prefetch=0: each call is a single <=batch_size chunk, so a
+        # producer thread can't overlap anything — it would just add
+        # a thread spawn + queue per poll on a 200k-frame session
+        embs = self.eng.embed_paths(paths, prefetch=0)
+        if self.scorer is not None:
+            # the stream already paid for these embeddings; event
+            # scoring reuses them instead of re-embedding each clip
+            self.scorer.remember(names, embs)
+        return self.session.push_batch(names, embs), None
+
+    def finish(self):
+        clips = self.session.finish()
+        if self._client is not None:
+            self._client.flush()
+        return clips, None, self.session.forced
+
+    def score_dir(self, clip_dir):
+        return _score_clip_dir(self.scorer, clip_dir)
+
+
+class _DaemonFollowBackend:
+    """--follow --socket: a running ``cli serve`` daemon owns the warm
+    engine, the corpus collection and (optionally) the scoring stack;
+    this process only tails the frames dir, pushes paths over the unix
+    socket and writes clip dirs / event rows from the replies. N games
+    can follow concurrently against ONE chip — the daemon serializes
+    device work and micro-batches concurrent embeds (serve.py), where
+    N local --follow loops would each demand their own engine."""
+
+    def __init__(self, args, transition_matrix=None):
+        from vit_research_tpu.serve import SessionClient
+
+        # generous timeout: the daemon's first batches may hit fresh jit
+        # compiles (minutes over a TPU tunnel)
+        self.client = SessionClient(args.socket, timeout=600.0)
+        req = {"op": "segment_start", "k": args.k,
+               "confidence_threshold": args.confidence_threshold,
+               "min_len": args.min_len, "pad": args.pad,
+               "max_lag": args.max_lag,
+               "write_back": bool(args.write_back), "vid": args.vid}
+        if transition_matrix is not None:
+            req["transitions"] = [
+                [float(x) for x in row] for row in transition_matrix]
+        if args.score_events:
+            # same preflight as the local scorer, evaluated daemon-side
+            # (the daemon replies with the loader's error on a bad run)
+            req["score_events"] = {
+                "ckpt": args.score_ckpt,
+                "stage1_run_id": args.stage1_run_id,
+                "stage2_run_id": args.stage2_run_id,
+                "db": args.score_db or args.db,
+                "collection": args.score_collection,
+                "chunk_size": args.chunk_size,
+                "chunk_stride": args.chunk_stride,
+                "k_sim": args.k_sim, "k_contrast": args.k_contrast,
+                "k_temporal": args.k_temporal,
+                "future_step": args.future_step,
+                "emb_cache_cap": 16384}
+        resp = self.client.request(req)
+        if not resp.get("ok"):
+            raise SystemExit(
+                f"daemon refused the segment session: {resp.get('error')}")
+        self.scoring = bool(resp.get("scoring"))
+
+    def push(self, names, paths):
+        from vit_research_tpu.segment.clips import ClipInterval
+
+        resp = self.client.request(
+            {"op": "segment_push",
+             "paths": [os.path.abspath(p) for p in paths]})
+        if not resp.get("ok"):
+            # surfaced like a local embed failure so the follow loop's
+            # isolate/decode-retry logic applies unchanged (the daemon
+            # embeds BEFORE advancing session state, so a failed push
+            # consumed nothing)
+            raise RuntimeError(f"daemon segment_push failed: "
+                               f"{resp.get('error')}")
+        clips = [ClipInterval(side=c["side"], start=int(c["start"]),
+                              end=int(c["end"])) for c in resp["clips"]]
+        return clips, resp.get("events")
+
+    def finish(self):
+        from vit_research_tpu.segment.clips import ClipInterval
+
+        resp = self.client.request({"op": "segment_finish"})
+        if not resp.get("ok"):
+            raise SystemExit(
+                f"daemon segment_finish failed: {resp.get('error')}")
+        self.client.close()
+        clips = [ClipInterval(side=c["side"], start=int(c["start"]),
+                              end=int(c["end"])) for c in resp["clips"]]
+        return clips, resp.get("events"), int(resp.get("forced", 0))
+
+
+def _segment_follow(args, backend):
     """Live mode: tail --frames for newly arriving frames (increasing
     frame-number order — e.g. an ffmpeg dump in progress), feed them
     through the streaming kNN+HMM session, and write/announce each
@@ -829,26 +968,20 @@ def _segment_follow(args, corpus, collection, client, *,
     than corrupting the stream order the clip indices depend on. The
     reference's incremental loop
     (nba_proj/generate_clips_hmm.py:367-490) could only decode at the
-    end; see segment/pipeline.py::KnnHmmStreamSession."""
+    end; see segment/pipeline.py::KnnHmmStreamSession.
+
+    ``backend`` owns the embed+segment(+score) stack: in this process
+    (:class:`_LocalFollowBackend`) or a shared daemon
+    (:class:`_DaemonFollowBackend`)."""
+    import json
     import shutil
     import time
 
     from vit_research_tpu.data import naming
-    from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
 
-    eng = _engine(batch_size=args.batch_size)
-    # bounded LRU: a followed game grows without limit, but clips are
-    # always recent (fixed-lag commits) — 16k frames (~48 MB at D=768)
-    # covers any possession; evicted frames just re-embed on miss
-    scorer = _live_event_scorer(args, eng, emb_cache_cap=16384)
     events_path = os.path.join(args.out, "events.jsonl")
-    session = KnnHmmStreamSession(
-        corpus, k=args.k, confidence_threshold=args.confidence_threshold,
-        min_len=args.min_len, pad=args.pad, max_lag=args.max_lag,
-        drain_every=8, collection=collection, vid=args.vid, metric=metric,
-        transition_matrix=transition_matrix)
     os.makedirs(args.out, exist_ok=True)
-    if scorer is not None:
+    if backend.scoring:
         # one JSONL per session: a rerun into the same --out must not
         # silently append to the previous game's rows
         open(events_path, "w").close()
@@ -859,9 +992,9 @@ def _segment_follow(args, corpus, collection, client, *,
     event_count = 0
     last_num = -1        # highest consumed frame number
 
-    def emit(clips):
+    def emit(clips, rows=None):
         nonlocal clip_count, event_count
-        for iv in clips:
+        for j, iv in enumerate(clips):
             clip_count += 1
             cdir = os.path.join(
                 args.out, naming.clip_dir_name(args.vid, clip_count,
@@ -873,17 +1006,21 @@ def _segment_follow(args, corpus, collection, client, *,
                     shutil.copy(src, os.path.join(cdir, f))
             print(f"clip {clip_count}: {iv.side} frames "
                   f"{iv.start}..{iv.end} -> {cdir}", flush=True)
-            if scorer is None:
+            if not backend.scoring:
                 continue
             # score the possession the moment it is final — mid-game
             # (the reference's event harness only ran post-hoc over a
-            # rebuilt dataset, nba_proj/test/get_clip_sequences.py:600-813)
-            import json
-
-            row = _score_clip_dir(scorer, cdir)
+            # rebuilt dataset, nba_proj/test/get_clip_sequences.py:600-813).
+            # Daemon rows arrive WITH the clips; local clips score from
+            # the dir just written.
+            row = rows[j] if rows is not None else backend.score_dir(cdir)
             if row is None:
                 print(f"  not scored: too short to chunk "
-                      f"(< {scorer.chunk_size} frames)", flush=True)
+                      f"(< {args.chunk_size} frames)", flush=True)
+                continue
+            if "clip_key" not in row:  # daemon per-clip scoring error
+                print(f"  WARNING: scoring failed: "
+                      f"{row.get('error', row)}", flush=True)
                 continue
             event_count += 1
             with open(events_path, "a") as fh:
@@ -919,12 +1056,8 @@ def _segment_follow(args, corpus, collection, client, *,
         'out-of-order' next poll and be dropped."""
         nonlocal last_num
         try:
-            # prefetch=0: each call is a single <=batch_size chunk, so a
-            # producer thread can't overlap anything — it would just add
-            # a thread spawn + queue per poll on a 200k-frame session
-            embs = eng.embed_paths(
-                [os.path.join(args.frames, f) for f in chunk],
-                prefetch=0)
+            clips, rows = backend.push(
+                chunk, [os.path.join(args.frames, f) for f in chunk])
         except Exception:
             if len(chunk) > 1:  # isolate the bad frame, preserve order
                 for f in chunk:
@@ -956,11 +1089,7 @@ def _segment_follow(args, corpus, collection, client, *,
         consumed.extend(chunk)
         seen.update(chunk)
         last_num = naming.frame_num(chunk[-1])
-        if scorer is not None:
-            # the stream already paid for these embeddings; event
-            # scoring reuses them instead of re-embedding each clip
-            scorer.remember(chunk, embs)
-        emit(session.push_batch(chunk, embs))
+        emit(clips, rows)
         return True
 
     last_new = time.monotonic()
@@ -1006,12 +1135,11 @@ def _segment_follow(args, corpus, collection, client, *,
             # all 3 decode retries back-to-back within milliseconds,
             # permanently skipping a frame that was merely mid-write
             time.sleep(args.poll_interval)
-    emit(session.finish())
-    if client is not None:
-        client.flush()
+    clips, rows, forced = backend.finish()
+    emit(clips, rows)
     print(f"followed {len(consumed)} frames -> {clip_count} clips "
-          f"({session.forced} forced commits)", flush=True)
-    if scorer is not None:
+          f"({forced} forced commits)", flush=True)
+    if backend.scoring:
         print(f"scored {event_count} clips live -> {events_path} "
               "(JSONL, one eval row per clip; score with: score-events)",
               flush=True)
@@ -1561,6 +1689,12 @@ def main(argv=None):
     sg.add_argument("--follow", action="store_true",
                     help="live mode (knn-hmm): tail the frames dir and "
                     "emit clips as they finalize, mid-game")
+    sg.add_argument("--socket", default=None,
+                    help="--follow through a running `cli serve` daemon "
+                    "(unix socket): the daemon's warm engine embeds, its "
+                    "collection is the kNN corpus, and --score-events "
+                    "runs daemon-side — N games can follow concurrently "
+                    "on one chip, no engine spin-up here")
     sg.add_argument("--idle-timeout", type=float, default=30.0,
                     help="--follow: stop after this many seconds with "
                     "no new frames (or on a STOP file)")
