@@ -958,3 +958,107 @@ def test_follow_via_daemon_flag_validation(seg_server, tmp_path):
                   "--score-events", "--score-ckpt", str(tmp_path),
                   "--stage1-run-id", "nope", "--stage2-run-id", "nope",
                   "--score-db", str(tmp_path), "--score-collection", "r"])
+
+
+def test_failed_push_does_not_misalign_scoring_refs(engine, seg_world,
+                                                    score_world):
+    """A push that fails INSIDE push_batch (after embedding) consumed
+    nothing — scoring refs must not advance, or every later clip would
+    silently score the wrong frames (the CLI retry contract)."""
+    from vit_research_tpu.evaluate import scoring
+
+    paths, coll = seg_world
+    srv = EmbedServer(engine, collection=coll, coalesce_ms=0)
+    session = {}
+    stream = ["left"] * 30 + ["none"] * 20
+    sp = [paths[s] for s in stream]
+    r = srv.handle({"op": "segment_start", "k": 5, "min_len": 20,
+                    "pad": 2, "max_lag": 64, "vid": 1,
+                    "score_events": score_world}, session)
+    assert r["ok"] and r["scoring"]
+    srv.handle({"op": "segment_push", "paths": sp[:10]}, session)
+    seg, st = session["segment"], session["segment_score"]
+
+    orig = seg.push_batch
+    seg.push_batch = lambda names, embs: (_ for _ in ()).throw(
+        RuntimeError("transient device error"))
+    with pytest.raises(RuntimeError):
+        srv.handle({"op": "segment_push", "paths": sp[10:20]}, session)
+    assert len(st["refs"]) == seg.frames_seen == 10
+    seg.push_batch = orig
+
+    events = []
+    for i in range(10, 50, 10):
+        resp = srv.handle({"op": "segment_push", "paths": sp[i: i + 10]},
+                          session)
+        events.extend(resp.get("events", []))
+    fin = srv.handle({"op": "segment_finish"}, session)
+    events.extend(fin.get("events", []))
+    assert fin["clips"] + [
+    ] == [{"side": "left", "start": 0, "end": 31}] or events
+    assert len([e for e in events if e]) == 1
+    row = [e for e in events if e][0]
+    # ... and the row was computed from the RIGHT frames: equal to the
+    # library scorer on the clip's true extent
+    scorer = scoring.make_live_scorer(
+        engine.embed_paths, dim=engine.out_dim,
+        ckpt=score_world["ckpt"],
+        stage1_run_id=score_world["stage1_run_id"],
+        stage2_run_id=score_world["stage2_run_id"],
+        db=score_world["db"], collection=score_world["collection"],
+        chunk_size=score_world["chunk_size"],
+        chunk_stride=score_world["chunk_stride"],
+        k_sim=score_world["k_sim"], k_contrast=score_world["k_contrast"],
+        k_temporal=score_world["k_temporal"],
+        future_step=score_world["future_step"])
+    lib = scorer.score_clip(sp[0:32], side="left", clip_num=1, vid=1)
+    assert row["raw_sequence"] == lib["raw_sequence"]
+
+
+def test_score_config_empty_dict_and_null_fields(engine, seg_world,
+                                                 score_world):
+    """{} must hit the required-keys error (never silently disable
+    scoring); explicit nulls in numeric fields fall back to defaults,
+    and emb_cache_cap null means UNBOUNDED (the LiveEventScorer
+    sentinel), not a crash."""
+    paths, coll = seg_world
+    srv = EmbedServer(engine, collection=coll, coalesce_ms=0)
+    with pytest.raises(ValueError, match="missing"):
+        srv.handle({"op": "segment_start", "score_events": {}}, {})
+    session = {}
+    cfg = dict(score_world, emb_cache_cap=None, future_step=None)
+    r = srv.handle({"op": "segment_start", "k": 5, "min_len": 20,
+                    "pad": 2, "vid": 1, "score_events": cfg}, session)
+    assert r["ok"] and r["scoring"]
+    assert session["segment_score"]["scorer"].emb_cache_cap is None
+    assert session["segment_score"]["scorer"].future_step == 2  # default
+
+
+def test_daemon_backend_sends_absolute_score_paths(monkeypatch):
+    """Relative --score-ckpt/--score-db would resolve against the
+    DAEMON's cwd; the backend must absolutize them like frame paths."""
+    import argparse
+
+    from vit_research_tpu import cli, serve
+
+    reqs = []
+
+    class _FakeClient:
+        def __init__(self, *a, **kw):
+            pass
+
+        def request(self, req):
+            reqs.append(req)
+            return {"ok": True, "scoring": True}
+
+    monkeypatch.setattr(serve, "SessionClient", _FakeClient)
+    args = argparse.Namespace(
+        socket="/tmp/x.sock", k=5, confidence_threshold=0.7, min_len=20,
+        pad=2, max_lag=64, write_back=False, vid=1, score_events=True,
+        score_ckpt="ckpts", stage1_run_id="r1", stage2_run_id="r2",
+        score_db="db", db=None, score_collection="ratt_db", chunk_size=6,
+        chunk_stride=3, k_sim=3, k_contrast=3, k_temporal=2, future_step=1)
+    cli._DaemonFollowBackend(args)
+    sc = reqs[0]["score_events"]
+    assert os.path.isabs(sc["ckpt"]) and os.path.isabs(sc["db"])
+    assert sc["collection"] == "ratt_db"

@@ -904,12 +904,14 @@ class _DaemonFollowBackend:
                 [float(x) for x in row] for row in transition_matrix]
         if args.score_events:
             # same preflight as the local scorer, evaluated daemon-side
-            # (the daemon replies with the loader's error on a bad run)
+            # (the daemon replies with the loader's error on a bad run).
+            # Paths go ABSOLUTE, like the frame paths: relative ones
+            # would resolve against the daemon's cwd, not the user's
             req["score_events"] = {
-                "ckpt": args.score_ckpt,
+                "ckpt": os.path.abspath(args.score_ckpt),
                 "stage1_run_id": args.stage1_run_id,
                 "stage2_run_id": args.stage2_run_id,
-                "db": args.score_db or args.db,
+                "db": os.path.abspath(args.score_db or args.db),
                 "collection": args.score_collection,
                 "chunk_size": args.chunk_size,
                 "chunk_stride": args.chunk_stride,

@@ -154,13 +154,19 @@ def make_live_scorer(embed_fn, *, dim: int, ckpt, stage1_run_id,
     stage-1 encoder + trained stage-2 head (both STRICT: a missing
     checkpoint raises, never a silent fall-back to random weights) +
     live retrieval against ``collection`` in ``db`` — the offline
-    eval-clips stack, applied per finished clip (evaluate/live.py)."""
+    eval-clips stack, applied per finished clip (evaluate/live.py).
+
+    ``collection`` is a name looked up in ``db``, or an already-open
+    collection object (callers that must stage the host-side store read
+    separately from the model init — e.g. the daemon opens outside its
+    device lock)."""
     from vit_research_tpu.evaluate.live import LiveEventScorer
 
     if chunk_size < 1 or chunk_stride < 1:
         raise ScoringUnavailable(
             "event scoring needs positive chunk_size and chunk_stride")
-    col = open_collection(db, collection)
+    col = (collection if hasattr(collection, "query")
+           else open_collection(db, collection))
     encode_batch = stage1_encode_batch(dim, chunk_size, ckpt,
                                        stage1_run_id, strict=True)
     head_apply = stage2_head(dim, ckpt, stage2_run_id, k_sim=k_sim,

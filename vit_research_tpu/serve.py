@@ -302,20 +302,37 @@ class EmbedServer:
             return self.engine.embed_batch(
                 load_frames(paths, self.engine.spec))
 
+        def num(key, default):
+            # explicit JSON null falls back to the default instead of
+            # crashing the reply with int(None)
+            v = cfg.get(key)
+            return default if v is None else int(v)
+
+        # emb_cache_cap: null is MEANINGFUL (LiveEventScorer's unbounded
+        # sentinel), distinct from absent (bounded default)
+        cap = cfg.get("emb_cache_cap", 16384)
+        cap = None if cap is None else int(cap)
+
         # ScoringUnavailable is a ValueError: the handler turns it into
-        # {"ok": false, "error": ...} like every other bad request
-        return scoring.make_live_scorer(
-            embed_missing, dim=self.engine.out_dim,
-            ckpt=cfg["ckpt"], stage1_run_id=cfg["stage1_run_id"],
-            stage2_run_id=cfg["stage2_run_id"], db=cfg["db"],
-            collection=cfg["collection"],
-            chunk_size=int(cfg.get("chunk_size", 8)),
-            chunk_stride=int(cfg.get("chunk_stride", 2)),
-            k_sim=int(cfg.get("k_sim", 8)),
-            k_contrast=int(cfg.get("k_contrast", 8)),
-            k_temporal=int(cfg.get("k_temporal", 4)),
-            future_step=int(cfg.get("future_step", 2)),
-            emb_cache_cap=int(cfg.get("emb_cache_cap", 16384)))
+        # {"ok": false, "error": ...} like every other bad request.
+        # The collection opens OUTSIDE the device lock (a multi-GB store
+        # read is host disk work — holding the lock would stall every
+        # other session's pushes, cf. _corpus_snapshot); only the model
+        # init below runs under it.
+        col = scoring.open_collection(cfg["db"], cfg["collection"])
+        with self._lock:
+            return scoring.make_live_scorer(
+                embed_missing, dim=self.engine.out_dim,
+                ckpt=cfg["ckpt"], stage1_run_id=cfg["stage1_run_id"],
+                stage2_run_id=cfg["stage2_run_id"], db=cfg["db"],
+                collection=col,
+                chunk_size=num("chunk_size", 8),
+                chunk_stride=num("chunk_stride", 2),
+                k_sim=num("k_sim", 8),
+                k_contrast=num("k_contrast", 8),
+                k_temporal=num("k_temporal", 4),
+                future_step=num("future_step", 2),
+                emb_cache_cap=cap)
 
     def _score_clips(self, session, clips):
         """Eval rows for just-finished clips, aligned with ``clips``
@@ -370,12 +387,14 @@ class EmbedServer:
                 raise ValueError(f"'transitions': {e} (calibrate with "
                                  "cli tune-segment)")
         scorer = None
-        if req.get("score_events"):
-            # build BEFORE any session state: a bad scoring config must
-            # leave the connection exactly as it was (model init is
-            # device work, like session setup below)
-            with self._lock:
-                scorer = self._make_scorer(req["score_events"])
+        score_cfg = req.get("score_events")
+        if score_cfg not in (None, False):
+            # not a truthiness test: {} must reach _make_scorer's
+            # required-keys error, never silently disable scoring.
+            # Built BEFORE any session state, so a bad config leaves the
+            # connection exactly as it was (_make_scorer scopes the
+            # device lock itself: store read outside, model init inside).
+            scorer = self._make_scorer(score_cfg)
         corpus = self._corpus_snapshot()  # host read; only staging and
         with self._lock:                  # session setup are device work
             seg = KnnHmmStreamSession(
@@ -426,17 +445,21 @@ class EmbedServer:
                  [f"frame_{seg.frames_seen + i}"
                   for i in range(len(req.get("frames_b64", ())))])
         embs = self._embed_request(req)
+        with self._lock:  # the kNN top-k matmul is device work
+            clips = seg.push_batch(names, embs)
         st = session.get("segment_score")
         if st is not None:
             # refs index frames by GLOBAL session position (what clip
             # start/end mean); full paths when available so cache-missed
             # frames can be re-embedded from disk. The scorer's LRU is
             # keyed by basename, so remember() under either ref form
-            # resolves the same way score_clip looks it up.
+            # resolves the same way score_clip looks it up. Extended
+            # ONLY after push_batch succeeded: a failed push consumed
+            # nothing (the CLI retry contract), and advancing refs here
+            # anyway would silently misalign every later clip's frame
+            # slice against the session's real positions.
             st["refs"].extend(req["paths"] if "paths" in req else names)
             st["scorer"].remember(names, embs)
-        with self._lock:  # the kNN top-k matmul is device work
-            clips = seg.push_batch(names, embs)
         resp = {"ok": True, "frames_seen": seg.frames_seen,
                 "clips": self._clips_json(clips)}
         events = self._score_clips(session, clips)
