@@ -1062,3 +1062,93 @@ def test_daemon_backend_sends_absolute_score_paths(monkeypatch):
     sc = reqs[0]["score_events"]
     assert os.path.isabs(sc["ckpt"]) and os.path.isabs(sc["db"])
     assert sc["collection"] == "ratt_db"
+
+
+def test_two_scored_sessions_interleaved_stay_isolated(seg_server,
+                                                       score_world):
+    """Scored sessions carry extra per-connection state (refs list,
+    embedding LRU, clip counter): two clients pushing interleaved
+    DIFFERENT streams must each get event rows computed from their own
+    frames — a refs leak would silently score the other game's footage."""
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    streams = {"a": ["left"] * 30 + ["none"] * 20,
+               "b": ["right"] * 30 + ["none"] * 20}
+    events = {"a": [], "b": []}
+    with SessionClient(sock) as a, SessionClient(sock) as b:
+        for c, vid in ((a, 1), (b, 2)):
+            assert c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                              "pad": 2, "max_lag": 64, "vid": vid,
+                              "score_events": score_world})["ok"]
+        for i in range(0, 50, 10):
+            for key, c in (("a", a), ("b", b)):
+                r = c.request({"op": "segment_push",
+                               "paths": [paths[s]
+                                         for s in streams[key][i: i + 10]]})
+                assert r["ok"]
+                events[key].extend(r.get("events", []))
+        for key, c in (("a", a), ("b", b)):
+            events[key].extend(c.request({"op": "segment_finish"})["events"])
+
+    def solo(key, vid):
+        out = []
+        with SessionClient(sock) as c:
+            assert c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                              "pad": 2, "max_lag": 64, "vid": vid,
+                              "score_events": score_world})["ok"]
+            r = c.request({"op": "segment_push",
+                           "paths": [paths[s] for s in streams[key]]})
+            out.extend(r.get("events", []))
+            out.extend(c.request({"op": "segment_finish"})["events"])
+        return out
+
+    assert events["a"] == solo("a", 1)
+    assert events["b"] == solo("b", 2)
+    # the two games really produced different rows (different sides,
+    # vids and logits), so the equality above is not vacuous
+    ra = [e for e in events["a"] if e]
+    rb = [e for e in events["b"] if e]
+    assert ra and rb
+    assert ra[0]["side"] == "left" and rb[0]["side"] == "right"
+    assert ra[0]["clip_key"] != rb[0]["clip_key"]
+
+
+def test_stats_op(seg_server):
+    """{"op": "stats"}: request counts, embed/segment counters, and the
+    active/abandoned session gauges — including a session dying with
+    its connection."""
+    import time as time_mod
+
+    from vit_research_tpu.serve import SessionClient
+
+    sock, paths = seg_server
+    with SessionClient(sock) as c:
+        assert c.request({"op": "ping"})["ok"]
+        assert c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                          "pad": 2})["ok"]
+        assert c.request({"op": "segment_push",
+                          "paths": [paths["left"]] * 4})["ok"]
+        assert not c.request({"op": "bogus"})["ok"]  # error counted
+        st = c.request({"op": "stats"})
+        assert st["ok"] and st["uptime_s"] >= 0
+        assert st["requests"]["ping"] == 1
+        assert st["requests"]["segment_push"] == 1
+        assert st["frames_embedded"] == 4
+        assert st["errors"] == 1
+        assert st["segment"]["sessions_started"] == 1
+        assert st["segment"]["sessions_active"] == 1
+        assert st["segment"]["frames_pushed"] == 4
+        assert st["collection"] == "corpus" and st["out_dim"] == 64
+    # the connection dropped with its session still open -> abandoned
+    # (the handler's finally runs as the socket tears down; poll briefly)
+    deadline = time_mod.time() + 5
+    st = None
+    while time_mod.time() < deadline:
+        st = request(sock, {"op": "stats"})
+        if st["segment"]["sessions_abandoned"] == 1:
+            break
+        time_mod.sleep(0.05)
+    assert st["segment"]["sessions_abandoned"] == 1
+    assert st["segment"]["sessions_active"] == 0
+    assert st["segment"]["sessions_finished"] == 0

@@ -17,6 +17,11 @@ response object per line.
     {"op": "embed", "frames_b64": [...]}       (base64 JPEG/PNG bytes)
     {"op": "query", "paths"|"frames_b64"|"embeddings": ..., "n_results": 5,
      "where": {...}}                           -> per-query ids/distances/metadatas
+    {"op": "stats"}                            -> uptime, per-op request counts,
+                                                  error count, frames embedded,
+                                                  device batches, segment session
+                                                  gauges (active/finished/abandoned,
+                                                  frames/clips/events)
     {"op": "shutdown"}
 
 Live segmentation sessions (one per connection — use
@@ -211,6 +216,25 @@ class EmbedServer:
         self._server = None
         self._corpus_cache = None  # (collection mutation count, corpus)
         self._corpus_lock = threading.Lock()
+        # observability (the `stats` op): counters shared across
+        # connection threads, guarded by their own lock — never the
+        # device lock, a stats probe must not queue behind a forward
+        self._stats_lock = threading.Lock()
+        self._started = time.time()
+        self._stats = {
+            "requests": {}, "errors": 0, "frames_embedded": 0,
+            "segment": {"sessions_started": 0, "sessions_finished": 0,
+                        "sessions_abandoned": 0, "sessions_active": 0,
+                        "frames_pushed": 0, "clips_emitted": 0,
+                        "events_scored": 0, "event_errors": 0},
+        }
+
+    def _count(self, *path, n: int = 1):
+        with self._stats_lock:
+            d = self._stats
+            for key in path[:-1]:
+                d = d[key]
+            d[path[-1]] = d.get(path[-1], 0) + n
 
     # ---- request handling -------------------------------------------------
 
@@ -229,6 +253,7 @@ class EmbedServer:
             batch = _decode_b64_frames(req["frames_b64"], self.engine.spec)
         else:
             raise ValueError("embed needs 'paths' or 'frames_b64'")
+        self._count("frames_embedded", n=len(batch))
         if self._coalescer is not None:
             return self._coalescer.embed(batch)
         with self._lock:
@@ -356,6 +381,12 @@ class EmbedServer:
                 # lost to the client while the session state has already
                 # advanced past them. Surface the error in the row.
                 rows.append({"error": str(e)})
+        self._count("segment", "events_scored",
+                    n=sum(1 for r in rows
+                          if r is not None and "clip_key" in r))
+        self._count("segment", "event_errors",
+                    n=sum(1 for r in rows
+                          if r is not None and "clip_key" not in r))
         return rows
 
     def _segment_start(self, req, session) -> dict:
@@ -425,6 +456,8 @@ class EmbedServer:
             session["segment_score"] = {
                 "scorer": scorer, "refs": [], "clips": 0,
                 "vid": int(req.get("vid") or 0)}
+        self._count("segment", "sessions_started")
+        self._count("segment", "sessions_active")
         return {"ok": True, "corpus_size": seg.corpus_size,
                 "metric": space, "scoring": scorer is not None}
 
@@ -460,6 +493,8 @@ class EmbedServer:
             # slice against the session's real positions.
             st["refs"].extend(req["paths"] if "paths" in req else names)
             st["scorer"].remember(names, embs)
+        self._count("segment", "frames_pushed", n=len(names))
+        self._count("segment", "clips_emitted", n=len(clips))
         resp = {"ok": True, "frames_seen": seg.frames_seen,
                 "clips": self._clips_json(clips)}
         events = self._score_clips(session, clips)
@@ -475,17 +510,45 @@ class EmbedServer:
         resp = {"ok": True, "frames_seen": seg.frames_seen,  # must not
                 "forced": seg.forced,  # lose the pending clips silently
                 "clips": self._clips_json(clips)}
+        self._count("segment", "clips_emitted", n=len(clips))
         events = self._score_clips(session, clips)
         if events is not None:
             resp["events"] = events
         session.pop("segment")
         session.pop("segment_score", None)
+        self._count("segment", "sessions_finished")
+        self._count("segment", "sessions_active", n=-1)
         return resp
+
+    def _connection_closed(self, session) -> None:
+        """Called by the socket handler when a connection ends. A still-
+        open segment session dies with it (state is per-connection) —
+        account it so the active gauge can't leak upward forever."""
+        if session.get("segment") is not None:
+            session.pop("segment", None)
+            session.pop("segment_score", None)
+            self._count("segment", "sessions_abandoned")
+            self._count("segment", "sessions_active", n=-1)
 
     def handle(self, req: dict, session: dict | None = None) -> dict:
         if session is None:
             session = {}
         op = req.get("op")
+        self._count("requests", str(op))
+        if op == "stats":
+            with self._stats_lock:
+                snap = {"requests": dict(self._stats["requests"]),
+                        "errors": self._stats["errors"],
+                        "frames_embedded": self._stats["frames_embedded"],
+                        "segment": dict(self._stats["segment"])}
+            return {"ok": True,
+                    "uptime_s": round(time.time() - self._started, 3),
+                    **snap,
+                    "device_batches": (self._coalescer.batches_run
+                                       if self._coalescer else None),
+                    "collection": getattr(self.collection, "name", None),
+                    "batch_size": self.engine.batch_size,
+                    "out_dim": self.engine.out_dim}
         if op == "segment_start":
             return self._segment_start(req, session)
         if op == "segment_push":
@@ -532,23 +595,29 @@ class EmbedServer:
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 session: dict = {}  # per-connection state (segment ops)
-                for line in self.rfile:
-                    if not line.strip():
-                        continue
-                    try:
-                        req = json.loads(line)
-                        resp = handler_self.handle(req, session)
-                    except Exception as e:  # keep the connection alive
-                        resp = {"ok": False, "error": str(e)}
-                    self.wfile.write(
-                        (json.dumps(resp) + "\n").encode())
-                    self.wfile.flush()
-                    if resp.get("stopping"):
-                        # Response is on the wire; now stop. shutdown()
-                        # is safe here: handlers run on their own
-                        # threads, not the serve_forever thread.
-                        handler_self.stop()
-                        return
+                try:
+                    for line in self.rfile:
+                        if not line.strip():
+                            continue
+                        try:
+                            req = json.loads(line)
+                            resp = handler_self.handle(req, session)
+                        except Exception as e:  # keep the connection alive
+                            handler_self._count("errors")
+                            resp = {"ok": False, "error": str(e)}
+                        self.wfile.write(
+                            (json.dumps(resp) + "\n").encode())
+                        self.wfile.flush()
+                        if resp.get("stopping"):
+                            # Response is on the wire; now stop.
+                            # shutdown() is safe here: handlers run on
+                            # their own threads, not the serve_forever
+                            # thread.
+                            handler_self.stop()
+                            return
+                finally:
+                    # an open segment session dies with its connection
+                    handler_self._connection_closed(session)
 
         class Server(socketserver.ThreadingUnixStreamServer):
             daemon_threads = True
