@@ -1152,3 +1152,104 @@ def test_stats_op(seg_server):
     assert st["segment"]["sessions_abandoned"] == 1
     assert st["segment"]["sessions_active"] == 0
     assert st["segment"]["sessions_finished"] == 0
+
+
+def test_daemon_follow_backend_reconnects_and_replays(engine, seg_world,
+                                                      tmp_path):
+    """A daemon restart mid-game must not kill a --socket follower:
+    session state is connection-scoped, so the backend reconnects,
+    replays its push history against the fresh session, and returns
+    only the clips beyond those already delivered — the final clip set
+    equals an uninterrupted run's."""
+    import argparse
+
+    from vit_research_tpu import cli
+
+    paths, coll = seg_world
+    sock = str(tmp_path / "flap.sock")
+
+    def start_server():
+        srv = EmbedServer(engine, collection=coll, coalesce_ms=0)
+        ready = threading.Event()
+        t = threading.Thread(target=srv.serve, args=(sock,),
+                             kwargs={"ready_event": ready}, daemon=True)
+        t.start()
+        assert ready.wait(10)
+        return srv, t
+
+    args = argparse.Namespace(
+        socket=sock, k=5, confidence_threshold=0.7, min_len=20, pad=2,
+        max_lag=64, write_back=False, vid=1, score_events=False)
+    stream = ["left"] * 30 + ["none"] * 20
+    sp = [paths[s] for s in stream]
+
+    srv1, t1 = start_server()
+    backend = cli._DaemonFollowBackend(args)
+    clips = []
+    c, _ = backend.push(stream[:20], sp[:20])
+    clips.extend(c)
+    # the daemon dies (taking the session lattice with it) and comes back
+    srv1.stop()
+    t1.join(timeout=10)
+    srv2, t2 = start_server()
+    try:
+        for i in range(20, 50, 10):
+            c, _ = backend.push(stream[i: i + 10], sp[i: i + 10])
+            clips.extend(c)
+        fin_clips, _, forced = backend.finish()
+        clips.extend(fin_clips)
+    finally:
+        srv2.stop()
+        t2.join(timeout=10)
+    # identical to the uninterrupted session (cf. the mid-game test)
+    assert [(c.side, c.start, c.end) for c in clips] == [("left", 0, 31)]
+
+
+def test_reconnect_skips_already_returned_clips(engine, seg_world,
+                                                tmp_path):
+    """Clips delivered BEFORE the connection dropped re-emerge in the
+    deterministic replay — the backend must skip them by count, or the
+    follow loop would write (and score) every early possession twice."""
+    import argparse
+
+    from vit_research_tpu import cli
+
+    paths, coll = seg_world
+    sock = str(tmp_path / "flap2.sock")
+
+    def start_server():
+        srv = EmbedServer(engine, collection=coll, coalesce_ms=0)
+        ready = threading.Event()
+        t = threading.Thread(target=srv.serve, args=(sock,),
+                             kwargs={"ready_event": ready}, daemon=True)
+        t.start()
+        assert ready.wait(10)
+        return srv, t
+
+    args = argparse.Namespace(
+        socket=sock, k=5, confidence_threshold=0.7, min_len=20, pad=2,
+        max_lag=64, write_back=False, vid=1, score_events=False)
+    first = ["left"] * 30 + ["none"] * 20
+    second = ["right"] * 30 + ["none"] * 20
+
+    srv1, t1 = start_server()
+    backend = cli._DaemonFollowBackend(args)
+    clips = []
+    c, _ = backend.push(first, [paths[s] for s in first])
+    clips.extend(c)
+    assert [(x.side, x.start, x.end) for x in clips] == [("left", 0, 31)]
+    srv1.stop()
+    t1.join(timeout=10)
+    srv2, t2 = start_server()
+    try:
+        c, _ = backend.push(second, [paths[s] for s in second])
+        clips.extend(c)
+        fin, _, _ = backend.finish()
+        clips.extend(fin)
+    finally:
+        srv2.stop()
+        t2.join(timeout=10)
+    # left: start clamped at 0; right: possession starts at frame 50,
+    # padded extent 48..81 (pad=2)
+    assert [(x.side, x.start, x.end) for x in clips] == [
+        ("left", 0, 31), ("right", 48, 81)]

@@ -886,11 +886,33 @@ class _DaemonFollowBackend:
     socket and writes clip dirs / event rows from the replies. N games
     can follow concurrently against ONE chip — the daemon serializes
     device work and micro-batches concurrent embeds (serve.py), where
-    N local --follow loops would each demand their own engine."""
+    N local --follow loops would each demand their own engine.
+
+    Resilience: daemon session state is CONNECTION-scoped, so a dropped
+    connection (or a daemon restart) loses the lattice — but this
+    backend records every successful push and, on ConnectionError,
+    reconnects (waiting up to ``RECONNECT_DEADLINE_S`` for the socket
+    to come back), opens a fresh session and REPLAYS the history. The
+    replay is deterministic, so already-returned clips re-emerge
+    identically and are skipped by count; the game continues mid-stream
+    instead of dying with the connection."""
+
+    RECONNECT_DEADLINE_S = 120.0
 
     def __init__(self, args, transition_matrix=None):
+        self._args = args
+        self._transitions = (None if transition_matrix is None else
+                             [[float(x) for x in row]
+                              for row in transition_matrix])
+        self._history: list[list[str]] = []  # successful pushes (paths)
+        self._clips_returned = 0
+        self.client = None
+        self._connect(first=True)
+
+    def _connect(self, *, first: bool) -> None:
         from vit_research_tpu.serve import SessionClient
 
+        args = self._args
         # generous timeout: the daemon's first batches may hit fresh jit
         # compiles (minutes over a TPU tunnel)
         self.client = SessionClient(args.socket, timeout=600.0)
@@ -899,9 +921,8 @@ class _DaemonFollowBackend:
                "min_len": args.min_len, "pad": args.pad,
                "max_lag": args.max_lag,
                "write_back": bool(args.write_back), "vid": args.vid}
-        if transition_matrix is not None:
-            req["transitions"] = [
-                [float(x) for x in row] for row in transition_matrix]
+        if self._transitions is not None:
+            req["transitions"] = self._transitions
         if args.score_events:
             # same preflight as the local scorer, evaluated daemon-side
             # (the daemon replies with the loader's error on a bad run).
@@ -921,16 +942,71 @@ class _DaemonFollowBackend:
                 "emb_cache_cap": 16384}
         resp = self.client.request(req)
         if not resp.get("ok"):
-            raise SystemExit(
-                f"daemon refused the segment session: {resp.get('error')}")
+            # only the FIRST connect turns a refusal into a clean exit
+            # (bad user config); a refusal after a reconnect is a
+            # changed daemon — surface it loudly
+            err = f"daemon refused the segment session: {resp.get('error')}"
+            if first:
+                raise SystemExit(err)
+            raise RuntimeError(err)
         self.scoring = bool(resp.get("scoring"))
 
-    def push(self, names, paths):
+    @staticmethod
+    def _ivs(clips):
         from vit_research_tpu.segment.clips import ClipInterval
 
-        resp = self.client.request(
-            {"op": "segment_push",
-             "paths": [os.path.abspath(p) for p in paths]})
+        return [ClipInterval(side=c["side"], start=int(c["start"]),
+                             end=int(c["end"])) for c in clips]
+
+    def _reconnect_and_replay(self, pending_paths):
+        """New connection + session, replay the push history (and the
+        interrupted push, when given); returns only the clips/events
+        BEYOND those already returned to the follow loop."""
+        import time
+
+        try:
+            self.client.close()
+        except Exception:  # noqa: BLE001 - already broken
+            pass
+        print(f"WARNING: daemon connection lost after "
+              f"{len(self._history)} pushes; reconnecting and replaying "
+              "(session state is connection-scoped)", flush=True)
+        deadline = time.monotonic() + self.RECONNECT_DEADLINE_S
+        while True:
+            try:
+                self._connect(first=False)
+                break
+            except (OSError, ConnectionError):
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(2.0)
+        replay = self._history + (
+            [pending_paths] if pending_paths is not None else [])
+        all_clips, all_events = [], []
+        for paths in replay:
+            r = self.client.request({"op": "segment_push", "paths": paths})
+            if not r.get("ok"):
+                raise RuntimeError(
+                    f"replay failed mid-history: {r.get('error')}")
+            all_clips.extend(r["clips"])
+            all_events.extend(r.get("events") or [])
+        new_clips = all_clips[self._clips_returned:]
+        new_events = (all_events[self._clips_returned:]
+                      if self.scoring else None)
+        self._clips_returned = len(all_clips)
+        print(f"reconnected: replayed {len(replay)} pushes, "
+              f"{len(new_clips)} new clip(s)", flush=True)
+        return self._ivs(new_clips), new_events
+
+    def push(self, names, paths):
+        paths = [os.path.abspath(p) for p in paths]
+        try:
+            resp = self.client.request(
+                {"op": "segment_push", "paths": paths})
+        except ConnectionError:
+            clips, events = self._reconnect_and_replay(paths)
+            self._history.append(paths)
+            return clips, events
         if not resp.get("ok"):
             # surfaced like a local embed failure so the follow loop's
             # isolate/decode-retry logic applies unchanged (the daemon
@@ -938,21 +1014,26 @@ class _DaemonFollowBackend:
             # consumed nothing)
             raise RuntimeError(f"daemon segment_push failed: "
                                f"{resp.get('error')}")
-        clips = [ClipInterval(side=c["side"], start=int(c["start"]),
-                              end=int(c["end"])) for c in resp["clips"]]
-        return clips, resp.get("events")
+        self._history.append(paths)
+        self._clips_returned += len(resp["clips"])
+        return self._ivs(resp["clips"]), resp.get("events")
 
     def finish(self):
-        from vit_research_tpu.segment.clips import ClipInterval
-
-        resp = self.client.request({"op": "segment_finish"})
+        pre_clips, pre_events = [], []
+        try:
+            resp = self.client.request({"op": "segment_finish"})
+        except ConnectionError:
+            pre_clips, pre_events = self._reconnect_and_replay(None)
+            pre_events = pre_events or []
+            resp = self.client.request({"op": "segment_finish"})
         if not resp.get("ok"):
             raise SystemExit(
                 f"daemon segment_finish failed: {resp.get('error')}")
         self.client.close()
-        clips = [ClipInterval(side=c["side"], start=int(c["start"]),
-                              end=int(c["end"])) for c in resp["clips"]]
-        return clips, resp.get("events"), int(resp.get("forced", 0))
+        clips = pre_clips + self._ivs(resp["clips"])
+        events = ((pre_events + (resp.get("events") or []))
+                  if self.scoring else None)
+        return clips, events, int(resp.get("forced", 0))
 
 
 def _segment_follow(args, backend):
