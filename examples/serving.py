@@ -241,7 +241,10 @@ def main():
     t = threading.Thread(target=srv.serve, args=(sock,),
                          kwargs={"ready_event": ready}, daemon=True)
     t.start()
-    ready.wait(30)
+    # a False here means serve() raised (e.g. a live previous run still
+    # owns the socket) — fail with the real cause, not a downstream
+    # connection error
+    assert ready.wait(30), f"daemon failed to start on {sock}"
 
     stateless_ops(sock, paths)
     scored_session(sock, paths, workdir, ckpt)

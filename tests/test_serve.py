@@ -1155,7 +1155,7 @@ def test_stats_op(seg_server):
 
 
 def test_daemon_follow_backend_reconnects_and_replays(engine, seg_world,
-                                                      tmp_path):
+                                                      tmp_path, capsys):
     """A daemon restart mid-game must not kill a --socket follower:
     session state is connection-scoped, so the backend reconnects,
     replays its push history against the fresh session, and returns
@@ -1188,9 +1188,14 @@ def test_daemon_follow_backend_reconnects_and_replays(engine, seg_world,
     clips = []
     c, _ = backend.push(stream[:20], sp[:20])
     clips.extend(c)
-    # the daemon dies (taking the session lattice with it) and comes back
+    # the daemon dies (taking the session lattice with it) and comes
+    # back. stop() alone is NOT a severed connection — the established
+    # handler thread would keep serving the zombie session and the
+    # replay path would never run; shutdown the client socket too (what
+    # a killed daemon process does to it)
     srv1.stop()
     t1.join(timeout=10)
+    backend.client._sock.shutdown(__import__("socket").SHUT_RDWR)
     srv2, t2 = start_server()
     try:
         for i in range(20, 50, 10):
@@ -1201,12 +1206,15 @@ def test_daemon_follow_backend_reconnects_and_replays(engine, seg_world,
     finally:
         srv2.stop()
         t2.join(timeout=10)
+    # the replay path really ran (guards against a vacuous severing —
+    # srv.stop() alone leaves the old handler thread serving)
+    assert "reconnecting and replaying" in capsys.readouterr().out
     # identical to the uninterrupted session (cf. the mid-game test)
     assert [(c.side, c.start, c.end) for c in clips] == [("left", 0, 31)]
 
 
 def test_reconnect_skips_already_returned_clips(engine, seg_world,
-                                                tmp_path):
+                                                tmp_path, capsys):
     """Clips delivered BEFORE the connection dropped re-emerge in the
     deterministic replay — the backend must skip them by count, or the
     follow loop would write (and score) every early possession twice."""
@@ -1240,6 +1248,7 @@ def test_reconnect_skips_already_returned_clips(engine, seg_world,
     assert [(x.side, x.start, x.end) for x in clips] == [("left", 0, 31)]
     srv1.stop()
     t1.join(timeout=10)
+    backend.client._sock.shutdown(__import__("socket").SHUT_RDWR)
     srv2, t2 = start_server()
     try:
         c, _ = backend.push(second, [paths[s] for s in second])
@@ -1249,7 +1258,95 @@ def test_reconnect_skips_already_returned_clips(engine, seg_world,
     finally:
         srv2.stop()
         t2.join(timeout=10)
+    assert "reconnecting and replaying" in capsys.readouterr().out
     # left: start clamped at 0; right: possession starts at frame 50,
     # padded extent 48..81 (pad=2)
     assert [(x.side, x.start, x.end) for x in clips] == [
         ("left", 0, 31), ("right", 48, 81)]
+
+
+def test_replay_failure_poisons_backend(engine, seg_world, tmp_path,
+                                        capsys):
+    """A replay that fails mid-history must POISON the backend: pushing
+    onto a session holding only a prefix of the history would silently
+    misalign every later clip's frame indices."""
+    import argparse
+    import shutil
+    import socket as socket_mod
+
+    from vit_research_tpu import cli
+
+    paths, coll = seg_world
+    sock = str(tmp_path / "flap3.sock")
+
+    def start_server():
+        srv = EmbedServer(engine, collection=coll, coalesce_ms=0)
+        ready = threading.Event()
+        t = threading.Thread(target=srv.serve, args=(sock,),
+                             kwargs={"ready_event": ready}, daemon=True)
+        t.start()
+        assert ready.wait(10)
+        return srv, t
+
+    # history frames live in a dir we can delete from
+    fdir = tmp_path / "hist"
+    fdir.mkdir()
+    hist_paths = []
+    for i in range(10):
+        p = str(fdir / f"h{i}.png")
+        shutil.copy(paths["left"], p)
+        hist_paths.append(p)
+
+    args = argparse.Namespace(
+        socket=sock, k=5, confidence_threshold=0.7, min_len=20, pad=2,
+        max_lag=64, write_back=False, vid=1, score_events=False)
+    srv1, t1 = start_server()
+    backend = cli._DaemonFollowBackend(args)
+    backend.push([os.path.basename(p) for p in hist_paths], hist_paths)
+    srv1.stop()
+    t1.join(timeout=10)
+    backend.client._sock.shutdown(socket_mod.SHUT_RDWR)
+    os.unlink(hist_paths[3])  # the dump dir rotated a history frame away
+    srv2, t2 = start_server()
+    try:
+        with pytest.raises(RuntimeError, match="replay failed"):
+            backend.push(["x"], [paths["none"]])
+        # poisoned: every further push refuses immediately
+        with pytest.raises(RuntimeError, match="unrecoverable"):
+            backend.push(["x"], [paths["none"]])
+        with pytest.raises(RuntimeError, match="unrecoverable"):
+            backend.finish()
+    finally:
+        srv2.stop()
+        t2.join(timeout=10)
+
+
+def test_write_back_session_refuses_replay(engine, seg_world, tmp_path):
+    """--write-back grew the corpus mid-game, so a replayed decode is
+    not deterministic — a dropped connection must fail loudly instead
+    of writing shifted/duplicate possessions."""
+    import argparse
+    import socket as socket_mod
+
+    from vit_research_tpu import cli
+
+    paths, coll = seg_world
+    sock = str(tmp_path / "flap4.sock")
+    srv = EmbedServer(engine, collection=coll, coalesce_ms=0)
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    args = argparse.Namespace(
+        socket=sock, k=5, confidence_threshold=0.7, min_len=20, pad=2,
+        max_lag=64, write_back=True, vid=1, score_events=False)
+    try:
+        backend = cli._DaemonFollowBackend(args)
+        backend.push(["a"], [paths["left"]])
+        backend.client._sock.shutdown(socket_mod.SHUT_RDWR)
+        with pytest.raises(RuntimeError, match="write-back"):
+            backend.push(["b"], [paths["left"]])
+    finally:
+        srv.stop()
+        t.join(timeout=10)

@@ -895,7 +895,10 @@ class _DaemonFollowBackend:
     to come back), opens a fresh session and REPLAYS the history. The
     replay is deterministic, so already-returned clips re-emerge
     identically and are skipped by count; the game continues mid-stream
-    instead of dying with the connection."""
+    instead of dying with the connection. --write-back sessions cannot
+    replay (their corpus grew mid-game, shifting the decode) and a
+    failure DURING replay poisons the backend — both fail loudly rather
+    than continue on misaligned state."""
 
     RECONNECT_DEADLINE_S = 120.0
 
@@ -906,6 +909,7 @@ class _DaemonFollowBackend:
                               for row in transition_matrix])
         self._history: list[list[str]] = []  # successful pushes (paths)
         self._clips_returned = 0
+        self._poisoned: str | None = None
         self.client = None
         self._connect(first=True)
 
@@ -958,16 +962,34 @@ class _DaemonFollowBackend:
         return [ClipInterval(side=c["side"], start=int(c["start"]),
                              end=int(c["end"])) for c in clips]
 
+    def _poison(self, why: str):
+        """Refuse every further push: continuing on a partially-replayed
+        session would silently misalign every later clip's global frame
+        indices against the wrong frames."""
+        self._poisoned = why
+        return RuntimeError(f"daemon follow backend unrecoverable: {why} "
+                            "— restart the follower")
+
     def _reconnect_and_replay(self, pending_paths):
         """New connection + session, replay the push history (and the
         interrupted push, when given); returns only the clips/events
-        BEYOND those already returned to the follow loop."""
+        BEYOND those already returned to the follow loop. Any failure
+        DURING the replay poisons the backend — a half-replayed session
+        must never accept more pushes."""
         import time
 
         try:
             self.client.close()
         except Exception:  # noqa: BLE001 - already broken
             pass
+        if self._args.write_back:
+            # replay is only deterministic against the session's
+            # start-time corpus; a write-back session grew the corpus
+            # mid-game, so the reconnected decode could shift clip
+            # boundaries and break the skip-by-count dedupe — refuse
+            raise self._poison(
+                "connection lost on a --write-back session (replay "
+                "against the grown corpus is not deterministic)")
         print(f"WARNING: daemon connection lost after "
               f"{len(self._history)} pushes; reconnecting and replaying "
               "(session state is connection-scoped)", flush=True)
@@ -976,17 +998,23 @@ class _DaemonFollowBackend:
             try:
                 self._connect(first=False)
                 break
-            except (OSError, ConnectionError):
+            except OSError:
                 if time.monotonic() > deadline:
-                    raise
+                    raise self._poison(
+                        "daemon did not come back within "
+                        f"{self.RECONNECT_DEADLINE_S:.0f}s")
                 time.sleep(2.0)
         replay = self._history + (
             [pending_paths] if pending_paths is not None else [])
         all_clips, all_events = [], []
         for paths in replay:
-            r = self.client.request({"op": "segment_push", "paths": paths})
+            try:
+                r = self.client.request({"op": "segment_push",
+                                         "paths": paths})
+            except Exception as e:  # noqa: BLE001 - poison, don't nest
+                raise self._poison(f"replay failed mid-history: {e}")
             if not r.get("ok"):
-                raise RuntimeError(
+                raise self._poison(
                     f"replay failed mid-history: {r.get('error')}")
             all_clips.extend(r["clips"])
             all_events.extend(r.get("events") or [])
@@ -999,11 +1027,16 @@ class _DaemonFollowBackend:
         return self._ivs(new_clips), new_events
 
     def push(self, names, paths):
+        if self._poisoned:
+            raise RuntimeError(
+                f"daemon follow backend unrecoverable: {self._poisoned}")
         paths = [os.path.abspath(p) for p in paths]
         try:
             resp = self.client.request(
                 {"op": "segment_push", "paths": paths})
-        except ConnectionError:
+        except OSError:
+            # ConnectionError AND timeouts (a busy daemon past the 600s
+            # recv window poisons the SessionClient the same way)
             clips, events = self._reconnect_and_replay(paths)
             self._history.append(paths)
             return clips, events
@@ -1019,10 +1052,13 @@ class _DaemonFollowBackend:
         return self._ivs(resp["clips"]), resp.get("events")
 
     def finish(self):
+        if self._poisoned:
+            raise RuntimeError(
+                f"daemon follow backend unrecoverable: {self._poisoned}")
         pre_clips, pre_events = [], []
         try:
             resp = self.client.request({"op": "segment_finish"})
-        except ConnectionError:
+        except OSError:
             pre_clips, pre_events = self._reconnect_and_replay(None)
             pre_events = pre_events or []
             resp = self.client.request({"op": "segment_finish"})

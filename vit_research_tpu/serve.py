@@ -253,11 +253,15 @@ class EmbedServer:
             batch = _decode_b64_frames(req["frames_b64"], self.engine.spec)
         else:
             raise ValueError("embed needs 'paths' or 'frames_b64'")
-        self._count("frames_embedded", n=len(batch))
         if self._coalescer is not None:
-            return self._coalescer.embed(batch)
-        with self._lock:
-            return self.engine.embed_batch(batch)
+            out = self._coalescer.embed(batch)
+        else:
+            with self._lock:
+                out = self.engine.embed_batch(batch)
+        # counted AFTER the engine returns: failed embeds must not
+        # inflate the gauge (frames_pushed is success-only too)
+        self._count("frames_embedded", n=len(batch))
+        return out
 
     def _corpus_snapshot(self):
         """Labeled corpus dict from the collection, cached across
