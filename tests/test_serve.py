@@ -1350,3 +1350,50 @@ def test_write_back_session_refuses_replay(engine, seg_world, tmp_path):
     finally:
         srv.stop()
         t.join(timeout=10)
+
+
+def test_serve_ctl_cli(server, engine, tmp_path, capsys):
+    """cli serve-ctl: operator ping/stats/shutdown without hand-written
+    socket code (and without importing jax or spinning an engine)."""
+    import json
+
+    from vit_research_tpu import cli
+
+    sock, _, _, _ = server
+    cli.main(["serve-ctl", "ping", "--socket", sock])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["out_dim"] == 64
+    cli.main(["serve-ctl", "stats", "--socket", sock])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and "segment" in out and "uptime_s" in out
+    with pytest.raises(SystemExit, match="no daemon socket"):
+        cli.main(["serve-ctl", "ping", "--socket",
+                  str(tmp_path / "nope.sock")])
+    # shutdown: against its own throwaway daemon
+    srv2 = EmbedServer(engine, coalesce_ms=0)
+    sock2 = str(tmp_path / "ctl.sock")
+    ready = threading.Event()
+    t2 = threading.Thread(target=srv2.serve, args=(sock2,),
+                          kwargs={"ready_event": ready}, daemon=True)
+    t2.start()
+    assert ready.wait(10)
+    cli.main(["serve-ctl", "shutdown", "--socket", sock2])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["stopping"]
+    t2.join(timeout=10)
+    assert not t2.is_alive()
+
+
+def test_serve_ctl_tolerates_closed_stdout_pipe(server):
+    """`cli serve-ctl stats | head -1` must exit cleanly, not dump a
+    BrokenPipeError traceback (standard unix-filter behavior)."""
+    import subprocess
+    import sys
+
+    sock, _, _, _ = server
+    proc = subprocess.run(
+        f"{sys.executable} -m vit_research_tpu.cli serve-ctl stats "
+        f"--socket {sock} | head -c 5",
+        shell=True, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0
+    assert "Traceback" not in proc.stderr and "BrokenPipe" not in proc.stderr

@@ -298,6 +298,25 @@ def cmd_serve(args):
     server.serve(args.socket)
 
 
+def cmd_serve_ctl(args):
+    """Operator client for a running daemon: ping / stats / shutdown
+    over its unix socket — no engine, no jax, instant."""
+    import json
+
+    from vit_research_tpu.serve import request
+
+    if not os.path.exists(args.socket):
+        raise SystemExit(f"no daemon socket at {args.socket!r} "
+                         "(start one with: serve --socket ...)")
+    try:
+        resp = request(args.socket, {"op": args.op}, timeout=args.timeout)
+    except (OSError, ConnectionError) as e:
+        raise SystemExit(f"daemon at {args.socket!r} did not answer: {e}")
+    if not resp.get("ok"):
+        raise SystemExit(f"daemon error: {resp.get('error')}")
+    print(json.dumps(resp, indent=2, sort_keys=True))
+
+
 def _labeled_frames(frames_dir: str, manual_csv: str):
     """Sorted frame names with manual-interval side labels ('ignore' for
     unlabeled)."""
@@ -2160,9 +2179,27 @@ def main(argv=None):
                          "(0 disables)")
     sv.set_defaults(fn=cmd_serve)
 
+    sc = sub.add_parser(
+        "serve-ctl", help="operate a running serve daemon: ping, stats, "
+                          "shutdown")
+    sc.add_argument("op", choices=["ping", "stats", "shutdown"])
+    sc.add_argument("--socket", required=True)
+    sc.add_argument("--timeout", type=float, default=60.0)
+    sc.set_defaults(fn=cmd_serve_ctl)
+
     args = p.parse_args(argv)
     try:
         args.fn(args)
+    except BrokenPipeError:
+        # `cli ... | head` closed our stdout early — exit quietly like
+        # any well-behaved unix filter instead of dumping a traceback.
+        # Redirect stdout to devnull first: the interpreter's exit-time
+        # flush (and the finally below) would otherwise raise a SECOND
+        # BrokenPipeError after this handler.
+        import sys
+
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
     finally:
         # VRT_PROFILE=1: per-stage span report (embed.decode/dispatch/
         # readback, store.query, ... — utils/profiling.py).
