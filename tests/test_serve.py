@@ -1397,3 +1397,116 @@ def test_serve_ctl_tolerates_closed_stdout_pipe(server):
         shell=True, capture_output=True, text=True, timeout=120)
     assert proc.returncode == 0
     assert "Traceback" not in proc.stderr and "BrokenPipe" not in proc.stderr
+
+
+def test_daemon_mixed_concurrency_stress(engine, seg_world, score_world,
+                                         tmp_path):
+    """One daemon, eight concurrent clients with mixed workloads —
+    scored + plain segment sessions, embed/query bursts, a stats
+    poller, a bad-request client. Guards the lock ordering added by
+    scoring/stats: everyone must finish (no deadlock), every session
+    must match its solo result, and the gauges must reconcile."""
+    import time as time_mod
+
+    from vit_research_tpu.serve import SessionClient
+
+    paths, coll = seg_world
+    srv = EmbedServer(engine, collection=coll)
+    sock = str(tmp_path / "stress.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+
+    errs, results = [], {}
+
+    def seg_client(key, side, vid, scored):
+        try:
+            stream = [side] * 30 + ["none"] * 20
+            clips = []
+            with SessionClient(sock, timeout=120) as c:
+                req = {"op": "segment_start", "k": 5, "min_len": 20,
+                       "pad": 2, "max_lag": 64, "vid": vid}
+                if scored:
+                    req["score_events"] = score_world
+                assert c.request(req)["ok"]
+                for i in range(0, 50, 10):
+                    r = c.request({"op": "segment_push",
+                                   "paths": [paths[s]
+                                             for s in stream[i: i + 10]]})
+                    assert r["ok"], r
+                    clips.extend(r["clips"])
+                fin = c.request({"op": "segment_finish"})
+                assert fin["ok"]
+                clips.extend(fin["clips"])
+            results[key] = clips
+        except Exception as e:  # pragma: no cover
+            errs.append((key, e))
+
+    def embed_client(key):
+        try:
+            with SessionClient(sock, timeout=120) as c:
+                for _ in range(10):
+                    r = c.request({"op": "embed",
+                                   "paths": [paths["left"],
+                                             paths["right"]]})
+                    assert r["ok"] and len(r["embeddings"]) == 2
+                    q = c.request({"op": "query", "paths": [paths["none"]],
+                                   "n_results": 1})
+                    assert q["ok"]
+            results[key] = True
+        except Exception as e:  # pragma: no cover
+            errs.append((key, e))
+
+    def stats_poller(key):
+        try:
+            with SessionClient(sock, timeout=120) as c:
+                for _ in range(20):
+                    assert c.request({"op": "stats"})["ok"]
+                    time_mod.sleep(0.02)
+            results[key] = True
+        except Exception as e:  # pragma: no cover
+            errs.append((key, e))
+
+    def bad_client(key):
+        try:
+            with SessionClient(sock, timeout=120) as c:
+                for _ in range(10):
+                    assert not c.request({"op": "nope"})["ok"]
+                    assert not c.request({"op": "segment_finish"})["ok"]
+            results[key] = True
+        except Exception as e:  # pragma: no cover
+            errs.append((key, e))
+
+    threads = [
+        threading.Thread(target=seg_client, args=("s1", "left", 1, True)),
+        threading.Thread(target=seg_client, args=("s2", "right", 2, True)),
+        threading.Thread(target=seg_client, args=("s3", "left", 3, False)),
+        threading.Thread(target=seg_client, args=("s4", "right", 4, False)),
+        threading.Thread(target=embed_client, args=("e1",)),
+        threading.Thread(target=embed_client, args=("e2",)),
+        threading.Thread(target=stats_poller, args=("p1",)),
+        threading.Thread(target=bad_client, args=("b1",)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+        assert not th.is_alive(), "deadlocked client thread"
+    assert not errs, errs
+
+    for key, side in (("s1", "left"), ("s2", "right"),
+                      ("s3", "left"), ("s4", "right")):
+        assert results[key] == [{"side": side, "start": 0, "end": 31}], key
+    try:
+        st = request(sock, {"op": "stats"})
+    finally:
+        srv.stop()
+        t.join(timeout=10)
+    assert st["segment"]["sessions_started"] == 4
+    assert st["segment"]["sessions_finished"] == 4
+    assert st["segment"]["sessions_active"] == 0
+    assert st["segment"]["frames_pushed"] == 200
+    assert st["segment"]["clips_emitted"] == 4
+    assert st["segment"]["events_scored"] == 2  # the two scored sessions
