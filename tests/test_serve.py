@@ -1392,10 +1392,13 @@ def test_serve_ctl_tolerates_closed_stdout_pipe(server):
 
     sock, _, _, _ = server
     proc = subprocess.run(
-        f"{sys.executable} -m vit_research_tpu.cli serve-ctl stats "
-        f"--socket {sock} | head -c 5",
-        shell=True, capture_output=True, text=True, timeout=120)
-    assert proc.returncode == 0
+        f"set -o pipefail; {sys.executable} -u -m vit_research_tpu.cli "
+        f"serve-ctl stats --socket {sock} | head -c 5",
+        shell=True, executable="/bin/bash", capture_output=True,
+        text=True, timeout=120)
+    # pipefail: we assert PYTHON's exit code, not head's; -u forces the
+    # EPIPE to hit inside the handler's scope regardless of buffering
+    assert proc.returncode == 0, proc.stderr
     assert "Traceback" not in proc.stderr and "BrokenPipe" not in proc.stderr
 
 

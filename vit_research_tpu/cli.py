@@ -936,9 +936,14 @@ class _DaemonFollowBackend:
         from vit_research_tpu.serve import SessionClient
 
         args = self._args
-        # generous timeout: the daemon's first batches may hit fresh jit
-        # compiles (minutes over a TPU tunnel)
-        self.client = SessionClient(args.socket, timeout=600.0)
+        try:
+            # generous timeout: the daemon's first batches may hit fresh
+            # jit compiles (minutes over a TPU tunnel)
+            self.client = SessionClient(args.socket, timeout=600.0)
+        except FileNotFoundError as e:
+            if first:  # operator error, not a flap: clean exit
+                raise SystemExit(str(e))
+            raise
         req = {"op": "segment_start", "k": args.k,
                "confidence_threshold": args.confidence_threshold,
                "min_len": args.min_len, "pad": args.pad,
@@ -2193,8 +2198,11 @@ def main(argv=None):
     except BrokenPipeError:
         # `cli ... | head` closed our stdout early — exit quietly like
         # any well-behaved unix filter instead of dumping a traceback.
-        # Redirect stdout to devnull first: the interpreter's exit-time
-        # flush (and the finally below) would otherwise raise a SECOND
+        # Safe to scope this broadly because the daemon socket clients
+        # (serve.py) re-raise their pipe errors as plain ConnectionError
+        # — a dead daemon can never land here and masquerade as success.
+        # Redirect stdout to devnull: the interpreter's exit-time flush
+        # (and the finally below) would otherwise raise a SECOND
         # BrokenPipeError after this handler.
         import sys
 
@@ -2205,7 +2213,12 @@ def main(argv=None):
         # readback, store.query, ... — utils/profiling.py).
         from vit_research_tpu.utils.profiling import print_global_report
 
-        print_global_report()
+        try:
+            print_global_report()
+        except BrokenPipeError:
+            # the pipe can also close AFTER the command's own output
+            # succeeded — the report has nowhere to go, same quiet exit
+            pass
 
 
 if __name__ == "__main__":

@@ -687,6 +687,10 @@ class SessionClient:
     cheaper than :func:`request` for bursts of stateless calls."""
 
     def __init__(self, socket_path: str, timeout: float = 60.0):
+        if not os.path.exists(socket_path):
+            raise FileNotFoundError(
+                f"no daemon socket at {socket_path!r} (start one with: "
+                "vit-research-tpu serve --socket ...)")
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.settimeout(timeout)
         _connect_with_retry(self._sock, socket_path, timeout)
@@ -712,6 +716,14 @@ class SessionClient:
                     raise ConnectionError(
                         "server closed the connection mid-session")
                 self._buf += chunk
+        except BrokenPipeError as e:
+            # never let a SOCKET pipe error surface as BrokenPipeError:
+            # cli.main treats BrokenPipeError as "stdout closed by
+            # `| head`" and exits quietly — a dead daemon must stay a
+            # loud ConnectionError (base class, so except ConnectionError
+            # / OSError callers behave the same)
+            self.close()
+            raise ConnectionError(f"daemon connection broken: {e}") from e
         except Exception:
             self.close()
             raise
@@ -731,17 +743,22 @@ class SessionClient:
 
 def request(socket_path: str, req: dict, timeout: float = 60.0) -> dict:
     """One-shot client: send a request object, return the response."""
-    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
-        s.settimeout(timeout)
-        _connect_with_retry(s, socket_path, timeout)
-        s.sendall((json.dumps(req) + "\n").encode())
-        buf = b""
-        while not buf.endswith(b"\n"):
-            chunk = s.recv(1 << 20)
-            if not chunk:
-                if not buf:
-                    raise ConnectionError(
-                        "server closed the connection without replying")
-                break
-            buf += chunk
+    try:
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.settimeout(timeout)
+            _connect_with_retry(s, socket_path, timeout)
+            s.sendall((json.dumps(req) + "\n").encode())
+            buf = b""
+            while not buf.endswith(b"\n"):
+                chunk = s.recv(1 << 20)
+                if not chunk:
+                    if not buf:
+                        raise ConnectionError(
+                            "server closed the connection without replying")
+                    break
+                buf += chunk
+    except BrokenPipeError as e:
+        # see SessionClient.request: socket pipe errors must not be
+        # mistaken for a closed stdout by cli.main's quiet-exit handler
+        raise ConnectionError(f"daemon connection broken: {e}") from e
     return json.loads(buf)
