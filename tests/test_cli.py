@@ -496,6 +496,48 @@ def test_search_and_rebuild_db_cli(tmp_path, capsys):
 
     assert PersistentClient(db).get_collection("ragdb").count() > 0
 
+    # --notify-socket: the rebuild hot-reloads a live serve daemon.
+    # Reload never touches the engine, so a stub stands in for it
+    # (serve's reload path is pure store work).
+    import threading
+
+    from vit_research_tpu.serve import EmbedServer
+
+    rebuild_args = [
+        "rebuild-db", "--clip-root",
+        str(tmp_path / "clips_hmm_smooth_{vid}_smart"),
+        "--vids", "1", "--clip-labels", str(tmp_path / "labels.csv"),
+        "--store", store_dir, "--db", db, "--collection", "ragdb",
+        "--chunk-size", "6", "--chunk-stride", "3"]
+    # dead socket: the rebuild itself succeeds, the notify fails loudly
+    with pytest.raises(SystemExit, match="did not answer"):
+        cli.main(rebuild_args
+                 + ["--notify-socket", str(tmp_path / "gone.sock")])
+    capsys.readouterr()
+
+    class _StubEngine:
+        batch_size, out_dim, spec = 4, 8, None
+
+    stale = PersistentClient(db).get_collection("ragdb")
+    srv = EmbedServer(_StubEngine(), coalesce_ms=0, collection=stale,
+                      collection_source=(db, "ragdb"))
+    sock = str(tmp_path / "notify.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    try:
+        cli.main(rebuild_args + ["--notify-socket", sock])
+        out = capsys.readouterr().out
+        assert "rebuilt ragdb" in out and "daemon reloaded ragdb" in out
+        # the daemon swapped onto the freshly-rebuilt generation
+        assert srv.collection is not stale
+        assert srv.collection.count() == stale.count()
+    finally:
+        srv.stop()
+        t.join(timeout=10)
+
 
 def test_db_info_command(tmp_path, capsys):
     import numpy as np_

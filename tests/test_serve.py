@@ -540,12 +540,12 @@ def test_segment_session_uses_collection_metric(engine, tmp_path):
 def test_corpus_snapshot_cached_until_mutation(engine, seg_world):
     _, coll = seg_world
     srv = EmbedServer(engine, collection=coll)
-    first = srv._corpus_snapshot()
-    assert srv._corpus_snapshot() is first  # cached across sessions
+    first = srv._corpus_snapshot(coll)
+    assert srv._corpus_snapshot(coll) is first  # cached across sessions
     coll.upsert(["extra"], first["embeddings"][:1],
                 metadatas=[{"label": "left", "left_prob": 0.9,
                             "right_prob": 0.05, "none_prob": 0.05}])
-    second = srv._corpus_snapshot()
+    second = srv._corpus_snapshot(coll)
     assert second is not first and len(second["labels"]) == 16
 
 
@@ -1513,3 +1513,222 @@ def test_daemon_mixed_concurrency_stress(engine, seg_world, score_world,
     assert st["segment"]["frames_pushed"] == 200
     assert st["segment"]["clips_emitted"] == 4
     assert st["segment"]["events_scored"] == 2  # the two scored sessions
+
+
+# ---- hot collection reload (the `reload` op) --------------------------------
+
+
+def _reload_world(tmp_path, engine, name="served", n=4, seed=0):
+    """A flushed on-disk collection + the server holding it (no socket —
+    these tests drive EmbedServer.handle directly)."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db = str(tmp_path / "reloaddb")
+    client = PersistentClient(db, autoflush=False)
+    coll = client.get_or_create_collection(
+        name, metadata={"hnsw:space": "cosine"})
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, engine.out_dim)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    coll.upsert([f"{name}{i}" for i in range(n)], base)
+    client.flush()
+    srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
+                      collection_source=(db, name))
+    return db, srv, base
+
+
+def test_reload_picks_up_external_writer(engine, tmp_path):
+    """The production loop: `cli rebuild-db` (another process) rewrites
+    the collection on disk; `reload` swaps the daemon onto the new
+    generation without touching the warm engine."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db, srv, base = _reload_world(tmp_path, engine)
+    # an "external process": a separate client/collection object over
+    # the same directory, like rebuild-db running beside the daemon
+    writer = PersistentClient(db, autoflush=False).get_collection("served")
+    new_row = -base[0]  # maximally far from served0
+    writer.upsert(["fresh"], new_row[None])
+    writer.flush()
+
+    q = {"op": "query", "embeddings": [new_row.tolist()], "n_results": 1}
+    assert srv.handle(dict(q))["ids"][0][0] != "fresh"  # stale until reload
+    resp = srv.handle({"op": "reload"})
+    assert resp["ok"] and resp["rows"] == 5 and resp["previous_rows"] == 4
+    assert resp["db"] == db and resp["collection"] == "served"
+    assert srv.handle(dict(q))["ids"][0][0] == "fresh"
+    assert srv.handle({"op": "ping"})["collection"] == "served"
+
+
+def test_reload_switches_collection_and_updates_default(engine, tmp_path):
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db, srv, base = _reload_world(tmp_path, engine)
+    other_client = PersistentClient(db, autoflush=False)
+    other = other_client.get_or_create_collection(
+        "other", metadata={"hnsw:space": "cosine"})
+    rng = np.random.default_rng(7)
+    rows = rng.normal(size=(3, engine.out_dim)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    other.upsert([f"other{i}" for i in range(3)], rows)
+    other_client.flush()
+
+    resp = srv.handle({"op": "reload", "collection": "other"})
+    assert resp["ok"] and resp["rows"] == 3 and resp["previous_rows"] == 4
+    got = srv.handle({"op": "query", "embeddings": [rows[1].tolist()],
+                      "n_results": 1})
+    assert got["ids"][0][0] == "other1"
+    # the switch becomes the new default source: a bare reload refreshes
+    # "other", not the original collection
+    assert srv.handle({"op": "reload"})["collection"] == "other"
+
+
+def test_reload_failure_keeps_current_collection(engine, tmp_path):
+    db, srv, base = _reload_world(tmp_path, engine)
+    with pytest.raises(ValueError, match="does not exist"):
+        srv.handle({"op": "reload", "collection": "nope"})
+    # old collection still serves, and stays the bare-reload default
+    got = srv.handle({"op": "query", "embeddings": [base[2].tolist()],
+                      "n_results": 1})
+    assert got["ids"][0][0] == "served2"
+    assert srv.handle({"op": "reload"})["collection"] == "served"
+
+
+def test_reload_without_source_needs_explicit_target(engine, tmp_path):
+    """A daemon started without --db refuses a bare reload but can be
+    GIVEN a collection at runtime (retrieval added to a live daemon)."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    srv = EmbedServer(engine, coalesce_ms=0)
+    with pytest.raises(ValueError, match="started without"):
+        srv.handle({"op": "reload"})
+
+    db = str(tmp_path / "latedb")
+    client = PersistentClient(db, autoflush=False)
+    coll = client.get_or_create_collection(
+        "late", metadata={"hnsw:space": "cosine"})
+    rng = np.random.default_rng(3)
+    rows = rng.normal(size=(2, engine.out_dim)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    coll.upsert(["late0", "late1"], rows)
+    client.flush()
+
+    with pytest.raises(ValueError, match="without a collection"):
+        srv.handle({"op": "query", "embeddings": [rows[0].tolist()]})
+    resp = srv.handle({"op": "reload", "db": db, "collection": "late"})
+    assert resp["ok"] and resp["rows"] == 2 and resp["previous_rows"] is None
+    got = srv.handle({"op": "query", "embeddings": [rows[0].tolist()],
+                      "n_results": 1})
+    assert got["ids"][0][0] == "late0"
+
+
+def test_reload_refused_while_write_back_session_active(engine, seg_world,
+                                                        tmp_path):
+    """Write-back sessions pin the collection (their upserts target the
+    bound object; a swap would leave two generations appending to one
+    directory). Finished sessions' write-backs must SURVIVE the reload
+    (flush-before-swap)."""
+    paths, coll = seg_world
+    db = str(tmp_path / "segdb")
+    srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
+                      collection_source=(db, "corpus"))
+    session: dict = {}
+    assert srv.handle({"op": "segment_start", "k": 5, "min_len": 3,
+                       "pad": 0, "max_lag": 16, "write_back": True,
+                       "vid": 9}, session)["ok"]
+    with pytest.raises(ValueError, match="write-back"):
+        srv.handle({"op": "reload"})
+    # plain (non-write-back) sessions do NOT pin: they rank against
+    # their own staged snapshot
+    plain: dict = {}
+    assert srv.handle({"op": "segment_start", "k": 5}, plain)["ok"]
+
+    # decisive left stream -> confident write-back rows on finish
+    for _ in range(3):
+        assert srv.handle({"op": "segment_push",
+                           "paths": [paths["left"]] * 4}, session)["ok"]
+    srv.handle({"op": "segment_finish"}, session)
+    resp = srv.handle({"op": "reload"})  # plain session still open: fine
+    assert resp["ok"]
+    # the reopened generation contains the finished session's write-back
+    # (left.png, one distinct id) — flushed at swap time, not lost
+    assert resp["rows"] == 16 and resp["previous_rows"] == 16
+    # the still-open plain session keeps working against its snapshot
+    assert srv.handle({"op": "segment_push",
+                       "paths": [paths["none"]] * 2}, plain)["ok"]
+    assert srv.handle({"op": "segment_finish"}, plain)["ok"]
+
+
+def test_abandoned_write_back_session_unpins_reload(engine, seg_world,
+                                                    tmp_path):
+    paths, coll = seg_world
+    srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
+                      collection_source=(str(tmp_path / "segdb"), "corpus"))
+    session: dict = {}
+    assert srv.handle({"op": "segment_start", "k": 5, "write_back": True,
+                       "vid": 1}, session)["ok"]
+    with pytest.raises(ValueError, match="write-back"):
+        srv.handle({"op": "reload"})
+    srv._connection_closed(session)  # client vanished mid-game
+    assert srv.handle({"op": "reload"})["ok"]
+    # a failed write-back start never pins either (bad transitions)
+    bad: dict = {}
+    with pytest.raises(ValueError, match="transitions"):
+        srv.handle({"op": "segment_start", "k": 5, "write_back": True,
+                    "vid": 1, "transitions": [[1.0]]}, bad)
+    assert srv.handle({"op": "reload"})["ok"]
+
+
+def test_new_sessions_see_reloaded_corpus(engine, seg_world, tmp_path):
+    """Active sessions keep their start-time snapshot; sessions started
+    after the reload rank against the new corpus (cache invalidation
+    across the swap, keyed on collection identity)."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    paths, coll = seg_world
+    db = str(tmp_path / "segdb")
+    coll.flush()  # seg_world built it in memory only
+    srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
+                      collection_source=(db, "corpus"))
+    old_sess: dict = {}
+    r = srv.handle({"op": "segment_start", "k": 5}, old_sess)
+    assert r["corpus_size"] == 15
+
+    from PIL import Image
+
+    writer = PersistentClient(db, autoflush=False).get_collection("corpus")
+    extra = engine.embed_batch(
+        np.stack([np.asarray(Image.open(paths["left"]))] * 2))
+    writer.upsert(["x0", "x1"], extra,
+                  metadatas=[{"label": "left"}] * 2)
+    writer.flush()
+
+    assert srv.handle({"op": "reload"})["rows"] == 17
+    new_sess: dict = {}
+    assert srv.handle({"op": "segment_start", "k": 5},
+                      new_sess)["corpus_size"] == 17
+    # the pre-reload session still answers from its 15-row snapshot
+    assert srv.handle({"op": "segment_push",
+                       "paths": [paths["left"]] * 2}, old_sess)["ok"]
+    assert srv.handle({"op": "segment_finish"}, old_sess)["ok"]
+    assert srv.handle({"op": "segment_finish"}, new_sess)["ok"]
+
+
+def test_serve_ctl_reload_cli(server, tmp_path, capsys):
+    """cli serve-ctl reload --db/--collection against a live daemon
+    (the operator form of rebuild-db --notify-socket)."""
+    import json
+
+    from vit_research_tpu import cli
+
+    sock, _, coll, base = server
+    db = str(tmp_path / "db")
+    cli.main(["serve-ctl", "reload", "--socket", sock,
+              "--db", db, "--collection", "served"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["rows"] == 8 and out["collection"] == "served"
+    with pytest.raises(SystemExit, match="only apply to reload"):
+        cli.main(["serve-ctl", "ping", "--socket", sock, "--db", db])
+    with pytest.raises(SystemExit, match="daemon error"):
+        cli.main(["serve-ctl", "reload", "--socket", sock,
+                  "--db", db, "--collection", "missing"])

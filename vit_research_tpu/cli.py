@@ -276,7 +276,7 @@ def cmd_serve(args):
     embedder in 8 separate scripts)."""
     from vit_research_tpu.serve import EmbedServer
 
-    coll = None
+    coll, mesh = None, None
     if args.db:
         if not args.collection:
             raise SystemExit("--collection is required with --db")
@@ -291,7 +291,12 @@ def cmd_serve(args):
             print(f"collection {args.collection} sharded over "
                   f"{mesh.devices.size} device(s)", flush=True)
     server = EmbedServer(_engine(batch_size=args.batch_size),
-                         collection=coll, coalesce_ms=args.coalesce_ms)
+                         collection=coll, coalesce_ms=args.coalesce_ms,
+                         # the reload op's defaults (+ re-shard target):
+                         # serve-ctl reload / rebuild-db --notify-socket
+                         collection_source=((args.db, args.collection)
+                                            if args.db else None),
+                         shard_mesh=mesh)
     print(f"serving on {args.socket}"
           + (f" (collection {args.collection})" if coll else ""),
           flush=True)
@@ -299,8 +304,8 @@ def cmd_serve(args):
 
 
 def cmd_serve_ctl(args):
-    """Operator client for a running daemon: ping / stats / shutdown
-    over its unix socket — no engine, no jax, instant."""
+    """Operator client for a running daemon: ping / stats / reload /
+    shutdown over its unix socket — no engine, no jax, instant."""
     import json
 
     from vit_research_tpu.serve import request
@@ -308,8 +313,16 @@ def cmd_serve_ctl(args):
     if not os.path.exists(args.socket):
         raise SystemExit(f"no daemon socket at {args.socket!r} "
                          "(start one with: serve --socket ...)")
+    req = {"op": args.op}
+    if args.db or args.collection:
+        if args.op != "reload":
+            raise SystemExit("--db/--collection only apply to reload")
+        if args.db:
+            req["db"] = args.db
+        if args.collection:
+            req["collection"] = args.collection
     try:
-        resp = request(args.socket, {"op": args.op}, timeout=args.timeout)
+        resp = request(args.socket, req, timeout=args.timeout)
     except (OSError, ConnectionError) as e:
         raise SystemExit(f"daemon at {args.socket!r} did not answer: {e}")
     if not resp.get("ok"):
@@ -605,6 +618,27 @@ def cmd_rebuild_db(args):
     client.flush()
     print(f"rebuilt {args.collection}: {n} frame embeddings"
           + (" (re-projected)" if project_fn else ""))
+    if args.notify_socket:
+        # Close the train->serve loop: the daemon hot-swaps to the
+        # rebuilt generation without an engine restart. Flush happened
+        # above, so the reopened collection sees every row.
+        from vit_research_tpu.serve import request as serve_request
+
+        try:
+            resp = serve_request(
+                args.notify_socket,
+                {"op": "reload", "db": args.db,
+                 "collection": args.collection},
+                timeout=300.0)
+        except (OSError, ConnectionError) as e:
+            raise SystemExit(
+                f"rebuild succeeded but the daemon at "
+                f"{args.notify_socket!r} did not answer the reload: {e}")
+        if not resp.get("ok"):
+            raise SystemExit("rebuild succeeded but the daemon reload "
+                             f"failed: {resp.get('error')}")
+        print(f"daemon reloaded {args.collection}: {resp['rows']} rows "
+              f"(was {resp['previous_rows']})")
 
 
 def cmd_search(args):
@@ -2137,6 +2171,10 @@ def main(argv=None):
                     help="train-rag run whose ProjectionHead re-projects "
                          "the embeddings")
     rb.add_argument("--batch-size", type=int, default=256)
+    rb.add_argument("--notify-socket", default=None,
+                    help="after the rebuild, hot-reload the collection "
+                         "in the serve daemon on this socket (its "
+                         "followers keep their warm engine)")
     rb.set_defaults(fn=cmd_rebuild_db)
 
     se = sub.add_parser(
@@ -2186,10 +2224,17 @@ def main(argv=None):
 
     sc = sub.add_parser(
         "serve-ctl", help="operate a running serve daemon: ping, stats, "
+                          "reload (hot-swap the collection from disk), "
                           "shutdown")
-    sc.add_argument("op", choices=["ping", "stats", "shutdown"])
+    sc.add_argument("op", choices=["ping", "stats", "reload", "shutdown"])
     sc.add_argument("--socket", required=True)
     sc.add_argument("--timeout", type=float, default=60.0)
+    sc.add_argument("--db", default=None,
+                    help="reload only: store root to reload from "
+                         "(default: the daemon's own --db)")
+    sc.add_argument("--collection", default=None,
+                    help="reload only: collection name "
+                         "(default: the daemon's own --collection)")
     sc.set_defaults(fn=cmd_serve_ctl)
 
     args = p.parse_args(argv)

@@ -22,7 +22,32 @@ response object per line.
                                                   device batches, segment session
                                                   gauges (active/finished/abandoned,
                                                   frames/clips/events)
+    {"op": "reload", "db": null, "collection": null}
+                                               -> {"ok": true, "rows": N, ...}
     {"op": "shutdown"}
+
+Hot collection reload: after ``cli rebuild-db`` (training moves the
+embeddings under the retriever — reference:
+nba_proj/train/training.py:479-480) the daemon would otherwise serve a
+stale corpus until a full restart (recompile, re-warm, dropped
+followers). ``reload`` re-opens the collection from disk and swaps it
+atomically — no engine restart, nothing recompiles:
+
+- ``db``/``collection`` default to the ones the daemon was started
+  with; pass them explicitly to point the daemon at a different
+  collection (e.g. a shadow rebuild) or to ADD retrieval to a daemon
+  started without ``--db``.
+- ``query`` and NEW segment sessions see the new corpus immediately;
+  segment sessions already running keep ranking against their
+  start-time snapshot (the same contract as the offline pipeline).
+- Refused while any write-back segment session is active: those
+  sessions upsert into the bound collection object, and two live
+  generations of one collection writing the same directory would race
+  the append-log manifest. Finish them first (the reply says how many).
+- The old collection is flushed first, so rows written back by
+  already-finished sessions survive into the reopened generation.
+- ``cli rebuild-db --notify-socket`` sends this op automatically after
+  a rebuild; ``cli serve-ctl reload`` is the manual form.
 
 Live segmentation sessions (one per connection — use
 :class:`SessionClient`, not the one-shot :func:`request`): the server's
@@ -207,15 +232,27 @@ class _Coalescer:
 class EmbedServer:
     """Warm-engine embedding (+ optional retrieval) server."""
 
-    def __init__(self, engine, *, collection=None, coalesce_ms: float = 2.0):
+    def __init__(self, engine, *, collection=None, coalesce_ms: float = 2.0,
+                 collection_source: tuple[str, str] | None = None,
+                 shard_mesh=None):
         self.engine = engine
         self.collection = collection
         self._lock = threading.Lock()  # serialize device work
         self._coalescer = (_Coalescer(engine, self._lock, coalesce_ms / 1e3)
                            if coalesce_ms > 0 else None)
         self._server = None
-        self._corpus_cache = None  # (collection mutation count, corpus)
+        self._corpus_cache = None  # (collection id, mutation count, corpus)
         self._corpus_lock = threading.Lock()
+        # Hot reload (the `reload` op): where the collection came from on
+        # disk, the mesh to re-shard a reopened corpus onto, and the
+        # guard that makes "swap the collection" atomic against segment
+        # sessions BINDING it. Write-back sessions pin the collection:
+        # they hold the object and upsert into it, so a swap would leave
+        # two live generations appending to one directory.
+        self._collection_source = collection_source  # (db_path, name)
+        self._shard_mesh = shard_mesh
+        self._collection_lock = threading.Lock()
+        self._write_back_sessions = 0
         # observability (the `stats` op): counters shared across
         # connection threads, guarded by their own lock — never the
         # device lock, a stats probe must not queue behind a forward
@@ -263,23 +300,26 @@ class EmbedServer:
         self._count("frames_embedded", n=len(batch))
         return out
 
-    def _corpus_snapshot(self):
-        """Labeled corpus dict from the collection, cached across
-        sessions and invalidated by the collection's mutation counter —
-        session starts must not re-read every row per connection. The
-        embeddings are staged to the DEVICE here, so N concurrent
-        sessions share ONE resident buffer (KnnHmmStreamSession's
-        jnp.asarray is a no-op on it) instead of N uploads/copies."""
+    def _corpus_snapshot(self, collection):
+        """Labeled corpus dict from ``collection`` (the session's BOUND
+        object — never re-read from self.collection, which a concurrent
+        reload may swap mid-call), cached across sessions and invalidated
+        by the collection's identity + mutation counter — session starts
+        must not re-read every row per connection. The embeddings are
+        staged to the DEVICE here, so N concurrent sessions share ONE
+        resident buffer (KnnHmmStreamSession's jnp.asarray is a no-op on
+        it) instead of N uploads/copies."""
         import jax.numpy as jnp
 
         from vit_research_tpu.segment.knn import corpus_from_collection
 
-        muts = getattr(self.collection, "_mutations", None)
-        space = getattr(self.collection, "space", "l2")
+        muts = getattr(collection, "_mutations", None)
+        space = getattr(collection, "space", "l2")
+        key = (id(collection), muts)
         with self._corpus_lock:
             if (self._corpus_cache is None or muts is None
-                    or self._corpus_cache[0] != muts):
-                corpus = corpus_from_collection(self.collection)
+                    or self._corpus_cache[0] != key):
+                corpus = corpus_from_collection(collection)
                 with self._lock:  # staging is device work
                     embs = jnp.asarray(corpus["embeddings"], jnp.float32)
                     if space == "cosine":
@@ -291,7 +331,7 @@ class EmbedServer:
 
                         embs = l2_normalize(embs)
                     corpus["embeddings"] = embs
-                self._corpus_cache = (muts, corpus)
+                self._corpus_cache = (key, corpus)
             return self._corpus_cache[1]
 
     def _make_scorer(self, cfg):
@@ -394,20 +434,42 @@ class EmbedServer:
         return rows
 
     def _segment_start(self, req, session) -> dict:
-        from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
-
-        if self.collection is None:
-            raise ValueError("server started without a collection — "
-                             "segment sessions need a labeled corpus")
         if "segment" in session:
             raise ValueError("a segment session is already active on "
                              "this connection; segment_finish it first")
-        if req.get("write_back") and req.get("vid") is None:
+        write_back = bool(req.get("write_back"))
+        if write_back and req.get("vid") is None:
             raise ValueError(
                 "write_back requires 'vid': daemon-minted frame names "
                 "(path basenames / frame_{N}) don't encode a video "
                 "number for the write-back metadata")
-        space = getattr(self.collection, "space", "l2")
+        # Bind the collection and (for write-back) pin it in ONE atomic
+        # step: a reload between "capture the object" and "count the
+        # writer" could otherwise swap the collection out from under a
+        # session that is about to upsert into it.
+        with self._collection_lock:
+            collection = self.collection
+            if collection is None:
+                raise ValueError(
+                    "server started without a collection — segment "
+                    "sessions need a labeled corpus (serve --db "
+                    "--collection, or the reload op)")
+            if write_back:
+                self._write_back_sessions += 1
+        try:
+            return self._segment_start_bound(req, session, collection,
+                                             write_back)
+        except BaseException:
+            if write_back:  # never started — unpin
+                with self._collection_lock:
+                    self._write_back_sessions -= 1
+            raise
+
+    def _segment_start_bound(self, req, session, collection,
+                             write_back) -> dict:
+        from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
+
+        space = getattr(collection, "space", "l2")
         transitions = req.get("transitions")
         if transitions is not None:
             from vit_research_tpu.segment.hmm import \
@@ -430,8 +492,9 @@ class EmbedServer:
             # connection exactly as it was (_make_scorer scopes the
             # device lock itself: store read outside, model init inside).
             scorer = self._make_scorer(score_cfg)
-        corpus = self._corpus_snapshot()  # host read; only staging and
-        with self._lock:                  # session setup are device work
+        # host read; only staging and session setup are device work
+        corpus = self._corpus_snapshot(collection)
+        with self._lock:
             seg = KnnHmmStreamSession(
                 corpus,
                 transition_matrix=transitions,
@@ -448,14 +511,14 @@ class EmbedServer:
                 # corpus growth from a shared daemon is opt-in; the
                 # session keeps ranking against its start-time snapshot
                 # either way (same as the offline pipeline)
-                collection=(self.collection if req.get("write_back")
-                            else None),
+                collection=collection if write_back else None,
                 vid=req.get("vid"),
                 # rank with the collection's own metric, like the query
                 # op on this server (store/vector_store.py query path);
                 # the snapshot already normalized cosine rows
                 metric=space, corpus_prenormalized=True)
         session["segment"] = seg
+        session["segment_write_back"] = write_back
         if scorer is not None:
             session["segment_score"] = {
                 "scorer": scorer, "refs": [], "clips": 0,
@@ -520,9 +583,59 @@ class EmbedServer:
             resp["events"] = events
         session.pop("segment")
         session.pop("segment_score", None)
+        self._unpin_write_back(session)
         self._count("segment", "sessions_finished")
         self._count("segment", "sessions_active", n=-1)
         return resp
+
+    def _unpin_write_back(self, session) -> None:
+        if session.pop("segment_write_back", False):
+            with self._collection_lock:
+                self._write_back_sessions -= 1
+
+    def _reload(self, req) -> dict:
+        """Re-open the collection from disk and swap it in atomically
+        (see the module docstring's "Hot collection reload")."""
+        from vit_research_tpu.store.vector_store import PersistentClient
+
+        src = self._collection_source or (None, None)
+        db = req.get("db") or src[0]
+        name = req.get("collection") or src[1]
+        if not db or not name:
+            raise ValueError(
+                "server was started without --db/--collection; reload "
+                "needs explicit 'db' and 'collection'")
+        with self._collection_lock:
+            if self._write_back_sessions:
+                raise ValueError(
+                    f"reload refused: {self._write_back_sessions} active "
+                    "write-back segment session(s) are upserting into the "
+                    "current collection (two live generations of one "
+                    "collection would race its append log); finish them "
+                    "first")
+            old = self.collection
+            if old is not None:
+                # Persist write-backs from already-finished sessions so
+                # the reopened generation includes them (reopening the
+                # SAME collection is the common "refresh after
+                # rebuild-db" case).
+                old.flush()
+            # autoflush like the startup client: write-back sessions
+            # started after this swap upsert into the new object, and
+            # its atexit flush is what persists them on daemon exit.
+            new = PersistentClient(db).get_collection(name)
+            if self._shard_mesh is not None:
+                new.shard_device(self._shard_mesh)
+            self.collection = new
+            self._collection_source = (db, name)
+        with self._corpus_lock:
+            # new object, new identity — but drop the old corpus buffer
+            # eagerly rather than waiting for the next session start
+            self._corpus_cache = None
+        return {"ok": True, "db": db, "collection": name,
+                "rows": new.count(),
+                "previous_rows": old.count() if old is not None else None,
+                "sharded": self._shard_mesh is not None}
 
     def _connection_closed(self, session) -> None:
         """Called by the socket handler when a connection ends. A still-
@@ -531,6 +644,7 @@ class EmbedServer:
         if session.get("segment") is not None:
             session.pop("segment", None)
             session.pop("segment_score", None)
+            self._unpin_write_back(session)
             self._count("segment", "sessions_abandoned")
             self._count("segment", "sessions_active", n=-1)
 
@@ -563,6 +677,8 @@ class EmbedServer:
             return {"ok": True, "batch_size": self.engine.batch_size,
                     "out_dim": self.engine.out_dim,
                     "collection": getattr(self.collection, "name", None)}
+        if op == "reload":
+            return self._reload(req)
         if op == "embed":
             emb = self._embed_request(req)
             return {"ok": True, "embeddings": emb.tolist()}
