@@ -1732,3 +1732,120 @@ def test_serve_ctl_reload_cli(server, tmp_path, capsys):
     with pytest.raises(SystemExit, match="daemon error"):
         cli.main(["serve-ctl", "reload", "--socket", sock,
                   "--db", db, "--collection", "missing"])
+
+
+def test_reload_carries_pending_write_backs_over_external_rebuild(
+        engine, tmp_path):
+    """THE rebuild-db --notify-socket combination: the daemon holds
+    acked-but-unflushed write-backs while an external rebuild rewrites
+    the directory past its generation. The old object must never flush
+    (it would clobber the rebuild or be generation-fenced into silence);
+    the pending rows are carried into the NEW generation and persisted
+    through it."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db, srv, base = _reload_world(tmp_path, engine)
+    old = srv.collection
+    # a finished write-back session's rows: acked, still unflushed
+    old.upsert(["wb0"], (-base[1])[None], metadatas=[{"label": "left"}])
+
+    # external rebuild-db: separate client, full rewrite (compaction
+    # bumps the on-disk generation past the daemon's view)
+    ext = PersistentClient(db, autoflush=False).get_collection("served")
+    ext.upsert(["rebuilt"], (-base[0])[None])
+    ext.compact()
+
+    resp = srv.handle({"op": "reload"})
+    assert resp["ok"] and resp["carried_pending"] == 1
+    live_ids = set(srv.collection.get(include=())["ids"])
+    assert {"rebuilt", "wb0"} <= live_ids and len(live_ids) == 6
+    # durably: a FRESH load from disk sees both (the carry was flushed)
+    fresh = PersistentClient(db, autoflush=False).get_collection("served")
+    assert {"rebuilt", "wb0"} <= set(fresh.get(include=())["ids"])
+    # the swapped-out generation is detached: any straggling flush
+    # (e.g. a client atexit) is a no-op, and its device cache is gone
+    assert old._path is None and old._device_cache is None
+    old.upsert(["zombie"], base[2][None])
+    old.flush()
+    fresh2 = PersistentClient(db, autoflush=False).get_collection("served")
+    assert "zombie" not in set(fresh2.get(include=())["ids"])
+
+
+def test_failed_segment_start_leaves_no_zombie_state(engine, seg_world,
+                                                     tmp_path, monkeypatch):
+    """A failure AFTER the write-back pin (here: a non-numeric 'vid' with
+    scoring enabled) must leave the connection state exactly as it was:
+    no half-built session that double-unpins at close (pin count would go
+    negative, refusing every future reload), no skewed gauges."""
+    paths, coll = seg_world
+    srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
+                      collection_source=(str(tmp_path / "segdb"), "corpus"))
+    monkeypatch.setattr(EmbedServer, "_make_scorer",
+                        lambda self, cfg: object())
+    bad: dict = {}
+    with pytest.raises(ValueError, match="must be an integer"):
+        srv.handle({"op": "segment_start", "k": 5, "write_back": True,
+                    "vid": "abc", "score_events": {"stub": 1}}, bad)
+    assert bad == {}  # no zombie session keys behind the error reply
+    srv._connection_closed(bad)  # must not double-unpin
+    assert srv._write_back_sessions == 0
+    st = srv.handle({"op": "stats"})["segment"]
+    assert st["sessions_active"] == 0 and st["sessions_abandoned"] == 0
+    assert srv.handle({"op": "reload"})["ok"]  # pin was not leaked
+    # and the connection is fully usable afterwards
+    good: dict = {}
+    assert srv.handle({"op": "segment_start", "k": 5, "write_back": True,
+                       "vid": 7}, good)["ok"]
+    assert srv.handle({"op": "segment_finish"}, good)["ok"]
+
+
+def test_finished_write_back_session_persists_to_disk(engine, seg_world,
+                                                      tmp_path):
+    """Acked write-backs survive daemon DEATH, not just graceful exit:
+    finishing (or abandoning) a write-back session flushes the collection
+    — reload-opened generations have no atexit autoflush."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    paths, coll = seg_world
+    db = str(tmp_path / "segdb")
+    srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
+                      collection_source=(db, "corpus"))
+    session: dict = {}
+    assert srv.handle({"op": "segment_start", "k": 5, "min_len": 3,
+                       "pad": 0, "max_lag": 16, "write_back": True,
+                       "vid": 4}, session)["ok"]
+    for _ in range(3):
+        assert srv.handle({"op": "segment_push",
+                           "paths": [paths["left"]] * 4}, session)["ok"]
+    srv.handle({"op": "segment_finish"}, session)
+    # no daemon shutdown, no reload: the rows are already durable
+    fresh = PersistentClient(db, autoflush=False).get_collection("corpus")
+    assert fresh.count() == 16  # 15 corpus rows + the written-back frame
+
+
+def test_serve_ctl_per_op_default_timeout(monkeypatch):
+    """reload reopens a whole collection before replying — the default
+    wait must match rebuild-db --notify-socket's 300 s, not the 60 s
+    that fits instant ops (a big swap would otherwise report 'did not
+    answer' while the daemon completes it moments later)."""
+    from vit_research_tpu import cli
+
+    calls = {}
+
+    def fake_request(sock, req, timeout=60.0):
+        calls[req["op"]] = timeout
+        return {"ok": True}
+
+    monkeypatch.setattr("vit_research_tpu.serve.request", fake_request)
+    cli.main(["serve-ctl", "reload", "--socket", "/nope.sock"])
+    cli.main(["serve-ctl", "ping", "--socket", "/nope.sock"])
+    cli.main(["serve-ctl", "stats", "--socket", "/nope.sock",
+              "--timeout", "5"])
+    assert calls == {"reload": 300.0, "ping": 60.0, "stats": 5.0}
+
+
+def test_one_shot_request_missing_socket_is_friendly(tmp_path):
+    """request() shares SessionClient's pre-check: a typoed socket path
+    gets the 'start one with: serve' hint, not a raw ENOENT."""
+    with pytest.raises(FileNotFoundError, match="no daemon socket"):
+        request(str(tmp_path / "absent.sock"), {"op": "ping"})

@@ -342,3 +342,124 @@ def test_upsert_duplicate_ids_within_one_call_last_wins(tmp_path):
                metadatas=[{"v": 5}, {"v": 6}])
     assert col.count() == 2
     assert col.get(ids=["b"])["metadatas"] == [{"v": 6}]
+
+
+# ---- stale-writer protection (serve.py hot reload's failure mode) ----------
+
+
+def test_stale_flush_refused_after_external_compaction(tmp_path):
+    """A dirty collection object whose directory another process has
+    COMPACTED past must refuse to flush: its compaction would atomically
+    replace the newer corpus with the stale one, and its segment append
+    would be generation-fenced away on the next load."""
+    import numpy as np
+    import pytest
+
+    from vit_research_tpu.store.vector_store import (PersistentClient,
+                                                     StaleCollectionError)
+
+    db = str(tmp_path / "db")
+    a = PersistentClient(db, autoflush=False).get_or_create_collection("c")
+    a.upsert(["a0", "a1"], np.eye(2, 3, dtype=np.float32))
+    a.flush()
+
+    b = PersistentClient(db, autoflush=False).get_collection("c")
+    b.upsert(["rebuilt"], np.full((1, 3), 2, np.float32))
+    b.compact()  # generation moves past a's view
+
+    a.upsert(["pending"], np.full((1, 3), 3, np.float32))
+    with pytest.raises(StaleCollectionError, match="another writer"):
+        a.flush()
+    with pytest.raises(StaleCollectionError):
+        a.compact()
+    # disk still holds b's rebuild, untouched
+    fresh = PersistentClient(db, autoflush=False).get_collection("c")
+    assert sorted(fresh.get(include=())["ids"]) == ["a0", "a1", "rebuilt"]
+    # the pending row is recoverable for carry-over into a fresh object
+    pend = a.pending_mutations()
+    assert pend["ids"] == ["pending"] and pend["deleted"] == []
+    np.testing.assert_array_equal(pend["embeddings"],
+                                  np.full((1, 3), 3, np.float32))
+
+
+def test_stale_flush_refused_after_external_append(tmp_path):
+    """Same-generation staleness: another writer APPENDED log segments
+    this object never replayed — our append would collide with its
+    segment numbering and our manifest write would drop its rows."""
+    import numpy as np
+    import pytest
+
+    from vit_research_tpu.store.vector_store import (PersistentClient,
+                                                     StaleCollectionError)
+
+    db = str(tmp_path / "db")
+    a = PersistentClient(db, autoflush=False).get_or_create_collection("c")
+    # big enough that one extra row stays under compact_ratio: b's flush
+    # APPENDS a segment at the same generation instead of compacting
+    a.upsert([f"a{i}" for i in range(8)],
+             np.eye(8, 3, dtype=np.float32))
+    a.flush()
+
+    b = PersistentClient(db, autoflush=False).get_collection("c")
+    b.upsert(["b0"], np.full((1, 3), 2, np.float32))
+    b.flush()  # appends seg_000000 at the same generation
+
+    a.upsert(["a8"], np.full((1, 3), 3, np.float32))
+    with pytest.raises(StaleCollectionError, match="never replayed"):
+        a.flush()
+    fresh = PersistentClient(db, autoflush=False).get_collection("c")
+    assert sorted(fresh.get(include=())["ids"]) \
+        == [f"a{i}" for i in range(8)] + ["b0"]
+
+
+def test_autoflush_client_skips_stale_collection(tmp_path, capsys):
+    """The atexit-style PersistentClient.flush must skip (not crash on,
+    not clobber through) a stale collection and keep flushing the rest."""
+    import numpy as np
+
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    stale = client.get_or_create_collection("stale")
+    stale.upsert(["s0"], np.eye(1, 3, dtype=np.float32))
+    stale.flush()
+    ok = client.get_or_create_collection("ok")
+    ok.upsert(["k0"], np.eye(1, 3, dtype=np.float32))
+
+    ext = PersistentClient(db, autoflush=False).get_collection("stale")
+    ext.upsert(["ext"], np.full((1, 3), 2, np.float32))
+    ext.compact()
+
+    stale.upsert(["s1"], np.full((1, 3), 3, np.float32))
+    client.flush()  # must not raise
+    assert "skipping flush" in capsys.readouterr().err
+    fresh = PersistentClient(db, autoflush=False)
+    assert fresh.get_collection("ok").count() == 1  # others still flushed
+    assert sorted(fresh.get_collection("stale").get(include=())["ids"]) \
+        == ["ext", "s0"]
+
+
+def test_detach_neutralizes_flush_and_drops_device_cache(tmp_path):
+    """detach(): flush/compact become no-ops (a swapped-out generation
+    must never write), the device cache ref drops, reads keep working."""
+    import numpy as np
+
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db = str(tmp_path / "db")
+    col = PersistentClient(db, autoflush=False).get_or_create_collection("c")
+    col.upsert(["x0", "x1"], np.eye(2, 3, dtype=np.float32))
+    col.flush()
+    col.upsert(["x2"], np.full((1, 3), 2, np.float32))
+    col._device_cache = object()  # stand-in for a staged HBM corpus
+    col.detach()
+    assert col._device_cache is None
+    assert col.pending_mutations() is None
+    col.flush()  # no-op, no error
+    col.compact()
+    # reads against the in-memory arrays still work post-detach
+    assert col.count() == 3
+    # disk was never touched by the detached object
+    fresh = PersistentClient(db, autoflush=False).get_collection("c")
+    assert sorted(fresh.get(include=())["ids"]) == ["x0", "x1"]

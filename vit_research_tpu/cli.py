@@ -310,9 +310,15 @@ def cmd_serve_ctl(args):
 
     from vit_research_tpu.serve import request
 
-    if not os.path.exists(args.socket):
-        raise SystemExit(f"no daemon socket at {args.socket!r} "
-                         "(start one with: serve --socket ...)")
+    # missing-socket pre-check lives in serve.request (shared with the
+    # session client); the FileNotFoundError lands in the OSError branch
+    if args.timeout is not None:
+        timeout = args.timeout
+    else:
+        # reload reopens the whole collection from disk before replying —
+        # minutes for a multi-GB corpus (rebuild-db --notify-socket uses
+        # the same 300 s); everything else answers instantly
+        timeout = 300.0 if args.op == "reload" else 60.0
     req = {"op": args.op}
     if args.db or args.collection:
         if args.op != "reload":
@@ -322,7 +328,7 @@ def cmd_serve_ctl(args):
         if args.collection:
             req["collection"] = args.collection
     try:
-        resp = request(args.socket, req, timeout=args.timeout)
+        resp = request(args.socket, req, timeout=timeout)
     except (OSError, ConnectionError) as e:
         raise SystemExit(f"daemon at {args.socket!r} did not answer: {e}")
     if not resp.get("ok"):
@@ -2228,7 +2234,10 @@ def main(argv=None):
                           "shutdown")
     sc.add_argument("op", choices=["ping", "stats", "reload", "shutdown"])
     sc.add_argument("--socket", required=True)
-    sc.add_argument("--timeout", type=float, default=60.0)
+    sc.add_argument("--timeout", type=float, default=None,
+                    help="reply wait in seconds (default: 300 for reload "
+                         "— a big collection takes a while to reopen — "
+                         "60 otherwise)")
     sc.add_argument("--db", default=None,
                     help="reload only: store root to reload from "
                          "(default: the daemon's own --db)")

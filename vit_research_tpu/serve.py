@@ -119,6 +119,7 @@ import json
 import os
 import socket
 import socketserver
+import sys
 import threading
 import time
 
@@ -252,6 +253,7 @@ class EmbedServer:
         self._collection_source = collection_source  # (db_path, name)
         self._shard_mesh = shard_mesh
         self._collection_lock = threading.Lock()
+        self._reload_lock = threading.Lock()  # one reload at a time
         self._write_back_sessions = 0
         # observability (the `stats` op): counters shared across
         # connection threads, guarded by their own lock — never the
@@ -460,7 +462,14 @@ class EmbedServer:
             return self._segment_start_bound(req, session, collection,
                                              write_back)
         except BaseException:
-            if write_back:  # never started — unpin
+            # Leave the connection state EXACTLY as it was. A partially
+            # populated session dict would later double-unpin at
+            # connection close (pin count goes negative -> every future
+            # reload refused forever) and skew the session gauges.
+            session.pop("segment", None)
+            session.pop("segment_score", None)
+            session.pop("segment_write_back", None)
+            if write_back:  # pinned above — unpin exactly once
                 with self._collection_lock:
                     self._write_back_sessions -= 1
             raise
@@ -492,6 +501,17 @@ class EmbedServer:
             # connection exactly as it was (_make_scorer scopes the
             # device lock itself: store read outside, model init inside).
             scorer = self._make_scorer(score_cfg)
+        score_vid = 0
+        if scorer is not None and req.get("vid") is not None:
+            try:
+                # parsed BEFORE any session state exists: a non-numeric
+                # vid must be a clean protocol error, not a half-built
+                # session behind an error reply
+                score_vid = int(req["vid"])
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"'vid' must be an integer when scoring, got "
+                    f"{req['vid']!r}")
         # host read; only staging and session setup are device work
         corpus = self._corpus_snapshot(collection)
         with self._lock:
@@ -522,7 +542,7 @@ class EmbedServer:
         if scorer is not None:
             session["segment_score"] = {
                 "scorer": scorer, "refs": [], "clips": 0,
-                "vid": int(req.get("vid") or 0)}
+                "vid": score_vid}
         self._count("segment", "sessions_started")
         self._count("segment", "sessions_active")
         return {"ok": True, "corpus_size": seg.corpus_size,
@@ -592,11 +612,30 @@ class EmbedServer:
         if session.pop("segment_write_back", False):
             with self._collection_lock:
                 self._write_back_sessions -= 1
+                # The pin guaranteed no reload swapped the collection
+                # while this session ran, so the current collection IS
+                # the one it upserted into.
+                col = self.collection
+            # Persist this session's write-backs now: collections opened
+            # by a reload have no atexit autoflush (deliberately — see
+            # _reload), and "acked upserts survive daemon death" must not
+            # depend on which generation happens to be live. Outside
+            # _collection_lock: flush is disk I/O with its own lock.
+            try:
+                if col is not None:
+                    col.flush()
+            except Exception as e:
+                # never turn a finished session (clips already computed)
+                # into an error reply — but a failed persist is loud
+                self._count("errors")
+                print(f"serve: write-back flush failed: {e}",
+                      file=sys.stderr)
 
     def _reload(self, req) -> dict:
         """Re-open the collection from disk and swap it in atomically
         (see the module docstring's "Hot collection reload")."""
-        from vit_research_tpu.store.vector_store import PersistentClient
+        from vit_research_tpu.store.vector_store import (
+            PersistentClient, StaleCollectionError)
 
         src = self._collection_source or (None, None)
         db = req.get("db") or src[0]
@@ -605,37 +644,82 @@ class EmbedServer:
             raise ValueError(
                 "server was started without --db/--collection; reload "
                 "needs explicit 'db' and 'collection'")
-        with self._collection_lock:
-            if self._write_back_sessions:
-                raise ValueError(
-                    f"reload refused: {self._write_back_sessions} active "
-                    "write-back segment session(s) are upserting into the "
-                    "current collection (two live generations of one "
-                    "collection would race its append log); finish them "
-                    "first")
-            old = self.collection
+        refusal = ("reload refused: {} active write-back segment "
+                   "session(s) are upserting into the current collection "
+                   "(two live generations of one collection would race "
+                   "its append log); finish them first")
+        with self._reload_lock:
+            with self._collection_lock:
+                if self._write_back_sessions:
+                    raise ValueError(
+                        refusal.format(self._write_back_sessions))
+                old = self.collection
+            # Disk work OUTSIDE _collection_lock: a multi-GB flush/reopen
+            # must not stall every concurrent segment_start behind it
+            # (the pin re-check below keeps the swap itself sound).
+            pending = None
             if old is not None:
-                # Persist write-backs from already-finished sessions so
-                # the reopened generation includes them (reopening the
-                # SAME collection is the common "refresh after
-                # rebuild-db" case).
-                old.flush()
-            # autoflush like the startup client: write-back sessions
-            # started after this swap upsert into the new object, and
-            # its atexit flush is what persists them on daemon exit.
-            new = PersistentClient(db).get_collection(name)
+                try:
+                    # Persist write-backs from already-finished sessions
+                    # so the reopened generation includes them (reopening
+                    # the SAME collection is the common "refresh after
+                    # rebuild-db" case — and reload is also how a daemon
+                    # started on an in-memory collection first
+                    # materializes it).
+                    old.flush()
+                except StaleCollectionError:
+                    # An external rebuild-db rewrote the directory past
+                    # the old object's generation: flushing it would be
+                    # fenced out on the next load (write-backs silently
+                    # dropped) or — when it compacts — REPLACE the fresh
+                    # rebuild with the daemon's pre-rebuild corpus. Carry
+                    # the pending rows into the NEW generation instead.
+                    pending = old.pending_mutations()
+            # autoflush=False: an autoflush client registers an atexit
+            # flush that would pin every swapped-out generation (host
+            # arrays + HBM corpus cache) in memory for the daemon's
+            # lifetime; durability comes from the flush above plus the
+            # flush-on-unpin of write-back sessions.
+            new = PersistentClient(db, autoflush=False).get_collection(name)
             if self._shard_mesh is not None:
                 new.shard_device(self._shard_mesh)
-            self.collection = new
-            self._collection_source = (db, name)
-        with self._corpus_lock:
-            # new object, new identity — but drop the old corpus buffer
-            # eagerly rather than waiting for the next session start
-            self._corpus_cache = None
-        return {"ok": True, "db": db, "collection": name,
-                "rows": new.count(),
-                "previous_rows": old.count() if old is not None else None,
-                "sharded": self._shard_mesh is not None}
+            carried = 0
+            with self._collection_lock:
+                # Re-check under the lock: a write-back session may have
+                # pinned the OLD collection while we were loading.
+                if self._write_back_sessions:
+                    raise ValueError(
+                        refusal.format(self._write_back_sessions))
+                if old is not None:
+                    if pending is not None:
+                        if pending["deleted"]:
+                            new.delete(ids=pending["deleted"])
+                        if pending["ids"]:
+                            new.upsert(pending["ids"],
+                                       pending["embeddings"],
+                                       pending["metadatas"])
+                        carried = (len(pending["ids"])
+                                   + len(pending["deleted"]))
+                    # Neuter the old object: the startup client's atexit
+                    # autoflush (or any straggling holder) must never
+                    # write its stale generation over the live one; also
+                    # drops its device corpus cache so HBM frees as soon
+                    # as in-flight queries finish.
+                    old.detach()
+                self.collection = new
+                self._collection_source = (db, name)
+            if carried:
+                new.flush()  # outside _collection_lock: disk I/O
+            with self._corpus_lock:
+                # new object, new identity — but drop the old corpus
+                # buffer eagerly rather than at the next session start
+                self._corpus_cache = None
+            return {"ok": True, "db": db, "collection": name,
+                    "rows": new.count(),
+                    "previous_rows": (old.count() if old is not None
+                                      else None),
+                    "carried_pending": carried,
+                    "sharded": self._shard_mesh is not None}
 
     def _connection_closed(self, session) -> None:
         """Called by the socket handler when a connection ends. A still-
@@ -803,10 +887,7 @@ class SessionClient:
     cheaper than :func:`request` for bursts of stateless calls."""
 
     def __init__(self, socket_path: str, timeout: float = 60.0):
-        if not os.path.exists(socket_path):
-            raise FileNotFoundError(
-                f"no daemon socket at {socket_path!r} (start one with: "
-                "vit-research-tpu serve --socket ...)")
+        _require_socket(socket_path)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.settimeout(timeout)
         _connect_with_retry(self._sock, socket_path, timeout)
@@ -857,8 +938,20 @@ class SessionClient:
         self.close()
 
 
+def _require_socket(socket_path: str) -> None:
+    """Friendly early error for a missing daemon socket (shared by both
+    clients — the raw connect() ENOENT is indistinguishable from a dead
+    daemon otherwise). FileNotFoundError is an OSError, so existing
+    ``except OSError`` callers behave the same."""
+    if not os.path.exists(socket_path):
+        raise FileNotFoundError(
+            f"no daemon socket at {socket_path!r} (start one with: "
+            "vit-research-tpu serve --socket ...)")
+
+
 def request(socket_path: str, req: dict, timeout: float = 60.0) -> dict:
     """One-shot client: send a request object, return the response."""
+    _require_socket(socket_path)
     try:
         with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
             s.settimeout(timeout)

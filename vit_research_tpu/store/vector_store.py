@@ -46,6 +46,15 @@ import numpy as np
 _OPS = ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin")
 
 
+class StaleCollectionError(RuntimeError):
+    """The collection directory was rewritten by another writer since this
+    object last read it: flushing would either be generation-fenced on
+    the next load (rows silently dropped) or overwrite the newer
+    on-disk corpus wholesale. Reopen the collection (or carry pending
+    rows into a fresh object via :meth:`Collection.pending_mutations`)
+    instead of writing through a stale view."""
+
+
 def _atomic_write_json(path: str, obj) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -243,13 +252,103 @@ class Collection:
             self.upsert(ids, embs, metas)
         self._logged_rows += len(deleted) + len(ids)
 
+    def _disk_state(self):
+        """(snapshot_gen, manifest_gen, manifest_segments) currently on
+        disk; ``None`` per slot when the artifact doesn't exist or is
+        unreadable (torn mid-replace — can't prove staleness from it)."""
+        p = self._path
+        snap_gen = None
+        snap = os.path.join(p, "snapshot.npz")
+        if os.path.exists(snap):
+            try:
+                with np.load(snap, allow_pickle=False) as z:
+                    snap_gen = int(z["gen"]) if "gen" in z.files else 0
+            except Exception:
+                snap_gen = None
+        elif os.path.exists(os.path.join(p, "embeddings.npy")):
+            snap_gen = 0  # legacy three-file snapshot (always gen 0)
+        man_gen = man_segs = None
+        mpath = os.path.join(p, "segments.json")
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    m = json.load(f)
+                if isinstance(m, dict):
+                    man_gen, man_segs = int(m["gen"]), list(m["segments"])
+                else:  # legacy list-form manifest
+                    man_gen, man_segs = 0, list(m)
+            except Exception:
+                pass
+        return snap_gen, man_gen, man_segs
+
+    def _check_not_stale(self) -> None:
+        """Refuse to write through a stale view of the directory (another
+        process compacted past our generation, or appended segments we
+        never replayed). Loud beats silent: a stale flush would be
+        generation-fenced away on the next load, or — when it compacts —
+        atomically REPLACE the newer corpus with this object's old one."""
+        snap_gen, man_gen, man_segs = self._disk_state()
+        if snap_gen is None and man_gen is None:
+            return  # nothing durable yet — first flush of a new dir
+        if (snap_gen or 0) > self._gen or (man_gen or 0) > self._gen:
+            raise StaleCollectionError(
+                f"collection {self.name!r} at {self._path!r} is at "
+                f"generation {max(snap_gen or 0, man_gen or 0)} on disk "
+                f"but this object last read generation {self._gen}: "
+                "another writer rebuilt it; reopen before writing")
+        if (man_gen == self._gen and man_segs is not None
+                and man_segs != self._segments):
+            raise StaleCollectionError(
+                f"collection {self.name!r} at {self._path!r} has log "
+                "segments this object never replayed (another writer "
+                "appended concurrently); reopen before writing")
+
+    def pending_mutations(self):
+        """Unflushed mutations as plain data — ``{'ids', 'embeddings',
+        'metadatas', 'deleted'}`` — or ``None`` when clean. Lets a holder
+        carry acked-but-unflushed rows into a REOPENED generation of the
+        same collection (serve.py hot reload) instead of flushing a stale
+        view over a directory another process has since rewritten."""
+        with self._lock:
+            if not self._dirty:
+                return None
+            ids = sorted(self._pending_dirty)
+            embs = (np.stack([self._embeddings[self._id_to_idx[i]]
+                              for i in ids])
+                    if ids else np.zeros((0, self._dim or 0), np.float32))
+            metas = [None if self._metadatas[self._id_to_idx[i]] is None
+                     else dict(self._metadatas[self._id_to_idx[i]])
+                     for i in ids]
+            return {"ids": ids, "embeddings": embs.astype(np.float32),
+                    "metadatas": metas,
+                    "deleted": sorted(self._pending_deleted)}
+
+    def detach(self) -> None:
+        """Disconnect this object from its directory: ``flush``/``compact``
+        become no-ops and the device corpus cache is dropped (HBM freed
+        once in-flight queries release their references). For swapped-out
+        generations (serve.py hot reload): the old object's view is stale
+        the moment a reload re-opens the directory, so any later flush —
+        including a client's atexit autoflush — must never reach disk.
+        Host arrays stay intact for readers mid-query."""
+        with self._lock:
+            self._path = None
+            self._dirty = False
+            self._pending_dirty.clear()
+            self._pending_deleted.clear()
+            self._device_cache = None
+            self._ivf = None
+
     def flush(self) -> None:
         """Persist pending mutations: appends one log segment, or compacts
         into a fresh snapshot when the log share crosses ``compact_ratio``
-        / ``max_segments`` (or nothing was ever snapshotted)."""
+        / ``max_segments`` (or nothing was ever snapshotted). Raises
+        :class:`StaleCollectionError` instead of writing through a view
+        another process has rebuilt past."""
         with self._lock:
             if not self._dirty or self._path is None:
                 return
+            self._check_not_stale()
             os.makedirs(self._path, exist_ok=True)
             _atomic_write_json(os.path.join(self._path, "config.json"),
                                {"space": self.space, "dim": self._dim,
@@ -275,6 +374,7 @@ class Collection:
         with self._lock:
             if self._path is None:
                 return
+            self._check_not_stale()
             os.makedirs(self._path, exist_ok=True)
             _atomic_write_json(os.path.join(self._path, "config.json"),
                                {"space": self.space, "dim": self._dim,
@@ -791,4 +891,13 @@ class PersistentClient:
 
     def flush(self) -> None:
         for col in self._collections.values():
-            col.flush()
+            try:
+                col.flush()
+            except StaleCollectionError as e:
+                # atexit autoflush path: one stale collection (another
+                # process rebuilt its directory) must not clobber disk
+                # NOR abort the flush of the remaining collections.
+                import sys
+
+                print(f"vector_store: skipping flush: {e}",
+                      file=sys.stderr)
