@@ -1849,3 +1849,113 @@ def test_one_shot_request_missing_socket_is_friendly(tmp_path):
     gets the 'start one with: serve' hint, not a raw ENOENT."""
     with pytest.raises(FileNotFoundError, match="no daemon socket"):
         request(str(tmp_path / "absent.sock"), {"op": "ping"})
+
+
+def test_write_back_finishing_mid_reload_is_never_lost(
+        engine, seg_world, tmp_path, monkeypatch):
+    """A write-back session that starts AFTER reload's initial pin check
+    and finishes DURING the (multi-minute in production) reopen window
+    must not lose its acked rows. The hardening under test: the unpin
+    flush holds the pin and serializes on _reload_lock, so the reload's
+    final re-check refuses (two generations never go live around an
+    unflushed session) and the rows land in the still-live old
+    generation; the next reload then picks them up from disk."""
+    import time
+
+    import vit_research_tpu.store.vector_store as vs
+
+    paths, coll = seg_world
+    db = str(tmp_path / "segdb")
+    coll.flush()  # seg_world built it in memory only
+    srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
+                      collection_source=(db, "corpus"))
+    n0 = coll.count()
+
+    finish_started = threading.Event()
+    reload_done = threading.Event()
+    real_client = vs.PersistentClient
+
+    class ReopenHoldsWindowOpen:
+        """Stands in for PersistentClient inside _reload: keeps the
+        reopen window open until the finishing session's pin has either
+        dropped (the round-1 bug: unpin before flush) or provably stayed
+        up because the flush is serialized behind the reload."""
+
+        def __init__(self, *a, **k):
+            self._real = real_client(*a, **k)
+
+        def get_collection(self, name):
+            assert finish_started.wait(10)
+            deadline = time.monotonic() + 2.0
+            while srv._write_back_sessions and time.monotonic() < deadline:
+                time.sleep(0.01)
+            return self._real.get_collection(name)
+
+    reload_err: list = []
+
+    def do_reload():
+        try:
+            reload_err.append(srv.handle({"op": "reload"}))
+        except ValueError as e:
+            reload_err.append(e)
+        finally:
+            reload_done.set()
+
+    monkeypatch.setattr(vs, "PersistentClient", ReopenHoldsWindowOpen)
+    rt = threading.Thread(target=do_reload, daemon=True)
+    rt.start()  # passes the initial pin check (no session yet) and
+    # parks inside get_collection waiting on finish_started
+
+    # the session starts mid-reload, binds the OLD (still live)
+    # collection, streams a decisive left run, and finishes mid-reopen
+    session: dict = {}
+    assert srv.handle({"op": "segment_start", "k": 5, "min_len": 3,
+                       "pad": 0, "max_lag": 16, "write_back": True,
+                       "vid": 9}, session)["ok"]
+    for _ in range(3):
+        assert srv.handle({"op": "segment_push",
+                           "paths": [paths["left"]] * 4}, session)["ok"]
+
+    # delay the session's unpin flush until the reload thread has fully
+    # resolved — under the round-1 ordering (unpin -> swap+detach ->
+    # flush) this forces the no-op flush that dropped the rows
+    real_flush = coll.flush
+
+    def delayed_flush():
+        reload_done.wait(10)
+        real_flush()
+
+    monkeypatch.setattr(coll, "flush", delayed_flush)
+
+    finish_err: list = []
+
+    def do_finish():
+        finish_started.set()
+        try:
+            finish_err.append(srv.handle({"op": "segment_finish"}, session))
+        except Exception as e:  # pragma: no cover - diagnostic
+            finish_err.append(e)
+
+    ft = threading.Thread(target=do_finish, daemon=True)
+    ft.start()
+    rt.join(timeout=30)
+    ft.join(timeout=30)
+    assert not rt.is_alive() and not ft.is_alive()
+
+    # the reload was refused (the pin was still up at its re-check) and
+    # the finish succeeded
+    assert isinstance(reload_err[0], ValueError), reload_err
+    assert "write-back" in str(reload_err[0])
+    assert isinstance(finish_err[0], dict) and finish_err[0]["ok"]
+    assert srv._write_back_sessions == 0
+
+    # nothing was lost: the daemon still serves the old generation with
+    # the write-back row live, a fresh reload succeeds, and a fresh
+    # from-disk load sees the row (it was flushed, not dropped)
+    assert srv.collection is coll and coll.count() == n0 + 1
+    monkeypatch.setattr(vs, "PersistentClient", real_client)
+    resp = srv.handle({"op": "reload"})
+    assert resp["ok"] and resp["rows"] == n0 + 1
+    fresh = real_client(db, autoflush=False).get_collection("corpus")
+    assert fresh.count() == n0 + 1
+    assert "left.png" in set(fresh.get(include=())["ids"])

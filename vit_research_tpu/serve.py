@@ -609,27 +609,45 @@ class EmbedServer:
         return resp
 
     def _unpin_write_back(self, session) -> None:
-        if session.pop("segment_write_back", False):
-            with self._collection_lock:
-                self._write_back_sessions -= 1
-                # The pin guaranteed no reload swapped the collection
-                # while this session ran, so the current collection IS
-                # the one it upserted into.
-                col = self.collection
-            # Persist this session's write-backs now: collections opened
-            # by a reload have no atexit autoflush (deliberately — see
-            # _reload), and "acked upserts survive daemon death" must not
-            # depend on which generation happens to be live. Outside
-            # _collection_lock: flush is disk I/O with its own lock.
-            try:
+        if not session.pop("segment_write_back", False):
+            return
+        # Persist this session's write-backs now: collections opened
+        # by a reload have no atexit autoflush (deliberately — see
+        # _reload), and "acked upserts survive daemon death" must not
+        # depend on which generation happens to be live.
+        #
+        # Ordering is load-bearing. The flush runs BEFORE the pin drops,
+        # so a concurrent reload's pin re-check refuses until the rows
+        # are durable; and it runs under _reload_lock, so it can never
+        # land in reload's window between reopening the directory and
+        # swapping the new generation in (rows durable on disk but
+        # invisible to the already-loaded new object). A session that
+        # finishes mid-reload therefore waits for the reload to fail its
+        # re-check (this pin is still up) and then flushes into the old,
+        # still-live generation. Lock order here and in _reload:
+        # _reload_lock -> _collection_lock.
+        try:
+            with self._reload_lock:
+                with self._collection_lock:
+                    # The pin guaranteed no reload swapped the collection
+                    # while this session ran, so the current collection
+                    # IS the one it upserted into.
+                    col = self.collection
+                # flush is disk I/O with the store's own lock — keep
+                # _collection_lock released for it.
                 if col is not None:
                     col.flush()
-            except Exception as e:
-                # never turn a finished session (clips already computed)
-                # into an error reply — but a failed persist is loud
-                self._count("errors")
-                print(f"serve: write-back flush failed: {e}",
-                      file=sys.stderr)
+        except Exception as e:
+            # never turn a finished session (clips already computed)
+            # into an error reply — but a failed persist is loud. The
+            # rows stay pending in the collection; the next flush (any
+            # session's unpin, or a reload's pending carry) retries them.
+            self._count("errors")
+            print(f"serve: write-back flush failed: {e}",
+                  file=sys.stderr)
+        finally:
+            with self._collection_lock:
+                self._write_back_sessions -= 1
 
     def _reload(self, req) -> dict:
         """Re-open the collection from disk and swap it in atomically
@@ -657,7 +675,6 @@ class EmbedServer:
             # Disk work OUTSIDE _collection_lock: a multi-GB flush/reopen
             # must not stall every concurrent segment_start behind it
             # (the pin re-check below keeps the swap itself sound).
-            pending = None
             if old is not None:
                 try:
                     # Persist write-backs from already-finished sessions
@@ -672,9 +689,10 @@ class EmbedServer:
                     # the old object's generation: flushing it would be
                     # fenced out on the next load (write-backs silently
                     # dropped) or — when it compacts — REPLACE the fresh
-                    # rebuild with the daemon's pre-rebuild corpus. Carry
-                    # the pending rows into the NEW generation instead.
-                    pending = old.pending_mutations()
+                    # rebuild with the daemon's pre-rebuild corpus. Leave
+                    # the rows pending; the capture under the final lock
+                    # below carries them into the NEW generation instead.
+                    pass
             # autoflush=False: an autoflush client registers an atexit
             # flush that would pin every swapped-out generation (host
             # arrays + HBM corpus cache) in memory for the daemon's
@@ -691,6 +709,13 @@ class EmbedServer:
                     raise ValueError(
                         refusal.format(self._write_back_sessions))
                 if old is not None:
+                    # Captured HERE — under the lock, after the pin
+                    # re-check, before detach — not in the stale branch
+                    # above: besides stale-flush rows this also rescues
+                    # rows whose write-back unpin flush FAILED with an
+                    # exception (that path drops the pin with the rows
+                    # still pending in old; detach would erase them).
+                    pending = old.pending_mutations()
                     if pending is not None:
                         if pending["deleted"]:
                             new.delete(ids=pending["deleted"])
@@ -708,8 +733,21 @@ class EmbedServer:
                     old.detach()
                 self.collection = new
                 self._collection_source = (db, name)
+            carried_flushed = True
             if carried:
-                new.flush()  # outside _collection_lock: disk I/O
+                try:
+                    new.flush()  # outside _collection_lock: disk I/O
+                except Exception as e:
+                    # The swap already happened and the carried rows are
+                    # live in the new generation's memory — a failed
+                    # persist must not turn a successful reload into an
+                    # error reply. The rows stay pending (autoflush=False
+                    # collection); the next write-back unpin flush or
+                    # reload retries them. Loud + counted, flagged below.
+                    carried_flushed = False
+                    self._count("errors")
+                    print(f"serve: carried-rows flush failed: {e}",
+                          file=sys.stderr)
             with self._corpus_lock:
                 # new object, new identity — but drop the old corpus
                 # buffer eagerly rather than at the next session start
@@ -719,6 +757,7 @@ class EmbedServer:
                     "previous_rows": (old.count() if old is not None
                                       else None),
                     "carried_pending": carried,
+                    "carried_flushed": carried_flushed,
                     "sharded": self._shard_mesh is not None}
 
     def _connection_closed(self, session) -> None:

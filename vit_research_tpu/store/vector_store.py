@@ -286,7 +286,18 @@ class Collection:
         process compacted past our generation, or appended segments we
         never replayed). Loud beats silent: a stale flush would be
         generation-fenced away on the next load, or — when it compacts —
-        atomically REPLACE the newer corpus with this object's old one."""
+        atomically REPLACE the newer corpus with this object's old one.
+
+        Best-effort SEQUENTIAL-staleness detection only, not multi-writer
+        safety: the check-then-write is not atomic across processes (no
+        file lock), so two writers at the same generation can both pass
+        and the later manifest replace drops the other's segment; and a
+        torn snapshot/manifest read (None slots) deliberately passes,
+        since staleness can't be proven from it. The intended deployment
+        is single-writer-at-a-time (CLI builders hand off to the daemon;
+        rebuild-db runs while the daemon only reads, then reloads). True
+        concurrent multi-writer use would need an flock on the collection
+        dir or O_EXCL segment creation + manifest re-read after write."""
         snap_gen, man_gen, man_segs = self._disk_state()
         if snap_gen is None and man_gen is None:
             return  # nothing durable yet — first flush of a new dir
