@@ -60,16 +60,22 @@ def test_threaded_decode_matches_serial(tmp_path):
 
 def test_native_faster_than_pil_on_downscale(tmp_path):
     # 1080p-ish frames downscaled to 224: scaled decode should win clearly.
+    # Best-of-5, interleaved: single-run wall-clock comparisons flake on a
+    # loaded 1-core box (a scheduler hiccup during either run flips the
+    # sign); the min over several alternated runs is robust to load
+    # spikes while still failing if the native path genuinely regresses.
     paths = synthetic.write_video_frames(
         str(tmp_path / "f"), 1, [("left", 6)], size=(540, 960))
     target = (224, 224)
-    native.decode_batch(paths, target)  # warm (build/load)
-    t0 = time.perf_counter()
-    native.decode_batch(paths, target)
-    t_native = time.perf_counter() - t0
     spec = pp.PreprocessSpec(size=target)
+    native.decode_batch(paths, target)  # warm (build/load)
     pp.load_frames(paths, spec, num_workers=1)
-    t0 = time.perf_counter()
-    pp.load_frames(paths, spec, num_workers=1)
-    t_pil = time.perf_counter() - t0
-    assert t_native < t_pil, (t_native, t_pil)
+    t_native, t_pil = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        native.decode_batch(paths, target)
+        t_native.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        pp.load_frames(paths, spec, num_workers=1)
+        t_pil.append(time.perf_counter() - t0)
+    assert min(t_native) < min(t_pil), (t_native, t_pil)
