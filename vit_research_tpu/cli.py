@@ -38,7 +38,14 @@ def _engine(preset: str = "hf", batch_size: int = 256):
     v5e), OFF by default because merged embeddings drift from the
     reference-parity outputs. VRT_GEMM_QUANT=int8 likewise swaps the
     encoder GEMMs for dynamic int8 (ops/quant.py); the two compose. All
-    embeddings a pipeline compares must come from the same settings."""
+    embeddings a pipeline compares must come from the same settings.
+
+    VRT_GRAYSCALE=1 embeds luminance-converted frames — the reference's
+    USE_GRAYSCALE ablation constant as an env toggle (reference:
+    nba_proj/db_maintainence/db_rebuild_chunk.py:101-115,
+    nba_proj/train/training_chunk_cached.py:473-505). Like the reference
+    toggle it changes the feature space globally: every embedding a
+    pipeline compares must be produced with the same setting."""
     raw_tome = os.environ.get("VRT_TOME_R", "").strip()
     try:
         tome_r = int(raw_tome) if raw_tome else 0
@@ -49,6 +56,7 @@ def _engine(preset: str = "hf", batch_size: int = 256):
     if gemm_quant not in (None, "int8"):
         raise SystemExit(
             f"VRT_GEMM_QUANT must be 'int8' or unset, got {gemm_quant!r}")
+    grayscale = os.environ.get("VRT_GRAYSCALE", "").strip() not in ("", "0")
     if os.environ.get("VRT_TINY"):
         from vit_research_tpu.data.preprocess import PreprocessSpec
         from vit_research_tpu.models.vit import init_vit
@@ -60,13 +68,16 @@ def _engine(preset: str = "hf", batch_size: int = 256):
                         use_flash_attention=False, tome_r=tome_r,
                         gemm_quant=gemm_quant)
         model, params = init_vit(cfg, seed=0)
-        return EmbeddingEngine(model, params, PreprocessSpec(size=(32, 32)),
+        return EmbeddingEngine(model, params,
+                               PreprocessSpec(size=(32, 32),
+                                              grayscale=grayscale),
                                batch_size=min(batch_size, 16),
                                use_fused_patch_embed=False)
     from vit_research_tpu.parallel.embed import make_hf_frame_embedder
 
     return make_hf_frame_embedder(batch_size=batch_size, tome_r=tome_r,
-                                  gemm_quant=gemm_quant)
+                                  gemm_quant=gemm_quant,
+                                  grayscale=grayscale)
 
 
 def _load_world(args):

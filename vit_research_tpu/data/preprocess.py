@@ -38,6 +38,11 @@ IMAGENET_HF_MEAN = (0.5, 0.5, 0.5)
 IMAGENET_HF_STD = (0.5, 0.5, 0.5)
 
 
+#: ITU-R BT.601 luminance weights — the constants the reference hardcodes
+#: in both of its grayscale drift variants.
+LUMA_WEIGHTS = (0.2989, 0.5870, 0.1140)
+
+
 @dataclass(frozen=True)
 class PreprocessSpec:
     """Everything the device kernel needs to finish preprocessing."""
@@ -47,6 +52,13 @@ class PreprocessSpec:
     mean: tuple = IMAGENET_HF_MEAN
     std: tuple = IMAGENET_HF_STD
     interpolation: str = "bilinear"  # 'bilinear' | 'area'
+    #: Embed grayscale-converted frames (luminance replicated across the
+    #: 3 channels) — the reference's ablation toggle (reference:
+    #: nba_proj/db_maintainence/db_rebuild_chunk.py:101-115 and
+    #: nba_proj/train/training_chunk_cached.py:473-505, ``USE_GRAYSCALE``).
+    #: Applied at embed time on device (parallel/embed.py), matching where
+    #: the reference applies it (inside ``hf_vit_embed_batch``).
+    grayscale: bool = False
 
 
 HF_VIT_SPEC = PreprocessSpec()
@@ -187,9 +199,27 @@ def _decode_pool(num_workers: int) -> "_fut.ThreadPoolExecutor":
         return pool
 
 
+def to_grayscale_3ch(frames: np.ndarray) -> np.ndarray:
+    """Luminance grayscale replicated across 3 channels.
+
+    Mirrors BOTH reference drift variants with one rule keyed on dtype:
+    uint8 in -> clip+round -> uint8 out (reference:
+    nba_proj/train/training_chunk_cached.py:474-488), float in -> float32
+    out, unclipped (reference:
+    nba_proj/db_maintainence/db_rebuild_chunk.py:102-115)."""
+    w = np.asarray(LUMA_WEIGHTS, np.float32)
+    gray = frames.astype(np.float32) @ w
+    if frames.dtype == np.uint8:
+        # astype truncates, exactly like the reference's clip+astype.
+        gray = np.clip(gray, 0, 255).astype(np.uint8)
+    return np.stack([gray, gray, gray], axis=-1)
+
+
 def normalize_host(batch_u8: np.ndarray, spec: PreprocessSpec) -> np.ndarray:
     """Reference-exact host normalization (parity/testing path; the
     production path folds this into ops/patch_embed.fused_patch_embed)."""
+    if spec.grayscale:
+        batch_u8 = to_grayscale_3ch(batch_u8)
     x = batch_u8.astype(np.float32) * spec.rescale
     return (x - np.asarray(spec.mean, np.float32)) / np.asarray(
         spec.std, np.float32)

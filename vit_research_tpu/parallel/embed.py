@@ -84,6 +84,22 @@ class EmbeddingEngine:
         c = self.model.config
         spec = self.spec
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        if spec.grayscale:
+            # The reference's USE_GRAYSCALE ablation, applied where the
+            # reference applies it — inside the embedder (reference:
+            # nba_proj/train/training_chunk_cached.py:473-505,
+            # nba_proj/db_maintainence/db_rebuild_chunk.py:101-115).
+            # uint8 semantics (clip + truncating cast) so both branches
+            # see the same bytes the host oracle produces; stays uint8 so
+            # the fused patch-embed path ships 1/3-width HBM traffic.
+            # uint8->f32 routed via int32 (Mosaic has no direct cast).
+            from vit_research_tpu.data.preprocess import LUMA_WEIGHTS
+
+            gray = jnp.tensordot(
+                images_u8.astype(jnp.int32).astype(jnp.float32),
+                jnp.asarray(LUMA_WEIGHTS, jnp.float32), axes=(-1, -1))
+            gray = jnp.clip(gray, 0, 255).astype(jnp.uint8)
+            images_u8 = jnp.stack([gray, gray, gray], axis=-1)
         if self.use_fused:
             p_conv = params["params"]["patch_embed"]
             k = p_conv["kernel"]  # (P, P, C, D) HWIO
@@ -285,19 +301,25 @@ def make_hf_frame_embedder(params=None, *, spec=None, mesh=None,
                            batch_size: int = 256, seed: int = 0,
                            interpret_pallas: bool = False,
                            tome_r: int = 0,
-                           gemm_quant: str | None = None) -> EmbeddingEngine:
+                           gemm_quant: str | None = None,
+                           grayscale: bool = False) -> EmbeddingEngine:
     """The ``hf_vit_embed_batch`` capability as one engine: ViT-B/16 @224,
     CLS token, L2-normalized (reference: nba_proj/train/training.py:37-60).
     Uses imported HF weights when provided, else the seeded-init contract.
     ``tome_r`` enables token merging (ops/tome.py) and ``gemm_quant``
     int8 encoder GEMMs (ops/quant.py) — non-parity speed knobs; the
-    weight tree is unchanged, so imported/seeded params still load."""
+    weight tree is unchanged, so imported/seeded params still load.
+    ``grayscale`` embeds luminance-converted frames — the reference's
+    USE_GRAYSCALE ablation (nba_proj/db_maintainence/db_rebuild_chunk.py:
+    101-115); ignored when an explicit ``spec`` is passed (set it there)."""
     import dataclasses
 
     from vit_research_tpu.data.preprocess import HF_VIT_SPEC
     from vit_research_tpu.models.hf_import import HF_VIT_B16_224
     from vit_research_tpu.models.vit import init_vit
 
+    if spec is None and grayscale:
+        spec = dataclasses.replace(HF_VIT_SPEC, grayscale=True)
     cfg = (dataclasses.replace(HF_VIT_B16_224, tome_r=tome_r,
                                gemm_quant=gemm_quant)
            if (tome_r or gemm_quant) else HF_VIT_B16_224)
