@@ -105,15 +105,18 @@ def hf_state_dict_to_params(state_dict, config: ViTConfig) -> dict:
     return {"params": params}
 
 
-def load_hf_vit(model_name: str = "google/vit-base-patch16-224"):
+def load_hf_vit(model_name: str = "google/vit-base-patch16-224", **kwargs):
     """Build (model, params, config) from a HF checkpoint if available.
 
     Returns None when torch/transformers or the weights are unavailable
-    (zero-egress images); callers fall back to the seeded-init contract."""
+    (zero-egress images); callers fall back to the seeded-init contract.
+    ``kwargs`` forward to ``from_pretrained`` (e.g.
+    ``local_files_only=True`` to pin a cached/local checkpoint without a
+    hub round-trip — tests/test_hf_golden_checkpoint.py)."""
     try:
         from transformers import ViTModel
 
-        hf = ViTModel.from_pretrained(model_name)
+        hf = ViTModel.from_pretrained(model_name, **kwargs)
     except Exception:
         return None
     return vit_from_torch_model(hf)
