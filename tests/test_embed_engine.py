@@ -134,3 +134,27 @@ def test_embed_paths_prefetch_propagates_decode_errors(model_params):
     with pytest.raises(Exception):
         eng.embed_paths(["/nonexistent/frame.jpg"] * 6, num_workers=2,
                         prefetch=2)
+
+
+def test_bf16_softmax_close_to_f32(model_params):
+    """ViTConfig.softmax_dtype='bfloat16' (the VPU-traffic speed knob,
+    BENCH_NOTES.md) stays within the 1e-3 cosine production budget of the
+    f32-softmax parity path on identical weights."""
+    model, params = model_params
+    bf16_model, _ = init_vit(dataclasses.replace(TINY,
+                                                 softmax_dtype="bfloat16"),
+                             seed=0)
+    imgs = rand_batch(8)
+    a = EmbeddingEngine(model, params, SPEC, batch_size=8,
+                        use_fused_patch_embed=False).embed_batch(imgs)
+    b = EmbeddingEngine(bf16_model, params, SPEC, batch_size=8,
+                        use_fused_patch_embed=False).embed_batch(imgs)
+    cos = (a * b).sum(-1)  # both L2-normalized
+    assert (1 - cos).max() < 1e-3, (1 - cos).max()
+    # ...and it is NOT the identical computation (the flag is live).
+    assert np.abs(a - b).max() > 0
+
+
+def test_softmax_dtype_validated():
+    with pytest.raises(ValueError, match="softmax_dtype"):
+        init_vit(dataclasses.replace(TINY, softmax_dtype="float16"), seed=0)

@@ -92,6 +92,9 @@ class MultiHeadSelfAttention(nn.Module):
     use_pallas: bool = False
     interpret_pallas: bool = False
     dot_general: Any = None  # see MlpBlock
+    # Softmax compute dtype (ViTConfig.softmax_dtype): f32 is the parity
+    # default; bf16 halves VPU/HBM traffic on the (B,H,T,T) scores.
+    softmax_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, output_scores: bool = False,
@@ -122,9 +125,9 @@ class MultiHeadSelfAttention(nn.Module):
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh ** -0.5)
             if log_size is not None:
                 s = s + log_size[:, None, None, :].astype(s.dtype)
-            probs = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+            probs = jax.nn.softmax(s.astype(self.softmax_dtype), axis=-1)
             if output_scores:
-                scores = probs
+                scores = probs.astype(jnp.float32)
             probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
             o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
         else:
@@ -152,6 +155,7 @@ class EncoderBlock(nn.Module):
     use_pallas: bool = False  # see MultiHeadSelfAttention
     interpret_pallas: bool = False
     dot_general: Any = None  # see MlpBlock
+    softmax_dtype: Any = jnp.float32  # see MultiHeadSelfAttention
 
     @nn.compact
     def __call__(self, x, train: bool = False, output_scores: bool = False):
@@ -164,6 +168,7 @@ class EncoderBlock(nn.Module):
             use_pallas=self.use_pallas,
             interpret_pallas=self.interpret_pallas,
             dot_general=self.dot_general,
+            softmax_dtype=self.softmax_dtype,
             name="attn",
         )(y, train=train, output_scores=output_scores)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
@@ -194,6 +199,7 @@ class ToMeEncoderBlock(nn.Module):
     dtype: Any = jnp.float32
     gelu_approximate: bool = False
     dot_general: Any = None  # see MlpBlock
+    softmax_dtype: Any = jnp.float32  # see MultiHeadSelfAttention
 
     @nn.compact
     def __call__(self, x, sizes, *, train: bool = False):
@@ -203,7 +209,8 @@ class ToMeEncoderBlock(nn.Module):
         y, _, metric = MultiHeadSelfAttention(
             num_heads=self.num_heads, dtype=self.dtype,
             dropout_rate=self.attention_dropout_rate,
-            use_pallas=False, dot_general=self.dot_general, name="attn",
+            use_pallas=False, dot_general=self.dot_general,
+            softmax_dtype=self.softmax_dtype, name="attn",
         )(y, train=train, log_size=jnp.log(sizes), output_metric=True)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = x + y
@@ -226,6 +233,10 @@ class VisionTransformer(nn.Module):
         c = self.config
         dtype = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         self._dtype = dtype
+        if c.softmax_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown softmax_dtype {c.softmax_dtype!r}")
+        sm_dtype = (jnp.bfloat16 if c.softmax_dtype == "bfloat16"
+                    else jnp.float32)
         if c.gemm_quant not in (None, "int8"):
             raise ValueError(f"unknown gemm_quant {c.gemm_quant!r}")
         if c.gemm_quant == "int8":
@@ -256,7 +267,7 @@ class VisionTransformer(nn.Module):
                     attention_dropout_rate=c.attention_dropout_rate,
                     layer_norm_eps=c.layer_norm_eps, dtype=dtype,
                     gelu_approximate=c.gelu_approximate,
-                    dot_general=qdg,
+                    dot_general=qdg, softmax_dtype=sm_dtype,
                     name=f"block_{i}")
                 for i in range(c.num_layers)
             ]
@@ -275,7 +286,7 @@ class VisionTransformer(nn.Module):
                     gelu_approximate=c.gelu_approximate,
                     use_pallas=c.use_flash_attention,
                     interpret_pallas=self.interpret_pallas,
-                    dot_general=qdg,
+                    dot_general=qdg, softmax_dtype=sm_dtype,
                     name=f"block_{i}")
                 for i in range(c.num_layers)
             ]

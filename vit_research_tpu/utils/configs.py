@@ -95,6 +95,13 @@ class ViTConfig(_Serializable):
     # the current kernel (2243 vs 1744 fps on ViT-B/16 embed); the kernel
     # stays available for longer sequences and future tuning.
     use_flash_attention: bool = False
+    # Attention-softmax compute dtype: 'float32' (default, reference
+    # parity) or 'bfloat16'. The softmax over the (B,H,T,T) score tensor
+    # is the embed path's VPU bottleneck (BENCH_NOTES.md: ~4 ms floor per
+    # layer at B=512); bf16 halves the element traffic at the cost of
+    # ~8 mantissa bits in the normalizer — a measured-accuracy speed
+    # knob, NOT a parity setting.
+    softmax_dtype: str = "float32"
     output_attention_scores: bool = False
     # Gradient rematerialization: recompute each encoder block's
     # activations in the backward pass instead of storing them — trades
