@@ -1,0 +1,212 @@
+"""End-to-end embed+segment wall clock for a 10-minute video (BASELINE.md
+target: <5 s for ~18k frames @30 fps).
+
+Measures the production segmentation composition on one chip —
+ViT-B/16 @224 frame embedding (parallel/embed.py) -> k-NN against a
+per-game labeled corpus (ops/topk.masked_topk, the device core of
+segment/knn.knn_labels) -> confidence fusion (segment/knn.fused_confidence,
+host numpy) -> Viterbi smoothing (segment/hmm.smooth_probabilities) ->
+clip intervals (segment/clips.clip_intervals_from_decoded). This is the
+same math `cli segment --method knn-hmm` runs
+(reference counterpart: nba_proj/generate_clips_hmm.py:367-490, which made
+3 device/DB crossings PER FRAME; here the game is 4 device calls total).
+
+Methodology (CLAUDE.md): device-resident uint8 inputs and a device-resident
+corpus (production stages the corpus once — KnnHmmStreamSession), tiny
+readbacks only (neighbor ids ~4 MB, the decoded path ~72 KB); host JPEG
+decode is excluded as environment-bound (the native decoder does 120+ f/s
+per host core and scales across cores). float() readbacks are the
+completion barriers (block_until_ready lies over this tunnel).
+
+Modes:
+  parity    embed every frame with the parity engine
+  strided   embed every 4th frame + device-side linear interpolation
+            (parallel/embed.strided_interp_device == embed_video_strided)
+  tome      every frame, ToMe r=16 token merging (opt-in, non-parity)
+
+Run ONE mode per process (compiles stay short; the persistent compile
+cache makes repeat invocations cheap). --warmup {embed,segment} compiles
+just that phase and exits — use to pre-populate the cache so the measured
+invocation fits comfortably inside a tool-call window.
+
+Usage: python examples/bench_e2e_segment.py --mode parity
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("VRT_PLATFORM"):
+    # The image's sitecustomize pre-imports jax pinned to the TPU tunnel;
+    # JAX_PLATFORMS set later is IGNORED. Route like the CLI does
+    # (backends initialize lazily) so --tiny smokes stay off-device.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["VRT_PLATFORM"])
+
+
+def build_engine(mode: str, batch: int, tiny: bool = False):
+    import dataclasses
+
+    from vit_research_tpu.data.preprocess import HF_VIT_SPEC, PreprocessSpec
+    from vit_research_tpu.models.hf_import import HF_VIT_B16_224
+    from vit_research_tpu.models.vit import init_vit
+    from vit_research_tpu.parallel.embed import EmbeddingEngine
+    from vit_research_tpu.utils.configs import ViTConfig
+
+    tome_r = (2 if tiny else 16) if mode == "tome" else 0
+    if tiny:  # CPU smoke of the full script (not a perf configuration)
+        cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=64,
+                        num_layers=2, num_heads=2, mlp_dim=128,
+                        use_flash_attention=False, tome_r=tome_r)
+        spec = PreprocessSpec(size=(32, 32))
+    else:
+        cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
+                                  tome_r=tome_r)
+        spec = HF_VIT_SPEC
+    model, params = init_vit(cfg, seed=0)
+    return EmbeddingEngine(model, params, spec, batch_size=batch,
+                           use_fused_patch_embed=not tiny)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["parity", "strided", "tome"],
+                    default="parity")
+    ap.add_argument("--frames", type=int, default=18432,
+                    help="video length (default ~10 min @30fps, 36 batches)")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--stride", type=int, default=4)
+    ap.add_argument("--k", type=int, default=50)
+    ap.add_argument("--warmup", choices=["embed", "segment"], default=None,
+                    help="compile just this phase and exit")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny ViT + 32x32 frames (CPU smoke, not a bench)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.ops.topk import masked_topk
+    from vit_research_tpu.parallel.embed import strided_interp_device
+    from vit_research_tpu.segment import knn as knn_mod
+    from vit_research_tpu.segment.clips import clip_intervals_from_decoded
+    from vit_research_tpu.segment.hmm import STATES, smooth_probabilities
+
+    n, b = args.frames, args.batch
+    assert n % b == 0, (n, b)
+    n_dispatch = n // b
+    d = 64 if args.tiny else 768
+    hw = 32 if args.tiny else 224
+
+    topk_jit = jax.jit(lambda q, c: masked_topk(q, c, None, k=args.k,
+                                                metric="l2"))
+
+    rng = np.random.default_rng(0)
+
+    if args.warmup == "segment":
+        # Compile the kNN top-k at full shape from synthetic device data
+        # (no engine build needed); Viterbi compiles in seconds.
+        q = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
+        c = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
+        t0 = time.time()
+        _, idx = topk_jit(q, c)
+        _ = int(jnp.asarray(idx)[0, 0])
+        print(json.dumps({"warmup": "segment-topk",
+                          "compile_s": round(time.time() - t0, 1)}))
+        probs = np.abs(rng.normal(size=(n, 3))) + 1e-3
+        t0 = time.time()
+        smooth_probabilities(probs / probs.sum(1, keepdims=True))
+        print(json.dumps({"warmup": "segment-viterbi",
+                          "compile_s": round(time.time() - t0, 1)}))
+        return
+
+    eng = build_engine(args.mode, b, tiny=args.tiny)
+
+    # Stage device-resident inputs (decode excluded; see module docstring).
+    n_buffers = 8
+    buffers = [jax.device_put(rng.integers(0, 256, size=(b, hw, hw, 3),
+                                           dtype=np.uint8))
+               for _ in range(n_buffers)]
+
+    t0 = time.time()
+    first = eng._jitted(eng.params, buffers[0])
+    _ = float(first[0, 0])
+    embed_compile_s = round(time.time() - t0, 1)
+    if args.warmup == "embed":
+        print(json.dumps({"warmup": f"embed-{args.mode}",
+                          "compile_s": embed_compile_s}))
+        return
+
+    # Per-game corpus: this game's own labeled frame embeddings (the
+    # self-corpus flow of cli segment --method knn-hmm), staged on device
+    # once, as KnnHmmStreamSession does in production (untimed setup).
+    corpus_parts = [eng._jitted(eng.params, buffers[i % n_buffers])
+                    for i in range(n_dispatch)]
+    corpus = jnp.concatenate(corpus_parts, axis=0)
+    _ = float(corpus[-1, 0])
+    corpus_labels = rng.integers(0, 3, size=n)
+    corpus_probs = np.eye(3, dtype=np.float32)[corpus_labels]
+
+    phases = {}
+    total0 = time.time()
+
+    # ---- embed ----------------------------------------------------------
+    t0 = time.time()
+    if args.mode == "strided":
+        n_keys = n // args.stride + 1
+        # Key batches: ceil(keys / b) dispatches; the production engine
+        # pads the ragged tail exactly like this (EmbeddingEngine._dispatch).
+        n_key_dispatch = (n_keys + b - 1) // b
+        key_parts = [eng._jitted(eng.params, buffers[i % n_buffers])
+                     for i in range(n_key_dispatch)]
+        keys = jnp.concatenate(key_parts, axis=0)[:n_keys]
+        embs = strided_interp_device(keys, args.stride, n)
+    else:
+        parts = [eng._jitted(eng.params, buffers[i % n_buffers])
+                 for i in range(n_dispatch)]
+        embs = jnp.concatenate(parts, axis=0)
+    _ = float(embs[-1, 0])  # completion barrier
+    phases["embed_s"] = time.time() - t0
+
+    # ---- kNN (device) + confidence fusion (host) ------------------------
+    t0 = time.time()
+    scores, idx = topk_jit(embs, corpus)
+    idx_h = np.asarray(idx)
+    valid = np.asarray(scores) > -1e29
+    nl = np.where(valid, corpus_labels[idx_h], -1)
+    neighbor_probs = corpus_probs[idx_h]
+    fused = knn_mod.fused_confidence(nl, neighbor_probs, top_n=args.k,
+                                     confidence_threshold=0.7)
+    phases["knn_fuse_s"] = time.time() - t0
+
+    # ---- Viterbi + clip intervals ---------------------------------------
+    t0 = time.time()
+    path = smooth_probabilities(fused["emissions"])
+    decoded = [STATES[i] for i in path]
+    intervals = clip_intervals_from_decoded(decoded, min_len=100, pad=100)
+    phases["viterbi_clips_s"] = time.time() - t0
+
+    total = time.time() - total0
+    print(json.dumps({
+        "metric": "e2e_embed_segment_10min_video",
+        "mode": args.mode,
+        "frames": n,
+        "value": round(total, 2),
+        "unit": "seconds",
+        "meets_target_5s": total < 5.0,
+        "phases": {k: round(v, 2) for k, v in phases.items()},
+        "embed_compile_s": embed_compile_s,
+        "clips": len(intervals),
+        "fps_effective": round(n / total, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

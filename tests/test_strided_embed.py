@@ -90,3 +90,39 @@ def test_strided_segmentation_matches_full(tmp_path):
     agree_strided = np.mean([a == b for a, b in zip(strided, truth)])
     assert agree_full > 0.9
     assert agree_strided > agree_full - 0.05  # near-parity at 4x speed
+
+
+def test_device_interp_matches_host_math():
+    """strided_interp_device == embed_video_strided's host interpolation
+    on the same keyframes (the device twin the e2e segment bench jits)."""
+    from vit_research_tpu.parallel.embed import strided_interp_device
+
+    rng = np.random.default_rng(0)
+    n, stride, d = 16, 4, 8
+    key_idx = list(range(0, n, stride)) + [n - 1]
+    key_embs = rng.normal(size=(len(key_idx), d)).astype(np.float32)
+
+    # Host oracle: the interpolate branch of embed_video_strided,
+    # reproduced on raw keys (the function itself embeds from paths).
+    out = np.empty((n, d), np.float32)
+    for j in range(len(key_idx) - 1):
+        i0, i1 = key_idx[j], key_idx[j + 1]
+        span = i1 - i0
+        w = np.arange(span, dtype=np.float32)[:, None] / span
+        out[i0:i1] = (1.0 - w) * key_embs[j] + w * key_embs[j + 1]
+    out[n - 1] = key_embs[-1]
+    out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+
+    got = np.asarray(strided_interp_device(key_embs, stride, n))
+    np.testing.assert_allclose(got, out, atol=1e-6)
+
+
+def test_device_interp_validates_shapes():
+    import pytest as _pytest
+
+    from vit_research_tpu.parallel.embed import strided_interp_device
+
+    with _pytest.raises(ValueError, match="divide"):
+        strided_interp_device(np.zeros((5, 4), np.float32), 3, 16)
+    with _pytest.raises(ValueError, match="keys"):
+        strided_interp_device(np.zeros((3, 4), np.float32), 4, 16)
