@@ -970,7 +970,7 @@ def test_score_events_flag_validated_before_engine(tmp_path, monkeypatch):
     def boom(*a, **kw):
         raise AssertionError("engine spun up despite invalid --score-events")
 
-    monkeypatch.setattr(cli, "_engine", boom)
+    monkeypatch.setattr(cli.common, "_engine", boom)
     with pytest.raises(SystemExit, match="score-events needs"):
         cli.main(["segment", frames_dir, "--manual-csv", csv_path,
                   "--out", str(tmp_path / "x"), "--vid", "1",
@@ -989,7 +989,7 @@ def test_tune_segment_rejects_empty_grid_before_embedding(tmp_path,
     def boom(*a, **kw):  # the engine must never be constructed
         raise AssertionError("engine spun up despite an empty grid")
 
-    monkeypatch.setattr(cli, "_engine", boom)
+    monkeypatch.setattr(cli.common, "_engine", boom)
     with pytest.raises(SystemExit, match="--k-grid is empty"):
         cli.main(["tune-segment", frames_dir, "--manual-csv", csv_path,
                   "--db", db, "--corpus-collection", "corpus",
@@ -1006,7 +1006,7 @@ def test_score_events_rejects_nonpositive_chunking_before_engine(
     def boom(*a, **kw):
         raise AssertionError("engine spun up despite zero --chunk-stride")
 
-    monkeypatch.setattr(cli, "_engine", boom)
+    monkeypatch.setattr(cli.common, "_engine", boom)
     with pytest.raises(SystemExit, match="positive --chunk-size"):
         cli.main(["segment", frames_dir, "--manual-csv", csv_path,
                   "--out", str(tmp_path / "x"), "--vid", "1",
@@ -1028,7 +1028,7 @@ def test_score_events_typod_db_not_materialized(tmp_path, monkeypatch):
         def embed_paths(self, paths):
             raise AssertionError("embedded before the store probe failed")
 
-    monkeypatch.setattr(cli, "_engine", lambda *a, **kw: _Eng())
+    monkeypatch.setattr(cli.common, "_engine", lambda *a, **kw: _Eng())
     missing = str(tmp_path / "vecstoer")
     with pytest.raises(SystemExit, match="no vector store"):
         cli.main(["segment", frames_dir, "--manual-csv", csv_path,

@@ -1,0 +1,110 @@
+"""Serving commands: the warm embed/retrieval daemon and its operator
+client (serve, serve-ctl)."""
+
+from __future__ import annotations
+
+import os
+
+from vit_research_tpu.cli import common
+
+
+def cmd_serve(args):
+    """Warm embedding/retrieval daemon (serve.py): one jitted engine,
+    no per-script model reload (the reference re-created the HF
+    embedder in 8 separate scripts)."""
+    from vit_research_tpu.serve import EmbedServer
+
+    coll, mesh = None, None
+    if args.db:
+        if not args.collection:
+            raise SystemExit("--collection is required with --db")
+        from vit_research_tpu.store.vector_store import PersistentClient
+
+        coll = PersistentClient(args.db).get_collection(args.collection)
+        if args.shard_device:
+            from vit_research_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            coll.shard_device(mesh)
+            print(f"collection {args.collection} sharded over "
+                  f"{mesh.devices.size} device(s)", flush=True)
+    server = EmbedServer(common._engine(batch_size=args.batch_size),
+                         collection=coll, coalesce_ms=args.coalesce_ms,
+                         # the reload op's defaults (+ re-shard target):
+                         # serve-ctl reload / rebuild-db --notify-socket
+                         collection_source=((args.db, args.collection)
+                                            if args.db else None),
+                         shard_mesh=mesh)
+    print(f"serving on {args.socket}"
+          + (f" (collection {args.collection})" if coll else ""),
+          flush=True)
+    server.serve(args.socket)
+
+
+def cmd_serve_ctl(args):
+    """Operator client for a running daemon: ping / stats / reload /
+    shutdown over its unix socket — no engine, no jax, instant."""
+    import json
+
+    from vit_research_tpu.serve import request
+
+    # missing-socket pre-check lives in serve.request (shared with the
+    # session client); the FileNotFoundError lands in the OSError branch
+    if args.timeout is not None:
+        timeout = args.timeout
+    else:
+        # reload reopens the whole collection from disk before replying —
+        # minutes for a multi-GB corpus (rebuild-db --notify-socket uses
+        # the same 300 s); everything else answers instantly
+        timeout = 300.0 if args.op == "reload" else 60.0
+    req = {"op": args.op}
+    if args.db or args.collection:
+        if args.op != "reload":
+            raise SystemExit("--db/--collection only apply to reload")
+        if args.db:
+            req["db"] = args.db
+        if args.collection:
+            req["collection"] = args.collection
+    try:
+        resp = request(args.socket, req, timeout=timeout)
+    except (OSError, ConnectionError) as e:
+        raise SystemExit(f"daemon at {args.socket!r} did not answer: {e}")
+    if not resp.get("ok"):
+        raise SystemExit(f"daemon error: {resp.get('error')}")
+    print(json.dumps(resp, indent=2, sort_keys=True))
+
+
+def register(sub):
+    sv = sub.add_parser(
+        "serve", help="warm embedding/retrieval daemon on a unix socket")
+    sv.add_argument("--socket", required=True)
+    sv.add_argument("--batch-size", type=int, default=256)
+    sv.add_argument("--db", default=None)
+    sv.add_argument("--collection", default=None)
+    sv.add_argument("--shard-device", action="store_true",
+                    help="shard the collection's device corpus across "
+                         "all local chips (exact results; >1-chip-HBM "
+                         "capacity — ops/sharded_topk.py)")
+    sv.add_argument("--coalesce-ms", type=float, default=2.0,
+                    help="micro-batch concurrent embed requests arriving "
+                         "within this window into one device batch "
+                         "(0 disables)")
+    sv.set_defaults(fn=cmd_serve)
+
+    sc = sub.add_parser(
+        "serve-ctl", help="operate a running serve daemon: ping, stats, "
+                          "reload (hot-swap the collection from disk), "
+                          "shutdown")
+    sc.add_argument("op", choices=["ping", "stats", "reload", "shutdown"])
+    sc.add_argument("--socket", required=True)
+    sc.add_argument("--timeout", type=float, default=None,
+                    help="reply wait in seconds (default: 300 for reload "
+                         "— a big collection takes a while to reopen — "
+                         "60 otherwise)")
+    sc.add_argument("--db", default=None,
+                    help="reload only: store root to reload from "
+                         "(default: the daemon's own --db)")
+    sc.add_argument("--collection", default=None,
+                    help="reload only: collection name "
+                         "(default: the daemon's own --collection)")
+    sc.set_defaults(fn=cmd_serve_ctl)
