@@ -1,0 +1,190 @@
+"""Quantify the serve daemon: requests/sec and p50/p99 latency under
+concurrent games, with and without --coalesce-ms.
+
+The daemon's pitch is "N games share one warm chip" (serve.py; the
+reference instead re-created the HF embedder per script —
+nba_proj/write_per_vid_embeddings_chroma.py:18-24 and 7 siblings). This
+harness puts numbers behind it at the REAL surface: it spawns
+``python -m vit_research_tpu.cli serve`` as a subprocess, then N client
+threads (one per simulated game) stream ``{"op": "embed", "frames_b64"}``
+requests over the unix socket, exactly like follow-mode segmentation
+pushes do.
+
+Why coalescing matters on this engine: the embed jit has ONE static
+batch shape — a 16-frame request pads to the full engine batch
+(parallel/embed.py::_dispatch), so uncoalesced concurrent games serialize
+full-size device batches that are each ~97% padding. With --coalesce-ms,
+requests landing within the linger window share one padded batch
+(serve.py::_Coalescer), so device work scales with offered load, not
+request count.
+
+Methodology (CLAUDE.md): ONE TPU process (the daemon); the bench process
+itself stays off-device. One warmup request triggers the single embed
+compile before timing starts. Latency includes b64 decode + JPEG decode
++ device embed + reply — the full price a follower pays. Run ONE
+invocation per tool call on the real chip; ~60 s per invocation after
+the compile cache is warm.
+
+Usage:
+  python examples/bench_daemon.py --games 4 --coalesce-ms 4
+  python examples/bench_daemon.py --games 4 --coalesce-ms 0   # baseline
+  python examples/bench_daemon.py --tiny ...                  # CPU smoke
+"""
+
+import argparse
+import base64
+import io
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_frames_b64(n: int, hw: int, seed: int = 0) -> list[str]:
+    """n random JPEG frames, base64-encoded (what followers send)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        img = Image.fromarray(
+            rng.integers(0, 256, size=(hw, hw, 3), dtype=np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=90)
+        out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+    return out
+
+
+def run_game(socket_path: str, frames_b64: list[str], per_req: int,
+             n_requests: int, latencies: list, errors: list,
+             start_gate: threading.Event) -> None:
+    from vit_research_tpu.serve import SessionClient
+
+    with SessionClient(socket_path, timeout=600.0) as client:
+        start_gate.wait()
+        for i in range(n_requests):
+            lo = (i * per_req) % len(frames_b64)
+            chunk = frames_b64[lo:lo + per_req]
+            if len(chunk) < per_req:  # wrap
+                chunk = chunk + frames_b64[:per_req - len(chunk)]
+            t0 = time.monotonic()
+            resp = client.request({"op": "embed", "frames_b64": chunk})
+            dt = time.monotonic() - t0
+            if not resp.get("ok"):
+                errors.append(resp.get("error"))
+                return
+            latencies.append(dt)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--games", type=int, default=4,
+                    help="concurrent client threads")
+    ap.add_argument("--coalesce-ms", type=float, default=4.0)
+    ap.add_argument("--frames-per-req", type=int, default=16,
+                    help="frames per embed request (a follow-mode push)")
+    ap.add_argument("--requests-per-game", type=int, default=25)
+    ap.add_argument("--batch-size", type=int, default=512,
+                    help="daemon engine batch (512 == bench.py's cached "
+                         "compile shape)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="VRT_TINY daemon on CPU (smoke, not a bench)")
+    args = ap.parse_args()
+
+    hw = 32 if args.tiny else 224
+    env = dict(os.environ)
+    if args.tiny:
+        env["VRT_TINY"] = "1"
+        env["VRT_PLATFORM"] = "cpu"
+
+    from vit_research_tpu.serve import request
+
+    frames = make_frames_b64(max(args.frames_per_req * 8, 64), hw)
+
+    with tempfile.TemporaryDirectory() as td:
+        sock = os.path.join(td, "vrt.sock")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vit_research_tpu.cli", "serve",
+             "--socket", sock, "--batch-size", str(args.batch_size),
+             "--coalesce-ms", str(args.coalesce_ms)],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            deadline = time.monotonic() + 600
+            while not os.path.exists(sock):
+                if proc.poll() is not None:
+                    raise SystemExit("daemon died during startup")
+                if time.monotonic() > deadline:
+                    raise SystemExit("daemon socket never appeared")
+                time.sleep(0.2)
+
+            # Warmup: one full-engine-batch request compiles the single
+            # jit shape (and a second tiny one exercises the padded path)
+            # so the timed section measures steady state, not compile.
+            t0 = time.monotonic()
+            big = frames * ((args.batch_size // len(frames)) + 1)
+            resp = request(sock, {"op": "embed",
+                                  "frames_b64": big[:args.batch_size]},
+                           timeout=900.0)
+            assert resp.get("ok"), resp
+            resp = request(sock, {"op": "embed", "frames_b64": frames[:2]},
+                           timeout=900.0)
+            assert resp.get("ok"), resp
+            warmup_s = time.monotonic() - t0
+
+            latencies: list[float] = []
+            errors: list = []
+            gate = threading.Event()
+            threads = [
+                threading.Thread(
+                    target=run_game,
+                    args=(sock, frames, args.frames_per_req,
+                          args.requests_per_game, latencies, errors, gate))
+                for _ in range(args.games)]
+            for t in threads:
+                t.start()
+            time.sleep(0.3)  # let every game connect before the clock
+            gate.set()
+            t0 = time.monotonic()
+            for t in threads:
+                t.join()
+            wall = time.monotonic() - t0
+
+            stats = request(sock, {"op": "stats"}, timeout=60.0)
+            request(sock, {"op": "shutdown"}, timeout=60.0)
+        finally:
+            try:
+                proc.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+
+    if errors:
+        raise SystemExit(f"embed errors: {errors[:3]}")
+    lat = np.sort(np.asarray(latencies))
+    n_req = len(lat)
+    print(json.dumps({
+        "metric": "daemon_embed_serving",
+        "games": args.games,
+        "coalesce_ms": args.coalesce_ms,
+        "frames_per_req": args.frames_per_req,
+        "requests": n_req,
+        "wall_s": round(wall, 2),
+        "rps": round(n_req / wall, 1),
+        "frames_per_s": round(n_req * args.frames_per_req / wall, 1),
+        "p50_ms": round(float(lat[n_req // 2]) * 1e3, 1),
+        "p99_ms": round(float(lat[min(n_req - 1, int(n_req * 0.99))]) * 1e3,
+                        1),
+        "device_batches": stats.get("device_batches"),
+        "frames_embedded": stats.get("frames_embedded"),
+        "warmup_s": round(warmup_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
