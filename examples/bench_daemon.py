@@ -67,20 +67,23 @@ def run_game(socket_path: str, frames_b64: list[str], per_req: int,
              start_gate: threading.Event) -> None:
     from vit_research_tpu.serve import SessionClient
 
-    with SessionClient(socket_path, timeout=600.0) as client:
-        start_gate.wait()
-        for i in range(n_requests):
-            lo = (i * per_req) % len(frames_b64)
-            chunk = frames_b64[lo:lo + per_req]
-            if len(chunk) < per_req:  # wrap
-                chunk = chunk + frames_b64[:per_req - len(chunk)]
-            t0 = time.monotonic()
-            resp = client.request({"op": "embed", "frames_b64": chunk})
-            dt = time.monotonic() - t0
-            if not resp.get("ok"):
-                errors.append(resp.get("error"))
-                return
-            latencies.append(dt)
+    try:
+        with SessionClient(socket_path, timeout=600.0) as client:
+            start_gate.wait()
+            for i in range(n_requests):
+                lo = (i * per_req) % len(frames_b64)
+                chunk = frames_b64[lo:lo + per_req]
+                if len(chunk) < per_req:  # wrap
+                    chunk = chunk + frames_b64[:per_req - len(chunk)]
+                t0 = time.monotonic()
+                resp = client.request({"op": "embed", "frames_b64": chunk})
+                dt = time.monotonic() - t0
+                if not resp.get("ok"):
+                    errors.append(resp.get("error"))
+                    return
+                latencies.append(dt)
+    except Exception as exc:  # connect/transport failures must surface,
+        errors.append(repr(exc))  # not die silently in the thread
 
 
 def main():
@@ -157,10 +160,18 @@ def main():
             wall = time.monotonic() - t0
 
             stats = request(sock, {"op": "stats"}, timeout=60.0)
-            request(sock, {"op": "shutdown"}, timeout=60.0)
         finally:
+            # Always try the graceful shutdown op first: on an error path
+            # the daemon is most likely MID-COMPILE, and killing it then
+            # wedges the TPU tunnel for ~an hour (CLAUDE.md). Only kill as
+            # the absolute last resort, after a generous drain window.
+            if proc.poll() is None:
+                try:
+                    request(sock, {"op": "shutdown"}, timeout=60.0)
+                except Exception:
+                    pass
             try:
-                proc.wait(timeout=30)
+                proc.wait(timeout=600)
             except subprocess.TimeoutExpired:
                 proc.kill()
 
@@ -168,6 +179,8 @@ def main():
         raise SystemExit(f"embed errors: {errors[:3]}")
     lat = np.sort(np.asarray(latencies))
     n_req = len(lat)
+    if n_req == 0:
+        raise SystemExit("no successful requests recorded")
     print(json.dumps({
         "metric": "daemon_embed_serving",
         "games": args.games,

@@ -158,3 +158,22 @@ def test_bf16_softmax_close_to_f32(model_params):
 def test_softmax_dtype_validated():
     with pytest.raises(ValueError, match="softmax_dtype"):
         init_vit(dataclasses.replace(TINY, softmax_dtype="float16"), seed=0)
+
+
+def test_bf16_softmax_live_under_flash_attention(model_params):
+    """softmax_dtype='bfloat16' must not be silently ignored when the
+    Pallas path is enabled: the attention routes to XLA (which honors the
+    dtype) instead of the f32-internal kernel."""
+    model, params = model_params
+    bf16_flash, _ = init_vit(
+        dataclasses.replace(TINY, softmax_dtype="bfloat16",
+                            use_flash_attention=True),
+        seed=0, interpret_pallas=True)
+    bf16_xla, _ = init_vit(
+        dataclasses.replace(TINY, softmax_dtype="bfloat16"), seed=0)
+    imgs = rand_batch(4)
+    a = EmbeddingEngine(bf16_flash, params, SPEC, batch_size=4,
+                        use_fused_patch_embed=False).embed_batch(imgs)
+    b = EmbeddingEngine(bf16_xla, params, SPEC, batch_size=4,
+                        use_fused_patch_embed=False).embed_batch(imgs)
+    np.testing.assert_allclose(a, b, atol=1e-6)

@@ -117,6 +117,19 @@ def test_device_interp_matches_host_math():
     np.testing.assert_allclose(got, out, atol=1e-6)
 
 
+def test_device_interp_stride1_identity():
+    """stride=1 keys carry NO tail key (range(0, n, 1) already ends at
+    n-1) — the device twin must accept that host layout as-is."""
+    from vit_research_tpu.parallel.embed import strided_interp_device
+
+    rng = np.random.default_rng(1)
+    key_embs = rng.normal(size=(6, 4)).astype(np.float32)
+    got = np.asarray(strided_interp_device(key_embs, 1, 6))
+    want = key_embs / np.maximum(
+        np.linalg.norm(key_embs, axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_device_interp_validates_shapes():
     import pytest as _pytest
 

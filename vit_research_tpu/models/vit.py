@@ -117,9 +117,12 @@ class MultiHeadSelfAttention(nn.Module):
         scores = None
         # The Pallas kernel has no dropout support — training with
         # attention dropout must take the XLA path or the regularization
-        # is silently skipped.
+        # is silently skipped. Likewise it computes its softmax in f32
+        # internally, so a non-default softmax_dtype routes to XLA rather
+        # than silently reporting f32-softmax behavior as bf16.
         needs_xla = (output_scores or log_size is not None
                      or not self.use_pallas
+                     or self.softmax_dtype != jnp.float32
                      or (train and self.dropout_rate > 0.0))
         if needs_xla:
             s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh ** -0.5)

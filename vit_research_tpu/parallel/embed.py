@@ -303,36 +303,43 @@ def strided_interp_device(key_embs, stride: int, n: int,
 
     ``key_embs``: (K, D) keyframe embeddings for key positions
     ``[0, stride, ..., n - stride, n - 1]`` (the key layout
-    embed_video_strided produces when ``stride`` divides ``n``); returns
-    (n, D) linearly interpolated embeddings, numerically matching the
-    host loop (tests/test_strided_embed.py pins the equivalence). Jit-
+    embed_video_strided produces when ``stride`` divides ``n``; at
+    ``stride == 1`` that layout is simply every frame, n keys, no tail);
+    returns (n, D) linearly interpolated embeddings, numerically matching
+    the host loop (tests/test_strided_embed.py pins the equivalence). Jit-
     friendly: everything is static-shape broadcasting, so the full
     embed->interp->kNN->Viterbi segment path can stay on device
     (examples/bench_e2e_segment.py)."""
-    import jax.numpy as _jnp
-
     if n % stride != 0:
         raise ValueError(f"stride {stride} must divide n {n}")
+    if stride == 1:
+        # range(0, n, 1) already ends at n-1, so the host layout appends
+        # no tail key: the keys ARE the per-frame embeddings.
+        if key_embs.shape[0] != n:
+            raise ValueError(f"expected {n} keys for n={n} stride=1, "
+                             f"got {key_embs.shape[0]}")
+        out = key_embs.astype(jnp.float32)
+        if l2_normalize:
+            out = out / jnp.maximum(
+                jnp.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return out
     u = n // stride  # uniform keys; key_embs has u + 1 rows (tail key)
     if key_embs.shape[0] != u + 1:
         raise ValueError(f"expected {u + 1} keys for n={n} stride={stride}, "
                          f"got {key_embs.shape[0]}")
-    uni = key_embs[:u].astype(_jnp.float32)
-    w = _jnp.arange(stride, dtype=_jnp.float32)[:, None] / stride
+    uni = key_embs[:u].astype(jnp.float32)
+    w = jnp.arange(stride, dtype=jnp.float32)[:, None] / stride
     body = (uni[:-1, None, :] * (1.0 - w) + uni[1:, None, :] * w)
     body = body.reshape((u - 1) * stride, key_embs.shape[1])
-    if stride > 1:
-        wt = (_jnp.arange(stride - 1, dtype=_jnp.float32)[:, None]
-              / (stride - 1))
-        tail = (uni[-1] * (1.0 - wt)
-                + key_embs[-1].astype(_jnp.float32) * wt)
-    else:
-        tail = body[:0]
-    out = _jnp.concatenate(
-        [body, tail, key_embs[-1:].astype(_jnp.float32)], axis=0)
+    wt = (jnp.arange(stride - 1, dtype=jnp.float32)[:, None]
+          / max(stride - 1, 1))
+    tail = (uni[-1] * (1.0 - wt)
+            + key_embs[-1].astype(jnp.float32) * wt)
+    out = jnp.concatenate(
+        [body, tail, key_embs[-1:].astype(jnp.float32)], axis=0)
     if l2_normalize:
-        out = out / _jnp.maximum(
-            _jnp.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        out = out / jnp.maximum(
+            jnp.linalg.norm(out, axis=1, keepdims=True), 1e-12)
     return out
 
 
