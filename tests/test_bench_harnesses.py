@@ -1,0 +1,54 @@
+"""CPU smokes for the example bench harnesses (--tiny paths).
+
+The on-chip numbers live in BENCH_NOTES.md; these tests only pin that the
+harnesses run end-to-end and emit well-formed JSON, so a refactor can't
+silently break the measurement scripts between (rare) tunnel windows.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    env = dict(os.environ, VRT_PLATFORM="cpu")
+    # Keep the axon plugin's sitecustomize on the path but route to CPU
+    # (the scripts honor VRT_PLATFORM before any backend init).
+    out = subprocess.run([sys.executable, *args], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = out.stdout.strip().splitlines()[-1]
+    return json.loads(last)
+
+
+@pytest.mark.slow
+def test_bench_e2e_segment_tiny():
+    rec = _run(["examples/bench_e2e_segment.py", "--tiny", "--mode", "parity",
+                "--frames", "1024", "--batch", "128", "--k", "8"])
+    assert rec["metric"] == "e2e_embed_segment_10min_video"
+    assert rec["frames"] == 1024
+    assert set(rec["phases"]) == {"embed_s", "knn_fuse_s", "viterbi_clips_s"}
+    assert rec["value"] > 0 and rec["fps_effective"] > 0
+
+
+@pytest.mark.slow
+def test_bench_e2e_segment_tiny_strided():
+    rec = _run(["examples/bench_e2e_segment.py", "--tiny", "--mode",
+                "strided", "--frames", "1024", "--batch", "128", "--k", "8"])
+    assert rec["mode"] == "strided"
+    assert rec["frames"] == 1024
+
+
+@pytest.mark.slow
+def test_bench_rebuild_chunk_tiny():
+    rec = _run(["examples/bench_rebuild_chunk.py", "--tiny"])
+    assert rec["metric"] == "chunk_db_rebuild_wall"
+    assert rec["chunks"] == 48
+    assert rec["frame_embeds"] == 48 * 8
+    assert rec["vs_reference_s"] == 421.17
+    assert rec["value"] > 0
