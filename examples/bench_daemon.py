@@ -130,14 +130,18 @@ def main():
             # Warmup: one full-engine-batch request compiles the single
             # jit shape (and a second tiny one exercises the padded path)
             # so the timed section measures steady state, not compile.
+            # The budget is deliberately huge: a degraded tunnel window
+            # pushed this compile past 900 s on 2026-08-19 and the old
+            # tight timeout aborted the whole bench after paying for most
+            # of the compile.
             t0 = time.monotonic()
             big = frames * ((args.batch_size // len(frames)) + 1)
             resp = request(sock, {"op": "embed",
                                   "frames_b64": big[:args.batch_size]},
-                           timeout=900.0)
+                           timeout=3600.0)
             assert resp.get("ok"), resp
             resp = request(sock, {"op": "embed", "frames_b64": frames[:2]},
-                           timeout=900.0)
+                           timeout=600.0)
             assert resp.get("ok"), resp
             warmup_s = time.monotonic() - t0
 
@@ -171,9 +175,15 @@ def main():
                 except Exception:
                     pass
             try:
-                proc.wait(timeout=600)
+                proc.wait(timeout=1800)
             except subprocess.TimeoutExpired:
-                proc.kill()
+                # 30 min without exiting after a shutdown op means the
+                # daemon is stuck inside a device call; killing it now
+                # trades a zombie for a wedged tunnel. Leave it and report.
+                print(f"WARNING: daemon pid {proc.pid} did not exit; "
+                      "NOT killing (mid-compile kill wedges the tunnel). "
+                      "Reap it manually by pid once the tunnel recovers.",
+                      file=sys.stderr)
 
     if errors:
         raise SystemExit(f"embed errors: {errors[:3]}")
