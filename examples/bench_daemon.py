@@ -141,7 +141,7 @@ def main():
                            timeout=3600.0)
             assert resp.get("ok"), resp
             resp = request(sock, {"op": "embed", "frames_b64": frames[:2]},
-                           timeout=600.0)
+                           timeout=3600.0)
             assert resp.get("ok"), resp
             warmup_s = time.monotonic() - t0
 

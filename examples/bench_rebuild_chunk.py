@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny ViT + 32x32 frames (CPU smoke, not a bench)")
     args = ap.parse_args()
+    if args.chunks % args.chunk_batch != 0 and not args.tiny:
+        # frame_embed_fn asserts exact full-batch dispatches; fail here,
+        # before any device work, not on the ragged tail mid-bench.
+        ap.error(f"--chunks ({args.chunks}) must be a multiple of "
+                 f"--chunk-batch ({args.chunk_batch})")
 
     import dataclasses
 

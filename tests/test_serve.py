@@ -1959,3 +1959,49 @@ def test_write_back_finishing_mid_reload_is_never_lost(
     fresh = real_client(db, autoflush=False).get_collection("corpus")
     assert fresh.count() == n0 + 1
     assert "left.png" in set(fresh.get(include=())["ids"])
+
+
+def test_stop_refuses_new_device_work(engine):
+    """Once stop() has run, device ops must REFUSE rather than dispatch:
+    handler threads are daemonic, so work started after the serve loop
+    returns can be abandoned mid-device-call at interpreter exit — over
+    the axon tunnel that wedges the chip like a mid-compile kill."""
+    srv = EmbedServer(engine, coalesce_ms=0)
+    srv.stop()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        with srv._device():
+            pass  # pragma: no cover - must not be reached
+
+
+def test_serve_drains_inflight_device_work_before_returning(engine,
+                                                            tmp_path):
+    """serve() must not return from a shutdown while a device op is in
+    flight (the CLI exits right after serve() returns)."""
+    srv = EmbedServer(engine, coalesce_ms=0)
+    sock = str(tmp_path / "quiesce.sock")
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+
+    held, release = threading.Event(), threading.Event()
+
+    def hold_device():  # stands in for a handler mid-embed
+        with srv._lock:
+            held.set()
+            release.wait(10)
+
+    h = threading.Thread(target=hold_device, daemon=True)
+    h.start()
+    assert held.wait(5)
+
+    resp = request(sock, {"op": "shutdown"}, timeout=10)
+    assert resp["ok"] and resp["stopping"]
+    t.join(timeout=1.0)
+    assert t.is_alive(), "serve() returned with a device op in flight"
+
+    release.set()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    h.join(timeout=10)

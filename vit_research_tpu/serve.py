@@ -114,6 +114,7 @@ against the ~tens-of-ms device round trip; ``coalesce_ms=0`` disables.
 from __future__ import annotations
 
 import base64
+import contextlib
 import io
 import json
 import os
@@ -168,6 +169,11 @@ class _Coalescer:
             # it with others would copy gigabytes ahead of embed_batch's
             # own OOM-aware sub-batching — dispatch it directly.
             with self.device_lock:
+                with self._mutex:
+                    closed = self._closed
+                if closed:  # same refusal as the queued path: no NEW
+                    # device work may start once shutdown has begun
+                    raise RuntimeError("server is shutting down")
                 out = self.engine.embed_batch(frames)
             self.batches_run += 1
             return out
@@ -184,11 +190,21 @@ class _Coalescer:
         return slot["out"]
 
     def close(self):
-        """Stop the worker (drains already-queued requests first)."""
+        """Stop the worker (drains already-queued requests first).
+
+        The join is effectively unbounded: the worker may be inside a
+        device call (over the axon tunnel a cold compile can run many
+        minutes), and returning while it is mid-dispatch lets the
+        interpreter exit with in-flight TPU work — a tunnel wedge
+        (CLAUDE.md). Waiting is always cheaper than the wedge."""
         with self._mutex:
             self._closed = True
             self._arrived.notify()
-        self._thread.join(timeout=30)
+        self._thread.join(timeout=3600)
+        if self._thread.is_alive():
+            print("WARNING: coalescer worker still busy after 3600 s; "
+                  "in-flight device work may be abandoned on exit",
+                  file=sys.stderr)
 
     def _run(self):
         while True:
@@ -239,6 +255,7 @@ class EmbedServer:
         self.engine = engine
         self.collection = collection
         self._lock = threading.Lock()  # serialize device work
+        self._stopping = False  # set by stop(); device ops then refuse
         self._coalescer = (_Coalescer(engine, self._lock, coalesce_ms / 1e3)
                            if coalesce_ms > 0 else None)
         self._server = None
@@ -268,6 +285,22 @@ class EmbedServer:
                         "events_scored": 0, "event_errors": 0},
         }
 
+    @contextlib.contextmanager
+    def _device(self):
+        """The device lock, refusing NEW work once stop() has run.
+
+        Handler threads are daemonic: if the serve loop returned while
+        one of them was inside a device call, the interpreter could exit
+        with in-flight TPU work — which wedges the axon tunnel exactly
+        like a mid-compile kill (CLAUDE.md). stop() sets ``_stopping``
+        and :meth:`serve`'s drain then acquires this lock once: every
+        running device op finishes first, every queued acquirer wakes to
+        a refusal, and nothing new can start before process exit."""
+        with self._lock:
+            if self._stopping:
+                raise RuntimeError("server is shutting down")
+            yield
+
     def _count(self, *path, n: int = 1):
         with self._stats_lock:
             d = self._stats
@@ -295,7 +328,7 @@ class EmbedServer:
         if self._coalescer is not None:
             out = self._coalescer.embed(batch)
         else:
-            with self._lock:
+            with self._device():
                 out = self.engine.embed_batch(batch)
         # counted AFTER the engine returns: failed embeds must not
         # inflate the gauge (frames_pushed is success-only too)
@@ -322,7 +355,7 @@ class EmbedServer:
             if (self._corpus_cache is None or muts is None
                     or self._corpus_cache[0] != key):
                 corpus = corpus_from_collection(collection)
-                with self._lock:  # staging is device work
+                with self._device():  # staging is device work
                     embs = jnp.asarray(corpus["embeddings"], jnp.float32)
                     if space == "cosine":
                         # normalize HERE, once — sessions receive
@@ -391,7 +424,7 @@ class EmbedServer:
         # other session's pushes, cf. _corpus_snapshot); only the model
         # init below runs under it.
         col = scoring.open_collection(cfg["db"], cfg["collection"])
-        with self._lock:
+        with self._device():
             return scoring.make_live_scorer(
                 embed_missing, dim=self.engine.out_dim,
                 ckpt=cfg["ckpt"], stage1_run_id=cfg["stage1_run_id"],
@@ -418,7 +451,7 @@ class EmbedServer:
             st["clips"] += 1
             frames = st["refs"][c.start: c.end + 1]
             try:
-                with self._lock:  # stage-1 encode + stage-2 head are
+                with self._device():  # stage-1 encode + stage-2 head are
                     rows.append(st["scorer"].score_clip(  # device work
                         frames, side=c.side,  # (+ cache-miss re-embeds)
                         clip_num=st["clips"], vid=st["vid"]))
@@ -514,7 +547,7 @@ class EmbedServer:
                     f"{req['vid']!r}")
         # host read; only staging and session setup are device work
         corpus = self._corpus_snapshot(collection)
-        with self._lock:
+        with self._device():
             seg = KnnHmmStreamSession(
                 corpus,
                 transition_matrix=transitions,
@@ -565,7 +598,7 @@ class EmbedServer:
                  [f"frame_{seg.frames_seen + i}"
                   for i in range(len(req.get("frames_b64", ())))])
         embs = self._embed_request(req)
-        with self._lock:  # the kNN top-k matmul is device work
+        with self._device():  # the kNN top-k matmul is device work
             clips = seg.push_batch(names, embs)
         st = session.get("segment_score")
         if st is not None:
@@ -815,7 +848,7 @@ class EmbedServer:
             # Under the device lock: the query's top-k matmul is device
             # work too, and the documented contract is that device work
             # from concurrent clients is serialized.
-            with self._lock:
+            with self._device():
                 res = self.collection.query(
                     q, n_results=int(req.get("n_results", 5)),
                     where=req.get("where"),
@@ -892,10 +925,24 @@ class EmbedServer:
             self._server.serve_forever(poll_interval=0.1)
         finally:
             self._server.server_close()
+            # Quiesce the device BEFORE returning: handler threads are
+            # daemonic, so once this method returns the CLI process can
+            # exit — with a handler mid-embed that abandons in-flight
+            # TPU work, which wedges the axon tunnel exactly like a
+            # mid-compile kill (CLAUDE.md). stop() set _stopping, so
+            # acquiring the device lock once is a full barrier: the op
+            # currently on the device finishes, every queued acquirer
+            # wakes into the _device() refusal, and nothing new starts.
+            self._stopping = True  # also covers serve_forever raising
+            if self._coalescer is not None:
+                self._coalescer.close()  # joins the worker (drains queue)
+            with self._lock:
+                pass
             if os.path.exists(socket_path):
                 os.unlink(socket_path)
 
     def stop(self):
+        self._stopping = True  # _device() now refuses new device work
         if self._server is not None:
             self._server.shutdown()
         if self._coalescer is not None:
