@@ -41,38 +41,17 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-if os.environ.get("VRT_PLATFORM"):
-    # The image's sitecustomize pre-imports jax pinned to the TPU tunnel;
-    # JAX_PLATFORMS set later is IGNORED. Route like the CLI does
-    # (backends initialize lazily) so --tiny smokes stay off-device.
-    import jax
+from _engines import build_engine as _build_engine  # noqa: E402
+from _engines import route_platform  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["VRT_PLATFORM"])
+route_platform()
 
 
 def build_engine(mode: str, batch: int, tiny: bool = False):
-    import dataclasses
-
-    from vit_research_tpu.data.preprocess import HF_VIT_SPEC, PreprocessSpec
-    from vit_research_tpu.models.hf_import import HF_VIT_B16_224
-    from vit_research_tpu.models.vit import init_vit
-    from vit_research_tpu.parallel.embed import EmbeddingEngine
-    from vit_research_tpu.utils.configs import ViTConfig
-
     tome_r = (2 if tiny else 16) if mode == "tome" else 0
-    if tiny:  # CPU smoke of the full script (not a perf configuration)
-        cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=64,
-                        num_layers=2, num_heads=2, mlp_dim=128,
-                        use_flash_attention=False, tome_r=tome_r)
-        spec = PreprocessSpec(size=(32, 32))
-    else:
-        cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
-                                  tome_r=tome_r)
-        spec = HF_VIT_SPEC
-    model, params = init_vit(cfg, seed=0)
-    return EmbeddingEngine(model, params, spec, batch_size=batch,
-                           use_fused_patch_embed=not tiny)
+    return _build_engine(batch, tiny=tiny, tome_r=tome_r)
 
 
 def main():

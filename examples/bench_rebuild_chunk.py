@@ -40,13 +40,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-if os.environ.get("VRT_PLATFORM"):
-    # sitecustomize pins JAX_PLATFORMS=axon; route tiny smokes to CPU the
-    # way the CLI does (backends initialize lazily).
-    import jax
+from _engines import build_engine, route_platform  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["VRT_PLATFORM"])
+route_platform()
 
 REF_SECONDS = 421.17  # db_rebuild_chunk.py:53, multi-GPU node
 
@@ -67,37 +65,21 @@ def main():
         ap.error(f"--chunks ({args.chunks}) must be a multiple of "
                  f"--chunk-batch ({args.chunk_batch})")
 
-    import dataclasses
-
     import jax
 
-    from vit_research_tpu.data.preprocess import HF_VIT_SPEC, PreprocessSpec
     from vit_research_tpu.db.builders import rebuild_chunk_db
     from vit_research_tpu.models.heads import ProjectionHead
-    from vit_research_tpu.models.hf_import import HF_VIT_B16_224
-    from vit_research_tpu.models.vit import init_vit
-    from vit_research_tpu.parallel.embed import EmbeddingEngine
     from vit_research_tpu.store.vector_store import PersistentClient
-    from vit_research_tpu.utils.configs import ViTConfig
 
     if args.tiny:
         args.chunks, args.chunk_batch = 48, 16
-        cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=64,
-                        num_layers=2, num_heads=2, mlp_dim=128,
-                        use_flash_attention=False)
-        spec = PreprocessSpec(size=(32, 32))
         hw, d = 32, 64
     else:
-        cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16")
-        spec = HF_VIT_SPEC
         hw, d = 224, 768
 
     t, cb = args.frames_per_chunk, args.chunk_batch
     frames_per_dispatch = cb * t
-    model, params = init_vit(cfg, seed=0)
-    eng = EmbeddingEngine(model, params, spec,
-                          batch_size=frames_per_dispatch,
-                          use_fused_patch_embed=not args.tiny)
+    eng = build_engine(frames_per_dispatch, tiny=args.tiny)
 
     # Trained projector stand-in: real ProjectionHead at the reference's
     # 2304 -> 768 shape (db_rebuild_chunk.py:47-49), random weights (the

@@ -25,11 +25,11 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-if os.environ.get("VRT_PLATFORM"):
-    import jax
+from _engines import build_engine, route_platform  # noqa: E402
 
-    jax.config.update("jax_platforms", os.environ["VRT_PLATFORM"])
+route_platform()
 
 from bench import measure_embed_throughput  # noqa: E402
 
@@ -37,18 +37,7 @@ from bench import measure_embed_throughput  # noqa: E402
 def embed_batch0(softmax_dtype: str, batch: int = 512) -> np.ndarray:
     """One batch of embeddings under the given softmax dtype (same seed/
     inputs across variants so the files are directly comparable)."""
-    import dataclasses
-
-    from vit_research_tpu.data.preprocess import HF_VIT_SPEC
-    from vit_research_tpu.models.hf_import import HF_VIT_B16_224
-    from vit_research_tpu.models.vit import init_vit
-    from vit_research_tpu.parallel.embed import EmbeddingEngine
-
-    cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
-                              softmax_dtype=softmax_dtype)
-    model, params = init_vit(cfg, seed=0)
-    eng = EmbeddingEngine(model, params, HF_VIT_SPEC, batch_size=batch,
-                          use_fused_patch_embed=True)
+    eng = build_engine(batch, softmax_dtype=softmax_dtype)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, size=(batch, 224, 224, 3), dtype=np.uint8)
     return eng.embed_batch(imgs)
