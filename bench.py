@@ -127,8 +127,9 @@ def main() -> None:
     # ~5.6k frames/sec/chip — BASELINE.md's 10k "north star" exceeds bf16
     # speed-of-light on this hardware (it would need int8 end-to-end or a
     # token-reduction mode like ToMe, both shipped opt-in). `mfu` is
-    # achieved/peak; the VPU-bound softmax floor (~8 ms/layer at B=512)
-    # keeps even a perfect schedule well under mfu=1.
+    # achieved/peak; the VPU-bound softmax (~4 ms/layer at B=512, within
+    # a ~8 ms/layer fused-attention speed-of-light) keeps even a perfect
+    # schedule well under mfu=1.
     flops = vit_flops_per_frame()
     peak_tflops = 197.0
     achieved = fps * flops / 1e12

@@ -150,7 +150,7 @@ def main():
         # an n_key_dispatch-part concatenate + [:n_keys] slice + interp
         # (parity's 36-part concat is already warmed by building the
         # corpus above; strided's 10-part concat is a different op).
-        n_keys = n // args.stride + 1
+        n_keys = n // args.stride + (1 if args.stride > 1 else 0)
         n_key_dispatch = (n_keys + b - 1) // b
         warm_parts = [corpus[i * b:(i + 1) * b]
                       for i in range(n_key_dispatch)]
@@ -164,7 +164,9 @@ def main():
     # ---- embed ----------------------------------------------------------
     t0 = time.time()
     if args.mode == "strided":
-        n_keys = n // args.stride + 1
+        # Key layout per strided_interp_device: [0, stride, ..., n-stride,
+        # n-1] for stride>1 (tail key), every frame (no tail) at stride 1.
+        n_keys = n // args.stride + (1 if args.stride > 1 else 0)
         # Key batches: ceil(keys / b) dispatches; the production engine
         # pads the ragged tail exactly like this (EmbeddingEngine._dispatch).
         n_key_dispatch = (n_keys + b - 1) // b

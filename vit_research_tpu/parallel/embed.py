@@ -95,9 +95,16 @@ class EmbeddingEngine:
             # uint8->f32 routed via int32 (Mosaic has no direct cast).
             from vit_research_tpu.data.preprocess import LUMA_WEIGHTS
 
+            # precision='highest': the TPU backend's default bf16 matmul
+            # passes would round 0.5870 -> ~0.58594 (~1.1e-3), enough to
+            # push luminances sitting just above an integer boundary one
+            # gray level off the host oracle after the truncating cast.
+            # This dot is 3 elements wide — HIGHEST costs nothing here
+            # (unlike the pathological 131k-row top_k case, BENCH_NOTES).
             gray = jnp.tensordot(
                 images_u8.astype(jnp.int32).astype(jnp.float32),
-                jnp.asarray(LUMA_WEIGHTS, jnp.float32), axes=(-1, -1))
+                jnp.asarray(LUMA_WEIGHTS, jnp.float32), axes=(-1, -1),
+                precision=jax.lax.Precision.HIGHEST)
             gray = jnp.clip(gray, 0, 255).astype(jnp.uint8)
             images_u8 = jnp.stack([gray, gray, gray], axis=-1)
         if self.use_fused:

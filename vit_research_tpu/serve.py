@@ -733,6 +733,11 @@ class EmbedServer:
             # flush-on-unpin of write-back sessions.
             new = PersistentClient(db, autoflush=False).get_collection(name)
             if self._shard_mesh is not None:
+                # Placement-only (records the mesh, clears the corpus
+                # cache — vector_store.shard_device): no device work
+                # happens here. The actual HBM staging runs lazily at the
+                # first query, which in this daemon is always under
+                # _device(), so the shutdown quiesce barrier covers it.
                 new.shard_device(self._shard_mesh)
             carried = 0
             with self._collection_lock:
