@@ -45,6 +45,30 @@ def test_bench_e2e_segment_tiny_strided():
 
 
 @pytest.mark.slow
+def test_bench_e2e_segment_tiny_stride1():
+    # stride=1 uses a different key layout (n keys, no tail key) than
+    # stride>1 — regression for the off-by-one that crashed after the
+    # embed phase (round-2 review finding).
+    rec = _run(["examples/bench_e2e_segment.py", "--tiny", "--mode",
+                "strided", "--stride", "1", "--frames", "1024",
+                "--batch", "128", "--k", "8"])
+    assert rec["mode"] == "strided" and rec["frames"] == 1024
+
+
+@pytest.mark.slow
+def test_bench_daemon_tiny():
+    rec = _run(["examples/bench_daemon.py", "--tiny", "--games", "2",
+                "--requests-per-game", "5", "--batch-size", "16",
+                "--frames-per-req", "4"])
+    assert rec["metric"] == "daemon_embed_serving"
+    assert rec["requests"] == 10
+    assert rec["rps"] > 0 and rec["p99_ms"] >= rec["p50_ms"]
+    # the daemon's stats op must have reported real device batches
+    assert rec["device_batches"] > 0
+    assert rec["frames_embedded"] >= rec["requests"] * 4
+
+
+@pytest.mark.slow
 def test_bench_rebuild_chunk_tiny():
     rec = _run(["examples/bench_rebuild_chunk.py", "--tiny"])
     assert rec["metric"] == "chunk_db_rebuild_wall"
