@@ -177,3 +177,42 @@ def test_bf16_softmax_live_under_flash_attention(model_params):
     b = EmbeddingEngine(bf16_xla, params, SPEC, batch_size=4,
                         use_fused_patch_embed=False).embed_batch(imgs)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_small_request_bucketed_transfer_matches_host_pad(model_params):
+    """Serving fix (BENCH_NOTES 2026-08-20): a request much smaller than
+    the engine batch transfers only a power-of-two bucket of real frames
+    and zero-pads ON DEVICE — bytes moved scale with offered load, not
+    engine batch size. Results must be identical to the host-pad path."""
+    model, params = model_params
+    big = EmbeddingEngine(model, params, SPEC, batch_size=128,
+                          use_fused_patch_embed=False)
+    small = EmbeddingEngine(model, params, SPEC, batch_size=8,
+                            use_fused_patch_embed=False)
+    # bucket selection: pow2 >= n, min 32, None once it reaches the batch
+    assert big._transfer_bucket(5) == 32
+    assert big._transfer_bucket(33) == 64
+    assert big._transfer_bucket(64) == 64
+    assert big._transfer_bucket(65) is None  # 128 == batch: host pad
+    assert big._transfer_bucket(128) is None
+    assert small._transfer_bucket(3) is None  # 32 >= batch: host pad
+    imgs = rand_batch(5)
+    a = big.embed_batch(imgs)    # bucketed device-pad dispatch
+    b = small.embed_batch(imgs)  # classic host-pad dispatch
+    assert a.shape == (5, 64)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_small_request_bucketed_transfer_under_mesh(model_params):
+    """The device-pad path under a data mesh: the bucket stays a multiple
+    of the data axis and results match the single-device engine."""
+    model, params = model_params
+    mesh = make_mesh((8,), ("data",))
+    sharded = EmbeddingEngine(model, params, SPEC, mesh=mesh, batch_size=64,
+                              use_fused_patch_embed=False)
+    assert sharded._transfer_bucket(5) == 32  # already a multiple of 8
+    single = EmbeddingEngine(model, params, SPEC, batch_size=64,
+                             use_fused_patch_embed=False)
+    imgs = rand_batch(5)
+    np.testing.assert_allclose(sharded.embed_batch(imgs),
+                               single.embed_batch(imgs), atol=1e-4)

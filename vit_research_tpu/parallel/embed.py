@@ -75,8 +75,13 @@ class EmbeddingEngine:
             out_sh = mesh_lib.data_sharding(mesh, len(out_aval.shape))
             self._jitted = jax.jit(self._forward,
                                    in_shardings=in_sh, out_shardings=out_sh)
+            self._pad_jit = jax.jit(
+                self._pad_to_batch,
+                in_shardings=(mesh_lib.data_sharding(mesh, 4),),
+                out_shardings=mesh_lib.data_sharding(mesh, 4))
         else:
             self._jitted = jax.jit(self._forward)
+            self._pad_jit = jax.jit(self._pad_to_batch)
 
     # ------------------------------------------------------------- forward
 
@@ -131,16 +136,53 @@ class EmbeddingEngine:
 
     # --------------------------------------------------------------- entry
 
+    def _pad_to_batch(self, small_u8):
+        """Zero-pad a partial batch up to the static batch size ON DEVICE.
+        Retraces once per bucket shape (a handful of power-of-two sizes);
+        the pad itself is pure data movement, compiled in seconds."""
+        return jnp.pad(small_u8, ((0, self.batch_size - small_u8.shape[0]),
+                                  (0, 0), (0, 0), (0, 0)))
+
+    def _transfer_bucket(self, n: int):
+        """Smallest power-of-two transfer size covering ``n`` frames, or
+        ``None`` when host-padding to the full batch is just as cheap.
+
+        Rationale: the forward jit has ONE static batch shape, so a
+        16-frame serve request used to ship a full host-padded batch to
+        the device — e.g. 512x224x224x3 uint8 = 77 MB of ~97% zeros per
+        dispatch, which dominates end-to-end latency whenever the
+        host->device link (PCIe, or the dev tunnel) is the bottleneck.
+        Instead we transfer only a small bucket and zero-pad on device,
+        so bytes moved scale with offered load, not engine batch size.
+        Buckets are powers of two (>= 32) to bound pad-jit retraces."""
+        bucket = 32
+        while bucket < n:
+            bucket *= 2
+        if self.mesh is not None:
+            bucket = mesh_lib.pad_to_multiple(bucket, self.mesh.shape["data"])
+        return bucket if bucket < self.batch_size else None
+
     def _dispatch(self, batch_u8: np.ndarray):
         """Pad to the static batch size and dispatch (async)."""
         n = batch_u8.shape[0]
-        if n < self.batch_size:
-            pad = np.zeros((self.batch_size - n, *batch_u8.shape[1:]),
-                           batch_u8.dtype)
-            batch_u8 = np.concatenate([batch_u8, pad], axis=0)
-        if self.mesh is not None:
-            batch_u8 = jax.device_put(
-                batch_u8, mesh_lib.data_sharding(self.mesh, 4))
+        bucket = self._transfer_bucket(n)
+        if bucket is not None:
+            if n < bucket:
+                pad = np.zeros((bucket - n, *batch_u8.shape[1:]),
+                               batch_u8.dtype)
+                batch_u8 = np.concatenate([batch_u8, pad], axis=0)
+            if self.mesh is not None:
+                batch_u8 = jax.device_put(
+                    batch_u8, mesh_lib.data_sharding(self.mesh, 4))
+            batch_u8 = self._pad_jit(batch_u8)
+        else:
+            if n < self.batch_size:
+                pad = np.zeros((self.batch_size - n, *batch_u8.shape[1:]),
+                               batch_u8.dtype)
+                batch_u8 = np.concatenate([batch_u8, pad], axis=0)
+            if self.mesh is not None:
+                batch_u8 = jax.device_put(
+                    batch_u8, mesh_lib.data_sharding(self.mesh, 4))
         return self._jitted(self.params, batch_u8), n
 
     def embed_batch(self, batch_u8: np.ndarray) -> np.ndarray:
