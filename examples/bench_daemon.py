@@ -28,6 +28,8 @@ the compile cache is warm.
 Usage:
   python examples/bench_daemon.py --games 4 --coalesce-ms 4
   python examples/bench_daemon.py --games 4 --coalesce-ms 0   # baseline
+  python examples/bench_daemon.py --transport binary-jpeg ... # binary framing
+  python examples/bench_daemon.py --transport binary-raw ...  # raw u8 pixels
   python examples/bench_daemon.py --tiny ...                  # CPU smoke
 """
 
@@ -47,22 +49,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_frames_b64(n: int, hw: int, seed: int = 0) -> list[str]:
-    """n random JPEG frames, base64-encoded (what followers send)."""
+def make_frames(n: int, hw: int, seed: int = 0):
+    """n random frames in all three wire forms: raw uint8 pixels, JPEG
+    bytes, and base64-encoded JPEG strings (what JSON followers send)."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    out = []
+    raw, jpegs, b64 = [], [], []
     for _ in range(n):
-        img = Image.fromarray(
-            rng.integers(0, 256, size=(hw, hw, 3), dtype=np.uint8))
+        arr = rng.integers(0, 256, size=(hw, hw, 3), dtype=np.uint8)
+        raw.append(arr)
         buf = io.BytesIO()
-        img.save(buf, format="JPEG", quality=90)
-        out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
-    return out
+        Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+        jpegs.append(buf.getvalue())
+        b64.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+    return raw, jpegs, b64
 
 
-def run_game(socket_path: str, frames_b64: list[str], per_req: int,
+def run_game(socket_path: str, data: list, transport: str, per_req: int,
              n_requests: int, latencies: list, errors: list,
              start_gate: threading.Event) -> None:
     from vit_research_tpu.serve import SessionClient
@@ -71,12 +75,20 @@ def run_game(socket_path: str, frames_b64: list[str], per_req: int,
         with SessionClient(socket_path, timeout=600.0) as client:
             start_gate.wait()
             for i in range(n_requests):
-                lo = (i * per_req) % len(frames_b64)
-                chunk = frames_b64[lo:lo + per_req]
+                lo = (i * per_req) % len(data)
+                chunk = data[lo:lo + per_req]
                 if len(chunk) < per_req:  # wrap
-                    chunk = chunk + frames_b64[:per_req - len(chunk)]
+                    chunk = chunk + data[:per_req - len(chunk)]
                 t0 = time.monotonic()
-                resp = client.request({"op": "embed", "frames_b64": chunk})
+                if transport == "json":
+                    resp = client.request(
+                        {"op": "embed", "frames_b64": chunk})
+                elif transport == "binary-jpeg":
+                    resp = client.request_binary({"op": "embed"},
+                                                 jpegs=chunk)
+                else:  # binary-raw: decoded pixels, zero-copy into HBM
+                    resp = client.request_binary({"op": "embed"},
+                                                 frames=np.stack(chunk))
                 dt = time.monotonic() - t0
                 if not resp.get("ok"):
                     errors.append(resp.get("error"))
@@ -97,6 +109,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=512,
                     help="daemon engine batch (512 == bench.py's cached "
                          "compile shape)")
+    ap.add_argument("--transport", default="json",
+                    choices=["json", "binary-jpeg", "binary-raw"],
+                    help="wire format for embed pushes: JSON+base64 "
+                         "(reference protocol), binary JPEG frames, or "
+                         "binary raw uint8 pixels (serve.py binary "
+                         "framing)")
     ap.add_argument("--tiny", action="store_true",
                     help="VRT_TINY daemon on CPU (smoke, not a bench)")
     args = ap.parse_args()
@@ -109,7 +127,9 @@ def main():
 
     from vit_research_tpu.serve import request
 
-    frames = make_frames_b64(max(args.frames_per_req * 8, 64), hw)
+    raw, jpegs, frames = make_frames(max(args.frames_per_req * 8, 64), hw)
+    game_data = {"json": frames, "binary-jpeg": jpegs,
+                 "binary-raw": raw}[args.transport]
 
     with tempfile.TemporaryDirectory() as td:
         sock = os.path.join(td, "vrt.sock")
@@ -151,8 +171,9 @@ def main():
             threads = [
                 threading.Thread(
                     target=run_game,
-                    args=(sock, frames, args.frames_per_req,
-                          args.requests_per_game, latencies, errors, gate))
+                    args=(sock, game_data, args.transport,
+                          args.frames_per_req, args.requests_per_game,
+                          latencies, errors, gate))
                 for _ in range(args.games)]
             for t in threads:
                 t.start()
@@ -194,6 +215,7 @@ def main():
     print(json.dumps({
         "metric": "daemon_embed_serving",
         "games": args.games,
+        "transport": args.transport,
         "coalesce_ms": args.coalesce_ms,
         "frames_per_req": args.frames_per_req,
         "requests": n_req,

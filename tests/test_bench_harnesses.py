@@ -69,6 +69,17 @@ def test_bench_daemon_tiny():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("transport", ["binary-jpeg", "binary-raw"])
+def test_bench_daemon_tiny_binary_transport(transport):
+    rec = _run(["examples/bench_daemon.py", "--tiny", "--games", "2",
+                "--requests-per-game", "3", "--batch-size", "16",
+                "--frames-per-req", "4", "--transport", transport])
+    assert rec["transport"] == transport
+    assert rec["requests"] == 6 and rec["rps"] > 0
+    assert rec["frames_embedded"] >= rec["requests"] * 4
+
+
+@pytest.mark.slow
 def test_bench_rebuild_chunk_tiny():
     rec = _run(["examples/bench_rebuild_chunk.py", "--tiny"])
     assert rec["metric"] == "chunk_db_rebuild_wall"

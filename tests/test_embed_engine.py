@@ -97,6 +97,23 @@ def test_token_endpoint_under_mesh(model_params):
     assert eng.embed_paths([]).shape == (0, 17, 64)
 
 
+def test_warmup_precompiles_buckets(model_params):
+    """warmup() traces the forward jit and the small-request pad buckets
+    so a serving daemon's first requests pay no cold compile (ADVICE r2).
+    Results after warmup must be unchanged."""
+    model, params = model_params
+    eng = EmbeddingEngine(model, params, SPEC, batch_size=128,
+                          use_fused_patch_embed=False)
+    eng.warmup(buckets=(32, 64))
+    if hasattr(eng._pad_jit, "_cache_size"):
+        assert eng._pad_jit._cache_size() >= 2  # both buckets compiled
+    imgs = rand_batch(3)
+    small = EmbeddingEngine(model, params, SPEC, batch_size=128,
+                            use_fused_patch_embed=False)
+    np.testing.assert_allclose(eng.embed_batch(imgs),
+                               small.embed_batch(imgs), atol=1e-6)
+
+
 def test_embed_paths_pipeline(tmp_path, model_params):
     from vit_research_tpu.data import synthetic
 

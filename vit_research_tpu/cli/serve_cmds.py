@@ -28,7 +28,18 @@ def cmd_serve(args):
             coll.shard_device(mesh)
             print(f"collection {args.collection} sharded over "
                   f"{mesh.devices.size} device(s)", flush=True)
-    server = EmbedServer(common._engine(batch_size=args.batch_size),
+    engine = common._engine(batch_size=args.batch_size)
+    if args.warmup:
+        # Compile the forward jit + the small-request pad buckets BEFORE
+        # accepting connections, so no client ever pays a cold compile
+        # (ADVICE r2: each distinct bucket shape adds a one-time trace).
+        import time as _time
+
+        t0 = _time.monotonic()
+        engine.warmup()
+        print(f"engine warmed in {_time.monotonic() - t0:.1f}s "
+              f"(batch {engine.batch_size} + pad buckets)", flush=True)
+    server = EmbedServer(engine,
                          collection=coll, coalesce_ms=args.coalesce_ms,
                          # the reload op's defaults (+ re-shard target):
                          # serve-ctl reload / rebuild-db --notify-socket
@@ -85,6 +96,11 @@ def register(sub):
                     help="shard the collection's device corpus across "
                          "all local chips (exact results; >1-chip-HBM "
                          "capacity — ops/sharded_topk.py)")
+    sv.add_argument("--warmup", action="store_true",
+                    help="compile the embed jit and the small-request "
+                         "pad buckets before accepting connections "
+                         "(first-request latency becomes flat; startup "
+                         "pays the compiles instead)")
     sv.add_argument("--coalesce-ms", type=float, default=2.0,
                     help="micro-batch concurrent embed requests arriving "
                          "within this window into one device batch "

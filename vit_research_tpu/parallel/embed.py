@@ -185,6 +185,20 @@ class EmbeddingEngine:
                     batch_u8, mesh_lib.data_sharding(self.mesh, 4))
         return self._jitted(self.params, batch_u8), n
 
+    def warmup(self, buckets=(32, 64)) -> None:
+        """Compile the forward jit and the device-pad jits for the common
+        small-request bucket shapes up front, so neither the first full
+        batch nor the first small request of each bucket size pays a
+        cold trace/compile (matters for serving daemons: over a slow
+        compile link a cold bucket adds whole-request latency spikes).
+        Zero-frame warmups keep it cheap; the returned embeddings are
+        host arrays, so each call is a real completion barrier."""
+        full = np.zeros((self.batch_size, *self.spec.size, 3), np.uint8)
+        self.embed_batch(full)
+        for b in sorted(set(buckets)):
+            if 0 < b < self.batch_size:
+                self.embed_batch(full[:b])
+
     def embed_batch(self, batch_u8: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 -> (B, D) float32 embeddings. B can exceed
         the engine batch size; sub-batches pipeline through _drain (at

@@ -10,7 +10,9 @@ open vector-store collection, and serves both over a Unix domain
 socket.
 
 Protocol: newline-delimited JSON, one request object per line, one
-response object per line.
+response object per line — plus a length-prefixed BINARY framing for
+bulk payloads (below); both framings share one socket, distinguished
+per request by the first byte.
 
     {"op": "ping"}
     {"op": "embed", "paths": [...]}            -> {"ok": true, "embeddings": [[...], ...]}
@@ -25,6 +27,40 @@ response object per line.
     {"op": "reload", "db": null, "collection": null}
                                                -> {"ok": true, "rows": N, ...}
     {"op": "shutdown"}
+
+Binary framing (bulk transport — a 16-frame JPEG request is ~0.7 MB of
+raw bytes vs ~1 MB of base64-in-JSON, and an embed reply is 4 bytes/f32
+vs ~24 of number text; the JSON parse/serialize of megabyte strings
+disappears too):
+
+    frame  = 0xBF 'V' | header_len u32 LE | payload_len u64 LE
+             | header (JSON object, UTF-8) | payload (raw bytes)
+
+0xBF is an invalid UTF-8 lead byte, so a JSON line can never start with
+it — servers dispatch on the first byte, and a client may freely mix
+JSON lines and binary frames on one connection. The header is the same
+request object as the JSON protocol with the bulk field replaced by a
+``"bin"`` descriptor for the payload:
+
+    {"op": "embed", "bin": {"kind": "raw_u8", "shape": [N,H,W,3]}}
+        payload = C-contiguous uint8 pixels; (H,W) == the engine spec
+        size skips host preprocessing entirely, other sizes are resized
+        host-side like every other input form
+    {"op": "embed", "bin": {"kind": "jpeg", "sizes": [s0, s1, ...]}}
+        payload = the concatenated encoded images (any PIL-decodable
+        format), split at the given byte sizes
+    ("query" and "segment_push" accept the same descriptors wherever
+     they accept "paths"/"frames_b64")
+
+The reply to a binary request is a binary frame: the usual JSON reply
+object as the header, with bulk arrays (an embed's "embeddings") moved
+to the payload and described by ``"bin": {"kind": "f32", "shape":
+[...]}`` (little-endian float32, C order). Replies without bulk data
+have payload_len = 0. Framing-level corruption (bad magic, oversized or
+non-JSON header) gets one error reply with ``"closing": true`` and the
+connection closes — request-level errors keep it alive, as in the JSON
+protocol. Clients: :meth:`SessionClient.request_binary` /
+:func:`request_binary`.
 
 Hot collection reload: after ``cli rebuild-db`` (training moves the
 embeddings under the retriever — reference:
@@ -127,18 +163,125 @@ import time
 import numpy as np
 
 
-def _decode_b64_frames(frames_b64, spec) -> np.ndarray:
+def _decode_image_blobs(blobs, spec) -> np.ndarray:
     from PIL import Image
 
     from vit_research_tpu.data.preprocess import load_frames
 
     imgs = []
-    for b64 in frames_b64:
-        with Image.open(io.BytesIO(base64.b64decode(b64))) as im:
+    for raw in blobs:
+        with Image.open(io.BytesIO(raw)) as im:
             imgs.append(np.asarray(im.convert("RGB")))
     # load_frames accepts in-memory arrays (preprocess_frame is
     # path-or-image), so the serve path shares the parity preprocessing.
     return load_frames(imgs, spec)
+
+
+def _decode_b64_frames(frames_b64, spec) -> np.ndarray:
+    return _decode_image_blobs([base64.b64decode(b) for b in frames_b64],
+                               spec)
+
+
+# ---- binary framing ---------------------------------------------------------
+#
+# 0xBF is an invalid UTF-8 lead byte, so a binary frame can never be
+# mistaken for the first byte of a JSON line (and vice versa) — both
+# protocols share one socket, distinguished per request.
+BIN_MAGIC = b"\xbfV"
+_BIN_MAX_HEADER = 1 << 24  # 16 MB of JSON header is already absurd
+_BIN_MAX_PAYLOAD = 1 << 31  # 2 GB; bound a corrupt length prefix
+
+
+class _ProtocolError(Exception):
+    """Framing-level corruption: the stream is desynchronized and the
+    connection must close (unlike request-level errors, which reply and
+    keep the connection alive)."""
+
+
+def pack_binary_frame(header: dict, payload: bytes = b"") -> bytes:
+    """magic(2) | header_len u32 LE | payload_len u64 LE | header JSON |
+    payload bytes."""
+    h = json.dumps(header).encode()
+    return (BIN_MAGIC + len(h).to_bytes(4, "little")
+            + len(payload).to_bytes(8, "little") + h + payload)
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    chunks, got = [], 0
+    while got < n:
+        chunk = rfile.read(n - got)
+        if not chunk:
+            raise _ProtocolError("connection closed mid-frame")
+        chunks.append(chunk)
+        got += len(chunk)
+    return b"".join(chunks)
+
+
+def read_binary_frame_body(rfile) -> tuple[dict, bytes]:
+    """Read one binary frame AFTER the 2 magic bytes were consumed.
+    Raises :class:`_ProtocolError` on framing corruption (caller must
+    close the connection — byte positions are no longer trustworthy)."""
+    hlen = int.from_bytes(_read_exact(rfile, 4), "little")
+    plen = int.from_bytes(_read_exact(rfile, 8), "little")
+    if hlen > _BIN_MAX_HEADER:
+        raise _ProtocolError(f"binary header length {hlen} exceeds limit")
+    if plen > _BIN_MAX_PAYLOAD:
+        raise _ProtocolError(f"binary payload length {plen} exceeds limit")
+    try:
+        header = json.loads(_read_exact(rfile, hlen))
+    except ValueError as e:
+        raise _ProtocolError(f"binary header is not JSON: {e}") from e
+    if not isinstance(header, dict):
+        raise _ProtocolError("binary header must be a JSON object")
+    payload = _read_exact(rfile, plen)
+    return header, payload
+
+
+def frames_from_binary(bin_desc: dict, payload: bytes, spec) -> np.ndarray:
+    """Decode a binary request payload into a (N, H, W, 3) uint8 batch at
+    ``spec.size`` (the same contract the b64 path produces)."""
+    kind = bin_desc.get("kind")
+    if kind == "raw_u8":
+        shape = tuple(int(s) for s in bin_desc.get("shape", ()))
+        if len(shape) != 4 or shape[-1] != 3 or any(s <= 0 for s in shape):
+            raise ValueError(f"raw_u8 shape must be (N,H,W,3), got {shape}")
+        expected = int(np.prod(shape))
+        if expected != len(payload):
+            raise ValueError(f"raw_u8 payload is {len(payload)} bytes, "
+                             f"shape {shape} needs {expected}")
+        arr = np.frombuffer(payload, np.uint8).reshape(shape)
+        if shape[1:3] == tuple(spec.size):
+            return arr  # already at spec size: zero-copy straight to HBM
+        from vit_research_tpu.data.preprocess import load_frames
+
+        return load_frames(list(arr), spec)  # per-frame resize
+    if kind == "jpeg":  # any PIL-decodable format, JPEG/PNG in practice
+        sizes = [int(s) for s in bin_desc.get("sizes", ())]
+        if any(s <= 0 for s in sizes) or sum(sizes) != len(payload):
+            raise ValueError(
+                f"jpeg sizes {sizes} do not tile a {len(payload)}-byte "
+                "payload")
+        blobs, off = [], 0
+        for s in sizes:
+            blobs.append(payload[off:off + s])
+            off += s
+        return _decode_image_blobs(blobs, spec)
+    raise ValueError(f"unknown binary payload kind {kind!r} "
+                     "(expected 'raw_u8' or 'jpeg')")
+
+
+def _encode_binary_reply(resp: dict) -> bytes:
+    """Pack a handler reply as a binary frame; a bulk array under '_np'
+    ships as a raw little-endian float32 payload instead of JSON text."""
+    arr = resp.pop("_np", None)
+    if arr is not None:
+        arr = np.ascontiguousarray(arr, np.float32)
+        resp = dict(resp)
+        resp["bin"] = {"kind": "f32", "shape": list(arr.shape)}
+        payload = arr.tobytes()
+    else:
+        payload = b""
+    return pack_binary_frame(resp, payload)
 
 
 class _Coalescer:
@@ -314,7 +457,11 @@ class EmbedServer:
         # Decode on the caller's connection thread, OUTSIDE the lock —
         # only device work serializes, so client B's JPEG decode overlaps
         # client A's forward pass.
-        if "paths" in req:
+        if "frames_np" in req:
+            # Binary transport: the socket layer already decoded the
+            # payload into a spec-size uint8 batch (frames_from_binary).
+            batch = req["frames_np"]
+        elif "paths" in req:
             missing = [p for p in req["paths"] if not os.path.exists(p)]
             if missing:
                 raise ValueError(f"missing paths: {missing[:3]}")
@@ -324,7 +471,8 @@ class EmbedServer:
         elif "frames_b64" in req:
             batch = _decode_b64_frames(req["frames_b64"], self.engine.spec)
         else:
-            raise ValueError("embed needs 'paths' or 'frames_b64'")
+            raise ValueError(
+                "embed needs 'paths', 'frames_b64', or a binary payload")
         if self._coalescer is not None:
             out = self._coalescer.embed(batch)
         else:
@@ -592,11 +740,13 @@ class EmbedServer:
             raise ValueError("no active segment session — send "
                              "segment_start first")
         # write-back ids follow the CLI convention (frame basenames);
-        # in-memory frames get session-positional ids
-        names = ([os.path.basename(p) for p in req["paths"]]
-                 if "paths" in req else
-                 [f"frame_{seg.frames_seen + i}"
-                  for i in range(len(req.get("frames_b64", ())))])
+        # in-memory frames (b64 or binary payload) get session-positional ids
+        if "paths" in req:
+            names = [os.path.basename(p) for p in req["paths"]]
+        else:
+            n_in = (len(req["frames_np"]) if "frames_np" in req
+                    else len(req.get("frames_b64", ())))
+            names = [f"frame_{seg.frames_seen + i}" for i in range(n_in)]
         embs = self._embed_request(req)
         with self._device():  # the kNN top-k matmul is device work
             clips = seg.push_batch(names, embs)
@@ -842,6 +992,10 @@ class EmbedServer:
             return self._reload(req)
         if op == "embed":
             emb = self._embed_request(req)
+            if req.get("_reply_binary"):
+                # Raw f32 payload instead of ~6x-larger JSON number text
+                # (the socket layer packs '_np' into the binary frame).
+                return {"ok": True, "_np": emb}
             return {"ok": True, "embeddings": emb.tolist()}
         if op == "query":
             if self.collection is None:
@@ -877,17 +1031,59 @@ class EmbedServer:
             def handle(self):
                 session: dict = {}  # per-connection state (segment ops)
                 try:
-                    for line in self.rfile:
-                        if not line.strip():
-                            continue
+                    while True:
+                        first = self.rfile.read(1)
+                        if not first:
+                            return
+                        binary = first == BIN_MAGIC[:1]
                         try:
-                            req = json.loads(line)
+                            if binary:
+                                # Framing errors (_ProtocolError) mean the
+                                # stream position is untrustworthy: reply
+                                # once and CLOSE. Anything raised after the
+                                # frame is fully consumed is a request
+                                # error — reply and keep the connection.
+                                second = _read_exact(self.rfile, 1)
+                                if second != BIN_MAGIC[1:]:
+                                    raise _ProtocolError(
+                                        "bad binary magic byte 2")
+                                req, payload = read_binary_frame_body(
+                                    self.rfile)
+                                bin_desc = req.pop("bin", None)
+                                if bin_desc is not None or payload:
+                                    req["frames_np"] = frames_from_binary(
+                                        bin_desc or {}, payload,
+                                        handler_self.engine.spec)
+                                req["_reply_binary"] = True
+                            else:
+                                line = first + self.rfile.readline()
+                                if not line.strip():
+                                    continue
+                                req = json.loads(line)
+                                if isinstance(req, dict):
+                                    # reserved transport-internal keys —
+                                    # not settable from the JSON wire
+                                    req.pop("frames_np", None)
+                                    req.pop("_reply_binary", None)
+                                    req.pop("_np", None)
                             resp = handler_self.handle(req, session)
+                        except _ProtocolError as e:
+                            handler_self._count("errors")
+                            err = {"ok": False, "error": str(e),
+                                   "closing": True}
+                            self.wfile.write(_encode_binary_reply(err)
+                                             if binary else
+                                             (json.dumps(err) + "\n")
+                                             .encode())
+                            self.wfile.flush()
+                            return
                         except Exception as e:  # keep the connection alive
                             handler_self._count("errors")
                             resp = {"ok": False, "error": str(e)}
-                        self.wfile.write(
-                            (json.dumps(resp) + "\n").encode())
+                        # Reply in the framing the request arrived in.
+                        self.wfile.write(_encode_binary_reply(resp)
+                                         if binary else
+                                         (json.dumps(resp) + "\n").encode())
                         self.wfile.flush()
                         if resp.get("stopping"):
                             # Response is on the wire; now stop.
@@ -1018,6 +1214,66 @@ class SessionClient:
         line, self._buf = self._buf.split(b"\n", 1)
         return json.loads(line)
 
+    def request_binary(self, req: dict, frames=None, jpegs=None) -> dict:
+        """Binary-framed request (see the module docstring's protocol
+        section). ``frames``: a (N, H, W, 3) uint8 array shipped raw;
+        ``jpegs``: a list of encoded image byte strings. A bulk reply
+        payload comes back as a float32 ``np.ndarray`` under
+        ``"embeddings"`` instead of JSON number text."""
+        if self._dead:
+            raise ConnectionError(
+                "SessionClient is closed/poisoned — open a new client")
+        header = dict(req)
+        if frames is not None:
+            arr = np.asarray(frames)
+            if arr.dtype != np.uint8 or arr.ndim != 4 or arr.shape[-1] != 3:
+                raise ValueError(
+                    f"frames must be (N,H,W,3) uint8, got "
+                    f"{arr.dtype} {arr.shape}")
+            header["bin"] = {"kind": "raw_u8", "shape": list(arr.shape)}
+            payload = np.ascontiguousarray(arr).tobytes()
+        elif jpegs is not None:
+            jpegs = [bytes(b) for b in jpegs]
+            header["bin"] = {"kind": "jpeg",
+                             "sizes": [len(b) for b in jpegs]}
+            payload = b"".join(jpegs)
+        else:
+            payload = b""
+        data = pack_binary_frame(header, payload)
+        try:
+            self._sock.sendall(data)
+            magic = self._read_exact(2)
+            if magic != BIN_MAGIC:
+                raise ConnectionError(
+                    f"expected a binary reply frame, got {magic!r}")
+            hlen = int.from_bytes(self._read_exact(4), "little")
+            plen = int.from_bytes(self._read_exact(8), "little")
+            resp = json.loads(self._read_exact(hlen))
+            body = self._read_exact(plen)
+        except BrokenPipeError as e:
+            self.close()
+            raise ConnectionError(f"daemon connection broken: {e}") from e
+        except Exception:
+            self.close()
+            raise
+        bin_desc = resp.pop("bin", None)
+        if bin_desc is not None:
+            if bin_desc.get("kind") != "f32":
+                raise ValueError(f"unknown reply payload kind {bin_desc!r}")
+            resp["embeddings"] = np.frombuffer(body, "<f4").reshape(
+                [int(s) for s in bin_desc["shape"]])
+        return resp
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(1 << 20)
+            if not chunk:
+                raise ConnectionError(
+                    "server closed the connection mid-session")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
     def close(self) -> None:
         self._dead = True
         self._sock.close()
@@ -1062,3 +1318,10 @@ def request(socket_path: str, req: dict, timeout: float = 60.0) -> dict:
         # mistaken for a closed stdout by cli.main's quiet-exit handler
         raise ConnectionError(f"daemon connection broken: {e}") from e
     return json.loads(buf)
+
+
+def request_binary(socket_path: str, req: dict, frames=None, jpegs=None,
+                   timeout: float = 60.0) -> dict:
+    """One-shot binary-framed request (see SessionClient.request_binary)."""
+    with SessionClient(socket_path, timeout=timeout) as client:
+        return client.request_binary(req, frames=frames, jpegs=jpegs)
