@@ -10,6 +10,13 @@ jax.config (backends initialize lazily), not env vars."""
 
 import os
 
+# TensorFlow (the differential oracles) must not use oneDNN fast-math:
+# its reordered f32 accumulation drifts ~1e-4 per dense layer vs exact
+# f32, which the unscaled-pooler heads amplify to ~1e-2 at the logits —
+# enough to sink loop-level trajectory differentials. Must be set before
+# the first tensorflow import anywhere in the process.
+os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -56,6 +56,19 @@ def test_bench_e2e_segment_tiny_stride1():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mode", ["parity", "strided"])
+def test_bench_e2e_segment_tiny_decode(mode, tmp_path):
+    rec = _run(["examples/bench_e2e_segment.py", "--tiny", "--decode",
+                "--mode", mode, "--frames", "512", "--batch", "128",
+                "--k", "8", "--frames-dir", str(tmp_path / "frames")])
+    assert rec["metric"] == "e2e_embed_segment_10min_video_decode_included"
+    assert rec["frames"] == 512 and rec["decode_fps_per_core"] > 0
+    expected = 512 if mode == "parity" else 512 // 4 + 1
+    assert rec["frames_decoded"] == expected
+    assert rec["phases"]["decode_embed_s"] > 0
+
+
+@pytest.mark.slow
 def test_bench_daemon_tiny():
     rec = _run(["examples/bench_daemon.py", "--tiny", "--games", "2",
                 "--requests-per-game", "5", "--batch-size", "16",

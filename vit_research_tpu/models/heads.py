@@ -179,7 +179,9 @@ class RAGHead(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         fused_cls = x[:, 0]
-        logits = ClassifierMLP(hidden_dim=c.hidden_dim, dtype=dtype,
+        logits = ClassifierMLP(hidden_dim=c.hidden_dim,
+                               dropout_rate=c.classifier_dropout,
+                               dtype=dtype,
                                name="classifier")(fused_cls, train=train)
         return logits, fused_cls
 
@@ -229,12 +231,15 @@ class RATTHead(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         fused = x[:, 0]
-        class_logit = ClassifierMLP(hidden_dim=c.hidden_dim, dtype=dtype,
+        class_logit = ClassifierMLP(hidden_dim=c.hidden_dim,
+                                    dropout_rate=c.classifier_dropout,
+                                    dtype=dtype,
                                     name="class_head")(fused, train=train)
         relevance_logit = None
         if self.use_relevance_head:
             relevance_logit = ClassifierMLP(
-                hidden_dim=c.hidden_dim, dtype=dtype, name="relevance_head",
+                hidden_dim=c.hidden_dim, dropout_rate=c.classifier_dropout,
+                dtype=dtype, name="relevance_head",
             )(fused, train=train)
         return class_logit, relevance_logit, fused, scores_all
 

@@ -55,17 +55,27 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     per ``accum_steps`` micro-steps (optax.MultiSteps), so the phase
     boundary is converted to accumulated-update units — otherwise the
     phase-2 LR would never engage (the count ends at total/accum)."""
-    total = max(cfg.num_epochs * steps_per_epoch, 1)
     accum = cfg.accum_steps if cfg.accum_steps and cfg.accum_steps > 1 else 1
-    total_updates = max(total // accum, 1)
-    sched = two_phase_schedule(cfg.lr_phase1, cfg.lr_phase2, total_updates,
-                               cfg.phase_split)
+    # Epoch-aligned phase boundary: the reference switches the LR when a
+    # whole-epoch count crosses half the run (nba_proj/train/
+    # training.py:453-458), so the boundary is floor(E * split) FULL
+    # epochs expressed in accumulated-update units — not a fraction of
+    # total updates, which lands mid-epoch when E * split is fractional.
+    phase1_epochs = max(int(cfg.num_epochs * cfg.phase_split), 1)
+    boundary = max(int(round(phase1_epochs * steps_per_epoch / accum)), 1)
+    sched = optax.join_schedules(
+        [optax.constant_schedule(cfg.lr_phase1),
+         optax.constant_schedule(cfg.lr_phase2)], [boundary])
     chain = [optax.clip_by_global_norm(cfg.grad_clip_norm)] \
         if cfg.grad_clip_norm else []
+    # eps=1e-7: the reference optimizer family is keras Adam, whose
+    # default epsilon is 1e-7 (optax defaults to 1e-8) — pinned
+    # empirically in test_reference_differential_stage1.py.
     if cfg.weight_decay:
-        chain.append(optax.adamw(sched, weight_decay=cfg.weight_decay))
+        chain.append(optax.adamw(sched, eps=1e-7,
+                                 weight_decay=cfg.weight_decay))
     else:
-        chain.append(optax.adam(sched))
+        chain.append(optax.adam(sched, eps=1e-7))
     tx = optax.chain(*chain)
     if cfg.accum_steps and cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)

@@ -56,8 +56,8 @@ def chunk_embed_from_store(store):
 
 
 def make_step_fns(proj: ProjectionHead, head: RAGHead, tx,
-                  contrastive_weight: float, use_retrieval: bool):
-    def loss_fn(params, chunk_embs, retrieved, labels, rng):
+                  use_retrieval: bool):
+    def loss_fn(params, chunk_embs, retrieved, labels, rng, cw):
         z = proj.apply(params["proj"], chunk_embs)
         if use_retrieval:
             ret = jax.lax.stop_gradient(retrieved)
@@ -69,13 +69,18 @@ def make_step_fns(proj: ProjectionHead, head: RAGHead, tx,
                                    rngs={"dropout": rng})
         loss_cls = losses.bce_with_logits(labels, logits)
         loss_con = losses.simple_retrieval_contrastive(z, ret)
-        loss = loss_cls + contrastive_weight * loss_con
+        # cw is a traced scalar: the reference re-assigns the contrastive
+        # coefficient at the LR phase boundary (nba_proj/train/
+        # training.py:453-458) — traced, not closed over, so the phase
+        # switch doesn't recompile the step.
+        loss = loss_cls + cw * loss_con
         return loss, (logits, fused, z, loss_cls, loss_con)
 
     @jax.jit
-    def train_step(params, opt_state, chunk_embs, retrieved, labels, rng):
+    def train_step(params, opt_state, chunk_embs, retrieved, labels, rng,
+                   cw):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, chunk_embs, retrieved, labels, rng)
+            params, chunk_embs, retrieved, labels, rng, cw)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         logits = aux[0]
@@ -100,7 +105,7 @@ def make_step_fns(proj: ProjectionHead, head: RAGHead, tx,
 def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
               cfg: ExperimentConfig | None = None, use_retrieval: bool = True,
               rebuild_fn=None, rebuild_scheduler=None, ckpt_manager=None, resume: bool = False,
-              seed: int = 1234, verbose: bool = False):
+              seed: int = 1234, verbose: bool = False, init_params=None):
     """Returns (params, history). ``retriever`` follows the
     FrameRetriever call contract.
 
@@ -125,13 +130,17 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
         "proj": proj.init(base_key, jnp.zeros((1, d))),
         "head": head.init(base_key, jnp.zeros((1, d)), jnp.zeros((1, k, d))),
     }
+    if init_params is not None:
+        # Warm start / pinned weights — the reference __main__ keeps
+        # load_weights calls for exactly this
+        # (reference: nba_proj/train/training.py:397-417 commented loads).
+        params = jax.tree.map(jnp.asarray, init_params)
     steps_per_epoch = max(
         num_batches(len(train_chunks), t.batch_size), 1)
     tx = make_optimizer(t, steps_per_epoch)
     state = TrainState(params=params, opt_state=tx.init(params))
     state, start_epoch = maybe_resume(ckpt_manager, state, resume)
-    train_step, eval_step = make_step_fns(
-        proj, head, tx, t.contrastive_weight, use_retrieval)
+    train_step, eval_step = make_step_fns(proj, head, tx, use_retrieval)
 
     @jax.jit
     def project(params_proj, x):
@@ -146,8 +155,16 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
                     "t_center": md["t_center"], "t_width": md["t_width"]}
         return retriever(z, metadata)
 
+    # Contrastive coefficient per phase, switched with the LR at the
+    # epoch boundary (reference: nba_proj/train/training.py:453-458).
+    phase1_epochs = int(t.num_epochs * t.phase_split)
+
     history = []
     for epoch in range(start_epoch, t.num_epochs):
+        cw = t.contrastive_weight
+        if t.contrastive_weight_phase2 is not None \
+                and epoch >= phase1_epochs:
+            cw = t.contrastive_weight_phase2
         key = jax.random.fold_in(base_key, epoch)  # resume-stable
         m = MetricAverager()
         for batch in batch_iterator(train_chunks, t.batch_size,
@@ -160,7 +177,7 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
             key, sub = jax.random.split(key)
             state.params, state.opt_state, loss, acc, lc, lcon = train_step(
                 state.params, state.opt_state, chunk_embs, retrieved,
-                labels, sub)
+                labels, sub, cw)
             state.step += 1
             m.update(train_loss=loss, train_acc=acc, loss_cls=lc,
                      loss_contrastive=lcon)

@@ -168,6 +168,10 @@ class HeadConfig(_Serializable):
     max_tokens: int = 128  # RATTHead pos-emb budget (reference: ratt_head.py:71-77)
     hidden_dim: int = 256  # classifier hidden (Dense 256 -> 1)
     dropout_rate: float = 0.0
+    # Classifier MLP dropout (reference hardcodes 0.2:
+    # nba_proj/models/rag_head.py:36-39, ratt_head.py); exposed so
+    # deterministic differentials/ablations can zero it.
+    classifier_dropout: float = 0.2
     dtype: str = "float32"
     # RATTHeadV2 branch sizes (reference: config_stage2.py K_SIM/K_CONTRAST/K_TEMPORAL)
     k_sim: int = 6
@@ -210,6 +214,11 @@ class TrainConfig(_Serializable):
     grad_clip_norm: float = 1.0
     label_smoothing: float = 0.0
     contrastive_weight: float = 0.1
+    # Phase-2 contrastive coefficient: the reference switches it with the
+    # LR at half epochs (reference: nba_proj/train/training.py:453-458;
+    # intended values 0.0 -> 0.1, nba_proj/config.py:19-20). None keeps
+    # contrastive_weight constant for the whole run.
+    contrastive_weight_phase2: float | None = None
     margin: float = 0.2
     pos_weight: str = "sqrt"  # 'sqrt' => sqrt(neg/pos) (reference: training_stage2.py:943-953)
     rebuild_every: int = 4  # epochs between vector-DB rebuilds
