@@ -44,6 +44,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from _engines import build_engine, route_platform  # noqa: E402
 
+if "--tiny" in sys.argv:
+    # --tiny is a CPU smoke: NEVER let it route to the axon tunnel (a
+    # timeout-killed compile there wedges the tunnel -- CLAUDE.md).
+    os.environ.setdefault("VRT_PLATFORM", "cpu")
 route_platform()
 
 REF_SECONDS = 421.17  # db_rebuild_chunk.py:53, multi-GPU node

@@ -93,6 +93,30 @@ def test_bench_daemon_tiny_binary_transport(transport):
 
 
 @pytest.mark.slow
+def test_trace_embed_tiny():
+    rec = _run(["examples/trace_embed.py", "--tiny", "--batch", "64",
+                "--trace-batches", "2", "--top", "5"])
+    assert rec["metric"] == "embed_device_trace"
+    assert rec["untraced_wall_ms_per_batch"] > 0
+    # The XPlane parse must surface real HLO ops (CPU plane on the smoke)
+    assert rec["top_ops_ms_per_batch"], rec
+    assert rec["device_total_ms_per_batch"] > 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["bf16", "int8-qk", "int8-full"])
+def test_bench_int8_scores_tiny(variant):
+    rec = _run(["examples/bench_int8_scores.py", "--tiny", "--variant",
+                variant, "--iters", "2"])
+    assert rec["metric"] == "attention_scores_dtype"
+    assert rec["ms_per_layer"] > 0
+    if variant == "bf16":
+        assert rec["max_rel_err_vs_bf16"] == 0
+    else:  # quantization error present but bounded
+        assert 0 < rec["max_rel_err_vs_bf16"] < 0.05
+
+
+@pytest.mark.slow
 def test_bench_rebuild_chunk_tiny():
     rec = _run(["examples/bench_rebuild_chunk.py", "--tiny"])
     assert rec["metric"] == "chunk_db_rebuild_wall"
