@@ -117,6 +117,14 @@ def test_bench_int8_scores_tiny(variant):
 
 
 @pytest.mark.slow
+def test_bench_capacity_tiny():
+    rec = _run(["examples/bench_capacity_10m.py", "--tiny", "--iters", "2"])
+    assert rec["metric"] == "device_capacity_int8_topk"
+    assert rec["rows"] == 1 << 16 and rec["k"] == 16
+    assert rec["warm_p50_ms"] > 0 and rec["qps"] > 0
+
+
+@pytest.mark.slow
 def test_bench_rebuild_chunk_tiny():
     rec = _run(["examples/bench_rebuild_chunk.py", "--tiny"])
     assert rec["metric"] == "chunk_db_rebuild_wall"
