@@ -66,7 +66,8 @@ def main():
     from vit_research_tpu.ops.topk import masked_topk_int8, quantize_int8
 
     n, d, ch = args.rows, args.dim, args.chunk
-    n = (n // ch) * ch  # whole chunks
+    ch = min(ch, n)
+    n = ((n + ch - 1) // ch) * ch  # round UP to whole chunks (>= --rows)
 
     @jax.jit
     def gen_corpus(key):

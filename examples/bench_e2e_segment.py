@@ -177,8 +177,13 @@ def run_decode_mode(args):
     phases["viterbi_clips_s"] = time.time() - t0
 
     total = time.time() - total0
-    frames_decoded = (len(range(0, n, args.stride)) + (1 if args.stride > 1
-                      else 0) if args.mode == "strided" else n)
+    if args.mode == "strided":
+        # Mirror embed_video_strided's key layout exactly: the n-1 tail
+        # key is added only when it isn't already a stride multiple.
+        keys = list(range(0, n, args.stride))
+        frames_decoded = len(keys) + (1 if keys[-1] != n - 1 else 0)
+    else:
+        frames_decoded = n
     print(json.dumps({
         "metric": "e2e_embed_segment_10min_video_decode_included",
         "mode": args.mode,

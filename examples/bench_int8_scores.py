@@ -103,6 +103,11 @@ def main():
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--iters", type=int, default=4,
                     help="timed fori-chain invocations")
+    ap.add_argument("--check", action="store_true",
+                    help="also compile single-layer jits for a numerics "
+                         "check vs bf16 (2 extra full-shape compiles — "
+                         "skip on the TPU tool-call budget; implied by "
+                         "--tiny)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke shapes")
     args = ap.parse_args()
@@ -144,11 +149,15 @@ def main():
     wall = time.time() - t0
     ms_layer = wall / args.iters / args.layers * 1e3
 
-    # numerics vs f32 reference on one layer (quantization error scale)
-    f32_attn = make_attention("bf16")
-    ref = np.asarray(jax.jit(f32_attn)(q, k, v), np.float32)
-    got = np.asarray(jax.jit(attn)(q, k, v), np.float32)
-    rel = float(np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9))
+    # numerics vs bf16 reference on one layer (quantization error scale);
+    # two extra full-shape compiles, so opt-in off the TPU budget path
+    rel = None
+    if args.check or args.tiny:
+        f32_attn = make_attention("bf16")
+        ref = np.asarray(jax.jit(f32_attn)(q, k, v), np.float32)
+        got = np.asarray(jax.jit(attn)(q, k, v), np.float32)
+        rel = round(float(np.abs(got - ref).max()
+                          / (np.abs(ref).max() + 1e-9)), 5)
 
     print(json.dumps({
         "metric": "attention_scores_dtype",
@@ -157,7 +166,7 @@ def main():
         "layers": args.layers,
         "ms_per_layer": round(ms_layer, 3),
         "compile_s": round(compile_s, 1),
-        "max_rel_err_vs_bf16": round(rel, 5),
+        "max_rel_err_vs_bf16": rel,
     }))
 
 

@@ -185,14 +185,21 @@ class EmbeddingEngine:
                     batch_u8, mesh_lib.data_sharding(self.mesh, 4))
         return self._jitted(self.params, batch_u8), n
 
-    def warmup(self, buckets=(32, 64)) -> None:
-        """Compile the forward jit and the device-pad jits for the common
-        small-request bucket shapes up front, so neither the first full
-        batch nor the first small request of each bucket size pays a
-        cold trace/compile (matters for serving daemons: over a slow
-        compile link a cold bucket adds whole-request latency spikes).
-        Zero-frame warmups keep it cheap; the returned embeddings are
-        host arrays, so each call is a real completion barrier."""
+    def warmup(self, buckets=None) -> None:
+        """Compile the forward jit and the device-pad jits for EVERY
+        small-request bucket shape up front (default: all power-of-two
+        buckets below the batch size — exactly the set _transfer_bucket
+        can produce), so neither the first full batch nor the first
+        small request of any size pays a cold trace/compile (matters for
+        serving daemons: over a slow compile link a cold bucket adds
+        whole-request latency spikes). Zero-frame warmups keep it cheap;
+        the returned embeddings are host arrays, so each call is a real
+        completion barrier."""
+        if buckets is None:
+            buckets, b = [], 32
+            while b < self.batch_size:
+                buckets.append(b)
+                b *= 2
         full = np.zeros((self.batch_size, *self.spec.size, 3), np.uint8)
         self.embed_batch(full)
         for b in sorted(set(buckets)):

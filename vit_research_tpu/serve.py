@@ -273,10 +273,10 @@ def frames_from_binary(bin_desc: dict, payload: bytes, spec) -> np.ndarray:
 def _encode_binary_reply(resp: dict) -> bytes:
     """Pack a handler reply as a binary frame; a bulk array under '_np'
     ships as a raw little-endian float32 payload instead of JSON text."""
+    resp = dict(resp)  # never mutate the handler's reply dict
     arr = resp.pop("_np", None)
     if arr is not None:
         arr = np.ascontiguousarray(arr, np.float32)
-        resp = dict(resp)
         resp["bin"] = {"kind": "f32", "shape": list(arr.shape)}
         payload = arr.tobytes()
     else:
@@ -1265,13 +1265,17 @@ class SessionClient:
         return resp
 
     def _read_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
+        # bytearray accumulator: `bytes +=` on an attribute re-copies the
+        # whole buffer per recv — O(n^2) on exactly the multi-MB payloads
+        # the binary transport exists for.
+        buf = bytearray(self._buf)
+        while len(buf) < n:
             chunk = self._sock.recv(1 << 20)
             if not chunk:
                 raise ConnectionError(
                     "server closed the connection mid-session")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+            buf += chunk
+        out, self._buf = bytes(buf[:n]), bytes(buf[n:])
         return out
 
     def close(self) -> None:

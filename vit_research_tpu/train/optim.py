@@ -47,6 +47,14 @@ def two_phase_schedule(lr1: float, lr2: float, total_steps: int,
         [boundary])
 
 
+def phase1_epoch_count(cfg: TrainConfig) -> int:
+    """Whole epochs trained at phase-1 settings. The SINGLE source of
+    truth for the phase boundary: make_optimizer (LR) and the training
+    loops (contrastive coefficient) must flip together, as the reference
+    does (nba_proj/train/training.py:453-458)."""
+    return max(int(cfg.num_epochs * cfg.phase_split), 1)
+
+
 def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     """Adam + clip + two-phase LR + accumulation, from one TrainConfig.
 
@@ -61,8 +69,8 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int):
     # training.py:453-458), so the boundary is floor(E * split) FULL
     # epochs expressed in accumulated-update units — not a fraction of
     # total updates, which lands mid-epoch when E * split is fractional.
-    phase1_epochs = max(int(cfg.num_epochs * cfg.phase_split), 1)
-    boundary = max(int(round(phase1_epochs * steps_per_epoch / accum)), 1)
+    boundary = max(int(round(
+        phase1_epoch_count(cfg) * steps_per_epoch / accum)), 1)
     sched = optax.join_schedules(
         [optax.constant_schedule(cfg.lr_phase1),
          optax.constant_schedule(cfg.lr_phase2)], [boundary])

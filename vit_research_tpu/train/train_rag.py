@@ -155,9 +155,12 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
                     "t_center": md["t_center"], "t_width": md["t_width"]}
         return retriever(z, metadata)
 
-    # Contrastive coefficient per phase, switched with the LR at the
-    # epoch boundary (reference: nba_proj/train/training.py:453-458).
-    phase1_epochs = int(t.num_epochs * t.phase_split)
+    # Contrastive coefficient per phase, switched WITH the LR at the
+    # same epoch boundary (reference: nba_proj/train/training.py:453-458;
+    # shared helper so the two can't desync).
+    from vit_research_tpu.train.optim import phase1_epoch_count
+
+    phase1_epochs = phase1_epoch_count(t)
 
     history = []
     for epoch in range(start_epoch, t.num_epochs):
