@@ -118,11 +118,13 @@ def run_decode_mode(args):
                                                 metric="l2"))
 
     # Single-core decode rate: the measured constant in
-    # "cores_needed = device_fps / decode_fps_per_core".
+    # "cores_needed = device_fps / decode_fps_per_core". PIL is the
+    # HF-parity decoder (antialiased resize; load_frames docstring) and
+    # is what the timed path below uses.
     probe = paths[:min(512, n)]
-    load_frames(probe[:32], eng.spec, num_workers=1, use_native=True)  # warm
+    load_frames(probe[:32], eng.spec, num_workers=1)  # warm
     t0 = time.time()
-    load_frames(probe, eng.spec, num_workers=1, use_native=True)
+    load_frames(probe, eng.spec, num_workers=1)
     decode_fps_core = len(probe) / (time.time() - t0)
 
     # Warm every jit in-process (cross-process cache is unreliable over
@@ -153,7 +155,7 @@ def run_decode_mode(args):
                                      num_workers=args.decode_workers)
     else:
         embs_h = eng.embed_paths(paths, num_workers=args.decode_workers,
-                                 use_native=True, prefetch=3)
+                                 prefetch=3)
     phases["decode_embed_s"] = time.time() - t0
 
     # ---- kNN (self-corpus) + confidence fusion -------------------------

@@ -323,7 +323,8 @@ def _timed_load(paths, spec, num_workers, use_native):
 
 def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
                         interpolate: bool = True,
-                        num_workers: int = 8) -> np.ndarray:
+                        num_workers: int = 8,
+                        use_native: bool = False) -> np.ndarray:
     """Temporally-strided embedding with inter-frame reuse.
 
     Consecutive broadcast frames are nearly identical, so embedding every
@@ -347,7 +348,8 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
     if key_idx[-1] != n - 1:
         key_idx.append(n - 1)
     key_embs = engine.embed_paths([paths[i] for i in key_idx],
-                                  num_workers=num_workers)
+                                  num_workers=num_workers,
+                                  use_native=use_native)
     d = key_embs.shape[1]
     out = np.empty((n, d), np.float32)
     if not interpolate:
