@@ -64,6 +64,15 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
 
     rng = np.random.default_rng(0)
     n_buffers = 8
+    import sys as _sys
+
+    def _phase(msg):
+        # stderr progress marks: a timeout-killed run must say WHICH
+        # phase (staging vs compile vs measure) ate the window.
+        print(f"[bench] {msg}", file=_sys.stderr, flush=True)
+
+    _phase(f"staging {n_buffers} device buffers "
+           f"({n_buffers * batch * 224 * 224 * 3 / 1e6:.0f} MB)")
     batches = [
         jax.device_put(
             rng.integers(0, 256, size=(batch, 224, 224, 3), dtype=np.uint8))
@@ -95,9 +104,11 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
         return {"frames_per_sec": round(batch * iters / dt, 1),
                 "compile_s": round(compile_s, 1)}
 
+    _phase("staged; compiling the B=%d forward" % batch)
     t0 = time.time()
     _ = float(fwd_checksum(eng.params, batches[0]))  # warmup / compile
     compile_s = time.time() - t0
+    _phase(f"compiled in {compile_s:.1f}s; measuring")
 
     t0 = time.time()
     sums = [fwd_checksum(eng.params, batches[i % n_buffers])
