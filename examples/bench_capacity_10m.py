@@ -65,6 +65,11 @@ def main():
 
     from vit_research_tpu.ops.topk import masked_topk_int8, quantize_int8
 
+    def _phase(msg):
+        # stderr progress marks (CLAUDE.md): a timeout-killed run must say
+        # WHICH phase (gen vs compile vs measure) ate the window.
+        print(f"[capacity] {msg}", file=sys.stderr, flush=True)
+
     n, d, ch = args.rows, args.dim, args.chunk
     ch = min(ch, n)
     n = ((n + ch - 1) // ch) * ch  # round UP to whole chunks (>= --rows)
@@ -86,6 +91,8 @@ def main():
                                    dtype=jnp.float32)
         return out, scale
 
+    _phase(f"generating {n}x{d} int8 corpus on-device "
+           f"({n * d / 1e9:.1f} GB, compile included)")
     t0 = time.time()
     corpus_q, corpus_scale = gen_corpus(jax.random.PRNGKey(0))
     _ = int(corpus_q[0, 0]) + float(corpus_scale[-1])  # real barrier
@@ -102,12 +109,15 @@ def main():
     q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
     qd = jax.device_put(q_host)
 
+    _phase(f"corpus up in {gen_s:.1f}s; compiling top-k at "
+           f"({args.queries}, {n}) k={args.k}")
     t0 = time.time()
     qq, qscale = jax.jit(quantize_int8)(qd)
     scores, idx = masked_topk_int8(qq, qscale, corpus_q, corpus_scale,
                                    None, k=args.k)
     _ = int(np.asarray(idx)[0, 0])
     compile_s = time.time() - t0
+    _phase(f"compiled in {compile_s:.1f}s; measuring {args.iters} iters")
 
     lat = []
     for _ in range(args.iters):

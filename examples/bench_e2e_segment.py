@@ -106,6 +106,11 @@ def run_decode_mode(args):
     from vit_research_tpu.segment.clips import clip_intervals_from_decoded
     from vit_research_tpu.segment.hmm import STATES, smooth_probabilities
 
+    def _phase(msg):
+        # stderr progress marks (CLAUDE.md): a timeout-killed run must say
+        # WHICH phase (warm vs decode+embed vs segment) ate the window.
+        print(f"[e2e-decode] {msg}", file=sys.stderr, flush=True)
+
     n, b = args.frames, args.batch
     assert args.mode in ("parity", "strided"), "--decode: parity/strided"
     hw = 32 if args.tiny else 224
@@ -113,6 +118,7 @@ def run_decode_mode(args):
         "/tmp", f"vrt_bench_frames_{hw}_{n}")
     paths = _ensure_frames(frames_dir, n, hw)
 
+    _phase(f"{len(paths)} JPEGs ready; building engine (B={b})")
     eng = build_engine(args.mode, b, tiny=args.tiny)
     topk_jit = jax.jit(lambda q, c: masked_topk(q, c, None, k=args.k,
                                                 metric="l2"))
@@ -121,11 +127,14 @@ def run_decode_mode(args):
     # "cores_needed = device_fps / decode_fps_per_core". PIL is the
     # HF-parity decoder (antialiased resize; load_frames docstring) and
     # is what the timed path below uses.
+    _phase("measuring single-core decode rate")
     probe = paths[:min(512, n)]
     load_frames(probe[:32], eng.spec, num_workers=1)  # warm
     t0 = time.time()
     load_frames(probe, eng.spec, num_workers=1)
     decode_fps_core = len(probe) / (time.time() - t0)
+    _phase(f"decode {decode_fps_core:.0f} f/s/core; warming jits "
+           "(embed compile included)")
 
     # Warm every jit in-process (cross-process cache is unreliable over
     # the tunnel — BENCH_NOTES 2026-08-19).
@@ -144,6 +153,7 @@ def run_decode_mode(args):
     warm_probs = np.abs(rng.normal(size=(n, 3))).astype(np.float32) + 1e-3
     smooth_probabilities(warm_probs / warm_probs.sum(1, keepdims=True))
     warm_s = round(time.time() - t0, 1)
+    _phase(f"warm in {warm_s}s; measuring ({n} frames)")
 
     phases = {}
     total0 = time.time()

@@ -131,6 +131,12 @@ def main():
         out = lax.fori_loop(0, args.layers, body, q)
         return jnp.sum(out.astype(jnp.float32))
 
+    def _phase(msg):
+        # stderr progress marks (CLAUDE.md): a timeout-killed run must say
+        # WHICH phase (staging vs compile vs measure) ate the window.
+        print(f"[int8-scores] {msg}", file=sys.stderr, flush=True)
+
+    _phase(f"staging q/k/v ({3 * bh * t * dh * 2 / 1e6:.0f} MB bf16)")
     rng = np.random.default_rng(0)
     q = jax.device_put(jnp.asarray(
         rng.normal(size=(bh, t, dh)).astype(np.float32), jnp.bfloat16))
@@ -139,9 +145,11 @@ def main():
     v = jax.device_put(jnp.asarray(
         rng.normal(size=(bh, t, dh)).astype(np.float32), jnp.bfloat16))
 
+    _phase(f"compiling {args.layers}-layer {args.variant} chain")
     t0 = time.time()
     _ = float(chain(q, k, v))  # compile + run (readback barrier)
     compile_s = time.time() - t0
+    _phase(f"compiled in {compile_s:.1f}s; measuring {args.iters} iters")
 
     t0 = time.time()
     for _ in range(args.iters):

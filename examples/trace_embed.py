@@ -121,16 +121,24 @@ def main():
 
     import jax
 
+    def _phase(msg):
+        # stderr progress marks (CLAUDE.md): a timeout-killed run must say
+        # WHICH phase (staging vs compile vs trace) ate the window.
+        print(f"[trace] {msg}", file=sys.stderr, flush=True)
+
     eng = build_engine(args.batch, tiny=args.tiny)
     hw = 32 if args.tiny else 224
     rng = np.random.default_rng(0)
+    _phase(f"engine built; staging one ({args.batch},{hw},{hw},3) buffer")
     buf = jax.device_put(rng.integers(
         0, 256, size=(args.batch, hw, hw, 3), dtype=np.uint8))
 
+    _phase("staged; compiling the forward")
     t0 = time.time()
     out = eng._jitted(eng.params, buf)
     _ = float(out[0, 0])  # compile + warm, real barrier
     compile_s = time.time() - t0
+    _phase(f"compiled in {compile_s:.1f}s; timing untraced reference")
 
     # Timed reference for the traced region (no profiler overhead).
     t0 = time.time()
@@ -138,6 +146,8 @@ def main():
         _ = float(eng._jitted(eng.params, buf)[0, 0])
     untraced_s = time.time() - t0
 
+    _phase(f"untraced {untraced_s / args.trace_batches * 1e3:.0f} ms/batch; "
+           f"tracing {args.trace_batches} batches")
     log_dir = tempfile.mkdtemp(prefix="vrt_trace_")
     jax.profiler.start_trace(log_dir)
     try:
@@ -146,6 +156,7 @@ def main():
     finally:
         jax.profiler.stop_trace()
 
+    _phase("trace captured; parsing XSpace")
     plane, by_cat, by_op, total_ps = parse_xspace(log_dir)
     n = args.trace_batches
     ms = 1e-9  # ps -> ms
