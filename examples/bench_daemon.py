@@ -138,6 +138,12 @@ def main():
              "--socket", sock, "--batch-size", str(args.batch_size),
              "--coalesce-ms", str(args.coalesce_ms)],
             env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        # If THIS process is SIGTERMed (tool timeout), the finally below
+        # never runs and the daemon is orphaned holding the TPU client.
+        # Leave a pid record so it can be reaped by PID (never by pattern
+        # — CLAUDE.md) once any in-flight device work has drained.
+        with open("/tmp/vrt_bench_daemon.pid", "w") as f:
+            f.write(str(proc.pid))
         try:
             deadline = time.monotonic() + 600
             while not os.path.exists(sock):
