@@ -69,8 +69,14 @@ def build_engine(mode: str, batch: int, tiny: bool = False):
     return _build_engine(batch, tiny=tiny, tome_r=tome_r)
 
 
-def _ensure_frames(frames_dir: str, n: int, hw: int) -> list:
-    """n JPEG frames on disk (generated once, reused across invocations)."""
+def _ensure_frames(frames_dir: str, n: int, src_hw: tuple) -> list:
+    """n JPEG frames on disk (generated once, reused across invocations).
+
+    ``src_hw`` is the STORED resolution — what the frame-dump stage wrote.
+    224x224 models a dump stage that owns the downscale (decode cost
+    scales with stored pixels, the TPU-native layout); (1080, 1920)
+    models the reference's dump (nba_proj/preprocess_frames.py:59-91
+    stores 1920x1080 and every later pass re-decodes full frames)."""
     os.makedirs(frames_dir, exist_ok=True)
     paths = [os.path.join(frames_dir, f"vid1_frame_{i}.jpg")
              for i in range(n)]
@@ -78,16 +84,18 @@ def _ensure_frames(frames_dir: str, n: int, hw: int) -> list:
     if missing:
         from PIL import Image
 
+        h, w = src_hw
         rng = np.random.default_rng(0)
         t0 = time.time()
         for p in missing:
             # Low-frequency noise: pure white noise JPEGs are
             # pathologically entropy-dense (unrealistic decode cost).
-            small = rng.integers(0, 256, size=(hw // 8, hw // 8, 3),
+            small = rng.integers(0, 256, size=(h // 8, w // 8, 3),
                                  dtype=np.uint8)
-            img = Image.fromarray(small).resize((hw, hw), Image.BILINEAR)
+            img = Image.fromarray(small).resize((w, h), Image.BILINEAR)
             img.save(p, format="JPEG", quality=90)
         print(json.dumps({"setup": "wrote_jpegs", "n": len(missing),
+                          "src_hw": list(src_hw),
                           "seconds": round(time.time() - t0, 1)}),
               file=sys.stderr)
     return paths
@@ -114,9 +122,12 @@ def run_decode_mode(args):
     n, b = args.frames, args.batch
     assert args.mode in ("parity", "strided"), "--decode: parity/strided"
     hw = 32 if args.tiny else 224
+    src_hw = ((hw, hw) if args.tiny or args.src_size == "224"
+              else (1080, 1920))
+    dir_tag = hw if src_hw == (hw, hw) else "1080p"
     frames_dir = args.frames_dir or os.path.join(
-        "/tmp", f"vrt_bench_frames_{hw}_{n}")
-    paths = _ensure_frames(frames_dir, n, hw)
+        "/tmp", f"vrt_bench_frames_{dir_tag}_{n}")
+    paths = _ensure_frames(frames_dir, n, src_hw)
 
     _phase(f"{len(paths)} JPEGs ready; building engine (B={b})")
     eng = build_engine(args.mode, b, tiny=args.tiny)
@@ -128,10 +139,12 @@ def run_decode_mode(args):
     # HF-parity decoder (antialiased resize; load_frames docstring) and
     # is what the timed path below uses.
     _phase("measuring single-core decode rate")
-    probe = paths[:min(512, n)]
-    load_frames(probe[:32], eng.spec, num_workers=1)  # warm
+    probe = paths[:min(512 if args.src_size == "224" else 128, n)]
+    load_frames(probe[:32], eng.spec, num_workers=1,
+                use_native=args.native_decode)  # warm
     t0 = time.time()
-    load_frames(probe, eng.spec, num_workers=1)
+    load_frames(probe, eng.spec, num_workers=1,
+                use_native=args.native_decode)
     decode_fps_core = len(probe) / (time.time() - t0)
     _phase(f"decode {decode_fps_core:.0f} f/s/core; warming jits "
            "(embed compile included)")
@@ -145,7 +158,8 @@ def run_decode_mode(args):
     if args.mode == "strided":
         embed_video_strided(eng, paths[: b * args.stride],
                             stride=args.stride,
-                            num_workers=args.decode_workers)
+                            num_workers=args.decode_workers,
+                            use_native=args.native_decode)
     d = eng.out_dim
     wq = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
     _, wi = topk_jit(wq, wq)
@@ -162,10 +176,12 @@ def run_decode_mode(args):
     t0 = time.time()
     if args.mode == "strided":
         embs_h = embed_video_strided(eng, paths, stride=args.stride,
-                                     num_workers=args.decode_workers)
+                                     num_workers=args.decode_workers,
+                                     use_native=args.native_decode)
     else:
         embs_h = eng.embed_paths(paths, num_workers=args.decode_workers,
-                                 prefetch=3)
+                                 prefetch=3,
+                                 use_native=args.native_decode)
     phases["decode_embed_s"] = time.time() - t0
 
     # ---- kNN (self-corpus) + confidence fusion -------------------------
@@ -199,6 +215,7 @@ def run_decode_mode(args):
     print(json.dumps({
         "metric": "e2e_embed_segment_10min_video_decode_included",
         "mode": args.mode,
+        "src_hw": list(src_hw),
         "frames": n,
         "frames_decoded": frames_decoded,
         "value": round(total, 2),
@@ -206,6 +223,7 @@ def run_decode_mode(args):
         "meets_target_5s": total < 5.0,
         "phases": {k: round(v, 2) for k, v in phases.items()},
         "decode_fps_per_core": round(decode_fps_core, 1),
+        "native_decode": args.native_decode,
         "decode_workers": args.decode_workers,
         "warm_s": warm_s,
         "clips": len(intervals),
@@ -232,6 +250,18 @@ def main():
     ap.add_argument("--frames-dir", default=None,
                     help="--decode: directory of vidN_frame JPEGs; "
                          "generated (once) if missing")
+    ap.add_argument("--native-decode", action="store_true",
+                    help="--decode: route JPEGs through the C decoder "
+                         "(native/jpeg_fast.c, DCT-scaled libjpeg — "
+                         "~5x faster per core on 1080p sources; its "
+                         "resize is not antialiased, so embeddings are "
+                         "off the exact HF-parity path)")
+    ap.add_argument("--src-size", choices=["224", "1080p"], default="224",
+                    help="--decode: STORED frame resolution. 224 = the "
+                         "dump stage owns the downscale (decode cost "
+                         "scales with stored pixels); 1080p = the "
+                         "reference's layout (1920x1080 stored, "
+                         "re-decoded full every pass)")
     ap.add_argument("--decode-workers", type=int, default=8,
                     help="--decode: decode thread pool size")
     ap.add_argument("--tiny", action="store_true",
