@@ -37,6 +37,13 @@ def main():
     _ = float(jnp.asarray(2.0) + 3.0)
     trivial_s = time.time() - t0
 
+    # Second trivial op: the first pays one-time backend init/handshake;
+    # this one is the STEADY-STATE dispatch+readback RTT — the number a
+    # long-lived bench process actually experiences per readback.
+    t0 = time.time()
+    _ = float(jnp.asarray(5.0) + 7.0)
+    trivial2_s = time.time() - t0
+
     # Never-cached shape: odd dimensions from the pid + clock.
     rng = np.random.default_rng(os.getpid() ^ int(time.time()))
     m = 128 + int(rng.integers(0, 64)) * 2 + 1  # odd, 129..255
@@ -47,10 +54,15 @@ def main():
     _ = float(jnp.sum(jax.jit(lambda a, b: jnp.tanh(a @ b))(a, b)))
     compile_s = time.time() - t0
 
+    # Init (first op) is paid once per process; what gates a bench is the
+    # steady dispatch RTT and the compile service.
     healthy = trivial_s < 10 and compile_s < 60
+    steady_ok = trivial2_s < 5 and compile_s < 60
     print(json.dumps({
         "metric": "tunnel_probe",
         "trivial_s": round(trivial_s, 1),
+        "steady_dispatch_s": round(trivial2_s, 2),
+        "steady_ok_init_slow": steady_ok and not healthy,
         "fresh_compile_s": round(compile_s, 1),
         "shape": [m, k],
         "healthy_for_benches": healthy,
