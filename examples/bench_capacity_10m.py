@@ -36,6 +36,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _window  # noqa: E402  (window-guard clock starts here)
 
 if "--tiny" in sys.argv:
     os.environ.setdefault("VRT_PLATFORM", "cpu")
@@ -91,6 +94,9 @@ def main():
                                    dtype=jnp.float32)
         return out, scale
 
+    # Backend-init barrier, then decide whether gen+compile+measure fits.
+    _ = float(jnp.asarray(1.0) + 1.0)
+    _window.checkpoint("post-init", 260.0)
     _phase(f"generating {n}x{d} int8 corpus on-device "
            f"({n * d / 1e9:.1f} GB, compile included)")
     t0 = time.time()
@@ -109,6 +115,7 @@ def main():
     q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
     qd = jax.device_put(q_host)
 
+    _window.checkpoint("post-gen", 180.0)
     _phase(f"corpus up in {gen_s:.1f}s; compiling top-k at "
            f"({args.queries}, {n}) k={args.k}")
     t0 = time.time()

@@ -47,6 +47,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _window  # noqa: E402  (window-guard clock starts here)
 
 
 def make_frames(n: int, hw: int, seed: int = 0):
@@ -160,6 +163,9 @@ def main():
             # pushed this compile past 900 s on 2026-08-19 and the old
             # tight timeout aborted the whole bench after paying for most
             # of the compile.
+            # Window guard (daemon is IDLE here — a SystemExit propagates
+            # to the finally below, which shuts it down gracefully).
+            _window.checkpoint("pre-warmup", 300.0)
             t0 = time.monotonic()
             big = frames * ((args.batch_size // len(frames)) + 1)
             resp = request(sock, {"op": "embed",
@@ -170,6 +176,8 @@ def main():
                            timeout=3600.0)
             assert resp.get("ok"), resp
             warmup_s = time.monotonic() - t0
+            # Daemon idle again (warmup replies received = device drained).
+            _window.checkpoint("post-warmup", 120.0)
 
             latencies: list[float] = []
             errors: list = []

@@ -54,6 +54,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import _window  # noqa: E402  (window-guard clock starts here)
 from _engines import build_engine as _build_engine  # noqa: E402
 from _engines import route_platform  # noqa: E402
 
@@ -131,6 +132,9 @@ def run_decode_mode(args):
 
     _phase(f"{len(paths)} JPEGs ready; building engine (B={b})")
     eng = build_engine(args.mode, b, tiny=args.tiny)
+    # Backend-init barrier, then decide whether warm+measure still fits.
+    _ = float(jnp.asarray(1.0) + 1.0)
+    _window.checkpoint("post-init", 380.0)
     topk_jit = jax.jit(lambda q, c: masked_topk(q, c, None, k=args.k,
                                                 metric="l2"))
 
@@ -167,6 +171,12 @@ def run_decode_mode(args):
     warm_probs = np.abs(rng.normal(size=(n, 3))).astype(np.float32) + 1e-3
     smooth_probabilities(warm_probs / warm_probs.sum(1, keepdims=True))
     warm_s = round(time.time() - t0, 1)
+    # The measured phase is decode-bound at worst: n frames at the
+    # just-measured single-core rate, plus segment slack.
+    frames_to_decode = (n if args.mode == "parity"
+                        else n // args.stride + 1)
+    _window.checkpoint("post-warm",
+                       frames_to_decode / max(decode_fps_core, 1.0) + 40.0)
     _phase(f"warm in {warm_s}s; measuring ({n} frames)")
 
     phases = {}

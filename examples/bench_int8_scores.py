@@ -40,6 +40,9 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import _window  # noqa: E402  (window-guard clock starts here)
 
 
 def make_attention(variant: str):
@@ -136,6 +139,9 @@ def main():
         # WHICH phase (staging vs compile vs measure) ate the window.
         print(f"[int8-scores] {msg}", file=sys.stderr, flush=True)
 
+    # Backend-init barrier, then decide whether the rest fits the window.
+    _ = float(jnp.asarray(1.0) + 1.0)
+    _window.checkpoint("post-init", 180.0)
     _phase(f"staging q/k/v ({3 * bh * t * dh * 2 / 1e6:.0f} MB bf16)")
     rng = np.random.default_rng(0)
     q = jax.device_put(jnp.asarray(

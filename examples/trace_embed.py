@@ -31,6 +31,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import _window  # noqa: E402  (window-guard clock starts here)
 from _engines import build_engine, route_platform  # noqa: E402
 
 if "--tiny" in sys.argv:
@@ -129,15 +130,22 @@ def main():
     eng = build_engine(args.batch, tiny=args.tiny)
     hw = 32 if args.tiny else 224
     rng = np.random.default_rng(0)
+    # Backend-init barrier, then decide whether the rest fits the window.
+    import jax.numpy as jnp
+    _ = float(jnp.asarray(1.0) + 1.0)
+    _window.checkpoint("post-init", 320.0)
     _phase(f"engine built; staging one ({args.batch},{hw},{hw},3) buffer")
     buf = jax.device_put(rng.integers(
         0, 256, size=(args.batch, hw, hw, 3), dtype=np.uint8))
 
+    _window.checkpoint("post-staging", 300.0,
+                       barrier=lambda: int(buf[0, 0, 0, 0]))
     _phase("staged; compiling the forward")
     t0 = time.time()
     out = eng._jitted(eng.params, buf)
     _ = float(out[0, 0])  # compile + warm, real barrier
     compile_s = time.time() - t0
+    _window.checkpoint("post-compile", 60.0)
     _phase(f"compiled in {compile_s:.1f}s; timing untraced reference")
 
     # Timed reference for the traced region (no profiler overhead).
