@@ -67,6 +67,15 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
     per-dispatch overhead that the per-batch form pays 16 times."""
     import dataclasses
 
+    # Honor VRT_PLATFORM before any backend initializes (same contract
+    # as examples/_engines.route_platform): tests exercise the window
+    # guard on CPU; without this the subprocess would silently open a
+    # TPU tunnel connection whenever the axon plugin is importable.
+    if os.environ.get("VRT_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["VRT_PLATFORM"])
+
     import jax
     import jax.numpy as jnp
 

@@ -132,3 +132,23 @@ def test_bench_rebuild_chunk_tiny():
     assert rec["frame_embeds"] == 48 * 8
     assert rec["vs_reference_s"] == 421.17
     assert rec["value"] > 0
+
+
+@pytest.mark.parametrize("script,phase", [
+    (["examples/bench_int8_scores.py", "--tiny"], "post-init"),
+    (["examples/bench_capacity_10m.py", "--tiny"], "post-init"),
+    (["bench.py"], "post-init"),
+])
+def test_window_guard_aborts_cleanly(script, phase):
+    # VRT_WINDOW_S exhausted -> exit 3 with a one-line JSON verdict
+    # naming the drained checkpoint (examples/_window.py; the guard is
+    # what keeps a tool-timeout SIGTERM from landing mid-flight on the
+    # real tunnel).
+    env = dict(os.environ, VRT_PLATFORM="cpu", VRT_WINDOW_S="0.001",
+               VRT_TINY="1")
+    out = subprocess.run([sys.executable, *script], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 3, (out.returncode, out.stderr[-2000:])
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["aborted_at"] == phase
+    assert rec["window_left_s"] < rec["estimated_need_s"]
