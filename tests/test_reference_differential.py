@@ -338,45 +338,9 @@ def test_ratt_v2_matches_reference_with_transplanted_weights():
         tf.constant(q), tf.constant(sup), tf.constant(con), tf.constant(tmp),
         training=False)
 
-    def kd(layer):  # Dense -> flax dict
-        return {"kernel": layer.kernel.numpy(), "bias": layer.bias.numpy()}
+    from _transplants import ratt_v2_flax_params
 
-    params = {
-        "query_proj": kd(ref.query_proj.layers[0]),
-        "norm": {"scale": ref.norm.gamma.numpy(),
-                 "bias": ref.norm.beta.numpy()},
-        "classifier_fc": kd(ref.classifier.layers[0]),
-        "classifier_logit": kd(ref.classifier.layers[2]),
-    }
-    for name, seq in (("support_proj", ref.support_proj),
-                      ("contrast_proj", ref.contrast_proj),
-                      ("temporal_proj", ref.temporal_proj)):
-        params[name] = {"fc1": kd(seq.layers[0]), "fc2": kd(seq.layers[1])}
-    for tok in ("cls_token", "support_token", "contrast_token",
-                "temporal_token", "type_cls", "type_support_summary",
-                "type_support", "type_contrast_summary", "type_contrast",
-                "type_temporal_summary", "type_temporal", "type_local"):
-        params[tok] = getattr(ref, tok).numpy()
-    for i, block in enumerate(ref.transformer_blocks):
-        mha = block.attn
-        params[f"transformer_block_{i}"] = {
-            "ln1": {"scale": block.norm1.gamma.numpy(),
-                    "bias": block.norm1.beta.numpy()},
-            "ln2": {"scale": block.norm2.gamma.numpy(),
-                    "bias": block.norm2.beta.numpy()},
-            "attn": {
-                "query": {"kernel": mha._query_dense.kernel.numpy(),
-                          "bias": mha._query_dense.bias.numpy()},
-                "key": {"kernel": mha._key_dense.kernel.numpy(),
-                        "bias": mha._key_dense.bias.numpy()},
-                "value": {"kernel": mha._value_dense.kernel.numpy(),
-                          "bias": mha._value_dense.bias.numpy()},
-                "out": {"kernel": mha._output_dense.kernel.numpy(),
-                        "bias": mha._output_dense.bias.numpy()},
-            },
-            "mlp": {"fc1": kd(block.ffn.layers[0]),
-                    "fc2": kd(block.ffn.layers[2])},
-        }
+    params = ratt_v2_flax_params(ref)
 
     cfg = HeadConfig(embed_dim=d, num_layers=layers_n, num_heads=heads,
                      mlp_dim=mlp, dropout_rate=0.1)  # inactive at eval

@@ -111,7 +111,11 @@ class RATTHeadV2(nn.Module):
         cls_out = x[:, idx_cls]
         h = nn.relu(nn.Dense(c.mlp_dim * 2, dtype=dtype,
                              name="classifier_fc")(cls_out))
-        h = nn.Dropout(0.2, deterministic=not train)(h)
+        # Rate from config (reference hardcodes 0.2, ratt_v2.py:678;
+        # HeadConfig.classifier_dropout defaults to 0.2 and lets
+        # deterministic differentials zero it — found by the stage-2
+        # loop differential: the hardcoded rate ignored the config).
+        h = nn.Dropout(c.classifier_dropout, deterministic=not train)(h)
         class_logit = nn.Dense(1, dtype=dtype, name="classifier_logit")(h)
 
         aux = {
