@@ -121,7 +121,12 @@ def run_decode_mode(args):
         print(f"[e2e-decode] {msg}", file=sys.stderr, flush=True)
 
     n, b = args.frames, args.batch
-    assert args.mode in ("parity", "strided"), "--decode: parity/strided"
+    assert args.mode in ("parity", "strided", "both"), \
+        "--decode: parity/strided/both"
+    # 'both' measures parity AND strided in ONE process: the engine,
+    # decode probe, and warm jits are shared, so the (degraded-window
+    # dominant) backend-init handshake is paid once.
+    modes = ["parity", "strided"] if args.mode == "both" else [args.mode]
     hw = 32 if args.tiny else 224
     src_hw = ((hw, hw) if args.tiny or args.src_size == "224"
               else (1080, 1920))
@@ -131,7 +136,7 @@ def run_decode_mode(args):
     paths = _ensure_frames(frames_dir, n, src_hw)
 
     _phase(f"{len(paths)} JPEGs ready; building engine (B={b})")
-    eng = build_engine(args.mode, b, tiny=args.tiny)
+    eng = build_engine(modes[0], b, tiny=args.tiny)
     # Backend-init barrier, then decide whether warm+measure still fits.
     _ = float(jnp.asarray(1.0) + 1.0)
     _window.checkpoint("post-init", 380.0)
@@ -159,11 +164,19 @@ def run_decode_mode(args):
     rng = np.random.default_rng(0)
     eng.embed_batch(rng.integers(0, 256, size=(b, hw, hw, 3),
                                  dtype=np.uint8))
-    if args.mode == "strided":
+    if "strided" in modes:
         embed_video_strided(eng, paths[: b * args.stride],
                             stride=args.stride,
                             num_workers=args.decode_workers,
                             use_native=args.native_decode)
+        # The interp jit is shape-specialized on (n_keys, n): warm the
+        # FULL-length signature so the measured strided pass is all
+        # decode+dispatch, no compile.
+        from vit_research_tpu.parallel.embed import strided_interp_device
+        n_keys = n // args.stride + (1 if args.stride > 1 else 0)
+        _ = float(strided_interp_device(
+            jnp.zeros((n_keys, eng.out_dim), jnp.float32),
+            args.stride, n)[-1, 0])
     d = eng.out_dim
     wq = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
     _, wi = topk_jit(wq, wq)
@@ -173,78 +186,86 @@ def run_decode_mode(args):
     warm_s = round(time.time() - t0, 1)
     # The measured phase is decode-bound at worst: n frames at the
     # just-measured single-core rate, plus segment slack.
-    frames_to_decode = (n if args.mode == "parity"
-                        else n // args.stride + 1)
+    frames_to_decode = sum(
+        (n if mode == "parity" else n // args.stride + 1) for mode in modes)
     _window.checkpoint("post-warm",
                        frames_to_decode / max(decode_fps_core, 1.0) + 40.0)
-    _phase(f"warm in {warm_s}s; measuring ({n} frames)")
+    _phase(f"warm in {warm_s}s; measuring ({n} frames x {modes})")
 
-    phases = {}
-    total0 = time.time()
-
-    # ---- decode+embed, overlapped --------------------------------------
-    t0 = time.time()
-    if args.mode == "strided":
-        embs_h = embed_video_strided(eng, paths, stride=args.stride,
-                                     num_workers=args.decode_workers,
-                                     use_native=args.native_decode)
-    else:
-        embs_h = eng.embed_paths(paths, num_workers=args.decode_workers,
-                                 prefetch=3,
-                                 use_native=args.native_decode)
-    phases["decode_embed_s"] = time.time() - t0
-
-    # ---- kNN (self-corpus) + confidence fusion -------------------------
-    t0 = time.time()
-    embs = jax.device_put(embs_h.astype(np.float32))
     corpus_labels = rng.integers(0, 3, size=n)
     corpus_probs = np.eye(3, dtype=np.float32)[corpus_labels]
-    scores, idx = topk_jit(embs, embs)
-    idx_h = np.asarray(idx)
-    valid = np.asarray(scores) > -1e29
-    nl = np.where(valid, corpus_labels[idx_h], -1)
-    fused = knn_mod.fused_confidence(nl, corpus_probs[idx_h], top_n=args.k,
-                                     confidence_threshold=0.7)
-    phases["knn_fuse_s"] = time.time() - t0
 
-    # ---- Viterbi + clips ------------------------------------------------
-    t0 = time.time()
-    path = smooth_probabilities(fused["emissions"])
-    decoded = [STATES[i] for i in path]
-    intervals = clip_intervals_from_decoded(decoded, min_len=100, pad=100)
-    phases["viterbi_clips_s"] = time.time() - t0
+    for mode in modes:
+        phases = {}
+        total0 = time.time()
 
-    total = time.time() - total0
-    if args.mode == "strided":
-        # Mirror embed_video_strided's key layout exactly: the n-1 tail
-        # key is added only when it isn't already a stride multiple.
-        keys = list(range(0, n, args.stride))
-        frames_decoded = len(keys) + (1 if keys[-1] != n - 1 else 0)
-    else:
-        frames_decoded = n
-    print(json.dumps({
-        "metric": "e2e_embed_segment_10min_video_decode_included",
-        "mode": args.mode,
-        "src_hw": list(src_hw),
-        "frames": n,
-        "frames_decoded": frames_decoded,
-        "value": round(total, 2),
-        "unit": "seconds",
-        "meets_target_5s": total < 5.0,
-        "phases": {k: round(v, 2) for k, v in phases.items()},
-        "decode_fps_per_core": round(decode_fps_core, 1),
-        "native_decode": args.native_decode,
-        "decode_workers": args.decode_workers,
-        "warm_s": warm_s,
-        "clips": len(intervals),
-        "fps_effective": round(n / total, 1),
-    }))
+        # ---- decode+embed, overlapped ----------------------------------
+        t0 = time.time()
+        if mode == "strided":
+            embs_h = embed_video_strided(eng, paths, stride=args.stride,
+                                         num_workers=args.decode_workers,
+                                         use_native=args.native_decode)
+        else:
+            embs_h = eng.embed_paths(paths,
+                                     num_workers=args.decode_workers,
+                                     prefetch=3,
+                                     use_native=args.native_decode)
+        phases["decode_embed_s"] = time.time() - t0
+
+        # ---- kNN (self-corpus) + confidence fusion ---------------------
+        t0 = time.time()
+        embs = jax.device_put(embs_h.astype(np.float32))
+        scores, idx = topk_jit(embs, embs)
+        idx_h = np.asarray(idx)
+        valid = np.asarray(scores) > -1e29
+        nl = np.where(valid, corpus_labels[idx_h], -1)
+        fused = knn_mod.fused_confidence(nl, corpus_probs[idx_h],
+                                         top_n=args.k,
+                                         confidence_threshold=0.7)
+        phases["knn_fuse_s"] = time.time() - t0
+
+        # ---- Viterbi + clips --------------------------------------------
+        t0 = time.time()
+        path = smooth_probabilities(fused["emissions"])
+        decoded = [STATES[i] for i in path]
+        intervals = clip_intervals_from_decoded(decoded, min_len=100,
+                                                pad=100)
+        phases["viterbi_clips_s"] = time.time() - t0
+
+        total = time.time() - total0
+        if mode == "strided":
+            # Mirror embed_video_strided's key layout exactly: the n-1
+            # tail key is added only when it isn't already a stride
+            # multiple.
+            keys = list(range(0, n, args.stride))
+            frames_decoded = len(keys) + (1 if keys[-1] != n - 1 else 0)
+        else:
+            frames_decoded = n
+        print(json.dumps({
+            "metric": "e2e_embed_segment_10min_video_decode_included",
+            "mode": mode,
+            "src_hw": list(src_hw),
+            "frames": n,
+            "frames_decoded": frames_decoded,
+            "value": round(total, 2),
+            "unit": "seconds",
+            "meets_target_5s": total < 5.0,
+            "phases": {k: round(v, 2) for k, v in phases.items()},
+            "decode_fps_per_core": round(decode_fps_core, 1),
+            "native_decode": args.native_decode,
+            "decode_workers": args.decode_workers,
+            "warm_s": warm_s,
+            "clips": len(intervals),
+            "fps_effective": round(n / total, 1),
+        }), flush=True)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["parity", "strided", "tome"],
-                    default="parity")
+    ap.add_argument("--mode", choices=["parity", "strided", "tome", "both"],
+                    default="parity",
+                    help="'both' (only with --decode) measures parity AND "
+                         "strided in one process (one backend-init)")
     ap.add_argument("--frames", type=int, default=18432,
                     help="video length (default ~10 min @30fps, 36 batches)")
     ap.add_argument("--batch", type=int, default=512)
@@ -278,6 +299,8 @@ def main():
                     help="tiny ViT + 32x32 frames (CPU smoke, not a bench)")
     args = ap.parse_args()
 
+    if args.mode == "both" and not args.decode:
+        ap.error("--mode both is only meaningful with --decode")
     if args.decode:
         return run_decode_mode(args)
 

@@ -27,8 +27,11 @@ Usage:
   python examples/bench_int8_scores.py --variant bf16      # baseline
   python examples/bench_int8_scores.py --variant int8-qk   # int8 QK^T only
   python examples/bench_int8_scores.py --variant int8-full # QK^T and PV
+  python examples/bench_int8_scores.py --variant all       # all three
   python examples/bench_int8_scores.py --tiny ...          # CPU smoke
-One variant per process (one jit compile per TPU tool call).
+``--variant all`` shares one process (and one backend-init handshake —
+the dominant cost when the tunnel is degraded) across the three
+compiles; per-variant invocations remain for tight tool windows.
 """
 
 import argparse
@@ -102,7 +105,10 @@ def make_attention(variant: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variant", default="bf16",
-                    choices=["bf16", "int8-qk", "int8-full"])
+                    choices=["bf16", "int8-qk", "int8-full", "all"],
+                    help="'all' measures the three variants in ONE "
+                         "process (one backend-init handshake — the "
+                         "dominant cost in degraded tunnel windows)")
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--iters", type=int, default=4,
                     help="timed fori-chain invocations")
@@ -125,14 +131,8 @@ def main():
     from jax import lax
 
     bh, t, dh = (8, 16, 8) if args.tiny else (512 * 12, 197, 64)
-    attn = make_attention(args.variant)
-
-    @jax.jit
-    def chain(q, k, v):
-        def body(_, x):
-            return attn(x, k, v)
-        out = lax.fori_loop(0, args.layers, body, q)
-        return jnp.sum(out.astype(jnp.float32))
+    variants = (["bf16", "int8-qk", "int8-full"] if args.variant == "all"
+                else [args.variant])
 
     def _phase(msg):
         # stderr progress marks (CLAUDE.md): a timeout-killed run must say
@@ -151,37 +151,48 @@ def main():
     v = jax.device_put(jnp.asarray(
         rng.normal(size=(bh, t, dh)).astype(np.float32), jnp.bfloat16))
 
-    _phase(f"compiling {args.layers}-layer {args.variant} chain")
-    t0 = time.time()
-    _ = float(chain(q, k, v))  # compile + run (readback barrier)
-    compile_s = time.time() - t0
-    _phase(f"compiled in {compile_s:.1f}s; measuring {args.iters} iters")
+    for variant in variants:
+        attn = make_attention(variant)
 
-    t0 = time.time()
-    for _ in range(args.iters):
-        _ = float(chain(q, k, v))
-    wall = time.time() - t0
-    ms_layer = wall / args.iters / args.layers * 1e3
+        @jax.jit
+        def chain(q, k, v, attn=attn):
+            def body(_, x):
+                return attn(x, k, v)
+            out = lax.fori_loop(0, args.layers, body, q)
+            return jnp.sum(out.astype(jnp.float32))
 
-    # numerics vs bf16 reference on one layer (quantization error scale);
-    # two extra full-shape compiles, so opt-in off the TPU budget path
-    rel = None
-    if args.check or args.tiny:
-        f32_attn = make_attention("bf16")
-        ref = np.asarray(jax.jit(f32_attn)(q, k, v), np.float32)
-        got = np.asarray(jax.jit(attn)(q, k, v), np.float32)
-        rel = round(float(np.abs(got - ref).max()
-                          / (np.abs(ref).max() + 1e-9)), 5)
+        _phase(f"compiling {args.layers}-layer {variant} chain")
+        t0 = time.time()
+        _ = float(chain(q, k, v))  # compile + run (readback barrier)
+        compile_s = time.time() - t0
+        _phase(f"compiled in {compile_s:.1f}s; measuring {args.iters} iters")
 
-    print(json.dumps({
-        "metric": "attention_scores_dtype",
-        "variant": args.variant,
-        "shape": [bh, t, dh],
-        "layers": args.layers,
-        "ms_per_layer": round(ms_layer, 3),
-        "compile_s": round(compile_s, 1),
-        "max_rel_err_vs_bf16": rel,
-    }))
+        t0 = time.time()
+        for _ in range(args.iters):
+            _ = float(chain(q, k, v))
+        wall = time.time() - t0
+        ms_layer = wall / args.iters / args.layers * 1e3
+
+        # numerics vs bf16 reference on one layer (quantization error
+        # scale); two extra full-shape compiles, so opt-in off the TPU
+        # budget path
+        rel = None
+        if args.check or args.tiny:
+            f32_attn = make_attention("bf16")
+            ref = np.asarray(jax.jit(f32_attn)(q, k, v), np.float32)
+            got = np.asarray(jax.jit(attn)(q, k, v), np.float32)
+            rel = round(float(np.abs(got - ref).max()
+                              / (np.abs(ref).max() + 1e-9)), 5)
+
+        print(json.dumps({
+            "metric": "attention_scores_dtype",
+            "variant": variant,
+            "shape": [bh, t, dh],
+            "layers": args.layers,
+            "ms_per_layer": round(ms_layer, 3),
+            "compile_s": round(compile_s, 1),
+            "max_rel_err_vs_bf16": rel,
+        }), flush=True)
 
 
 if __name__ == "__main__":
