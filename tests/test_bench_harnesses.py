@@ -152,3 +152,30 @@ def test_window_guard_aborts_cleanly(script, phase):
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     assert rec["aborted_at"] == phase
     assert rec["window_left_s"] < rec["estimated_need_s"]
+
+
+@pytest.mark.slow
+def test_bench_int8_scores_all_variants_one_process():
+    env = dict(os.environ, VRT_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, "examples/bench_int8_scores.py", "--tiny",
+         "--variant", "all"], cwd=REPO, env=env, capture_output=True,
+        text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    assert [r["variant"] for r in recs] == ["bf16", "int8-qk", "int8-full"]
+
+
+@pytest.mark.slow
+def test_bench_e2e_segment_decode_both_modes_one_process(tmp_path):
+    env = dict(os.environ, VRT_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, "examples/bench_e2e_segment.py", "--decode",
+         "--tiny", "--mode", "both", "--frames", "256", "--batch", "64",
+         "--frames-dir", str(tmp_path / "fr")], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    recs = [json.loads(ln) for ln in out.stdout.strip().splitlines()]
+    assert [r["mode"] for r in recs] == ["parity", "strided"]
+    assert recs[0]["frames_decoded"] == 256
+    assert recs[1]["frames_decoded"] == 65  # stride 4 keys + tail
