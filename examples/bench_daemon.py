@@ -113,11 +113,13 @@ def main():
                     help="daemon engine batch (512 == bench.py's cached "
                          "compile shape)")
     ap.add_argument("--transport", default="json",
-                    choices=["json", "binary-jpeg", "binary-raw"],
+                    choices=["json", "binary-jpeg", "binary-raw", "all"],
                     help="wire format for embed pushes: JSON+base64 "
                          "(reference protocol), binary JPEG frames, or "
                          "binary raw uint8 pixels (serve.py binary "
-                         "framing)")
+                         "framing). 'all' measures the three against ONE "
+                         "daemon (one engine compile + one backend-init "
+                         "handshake), printing one JSON line each")
     ap.add_argument("--tiny", action="store_true",
                     help="VRT_TINY daemon on CPU (smoke, not a bench)")
     args = ap.parse_args()
@@ -131,8 +133,9 @@ def main():
     from vit_research_tpu.serve import request
 
     raw, jpegs, frames = make_frames(max(args.frames_per_req * 8, 64), hw)
-    game_data = {"json": frames, "binary-jpeg": jpegs,
-                 "binary-raw": raw}[args.transport]
+    data_of = {"json": frames, "binary-jpeg": jpegs, "binary-raw": raw}
+    transports = (["json", "binary-jpeg", "binary-raw"]
+                  if args.transport == "all" else [args.transport])
 
     with tempfile.TemporaryDirectory() as td:
         sock = os.path.join(td, "vrt.sock")
@@ -177,28 +180,35 @@ def main():
             assert resp.get("ok"), resp
             warmup_s = time.monotonic() - t0
             # Daemon idle again (warmup replies received = device drained).
-            _window.checkpoint("post-warmup", 120.0)
+            _window.checkpoint("post-warmup", 120.0 * len(transports))
 
-            latencies: list[float] = []
-            errors: list = []
-            gate = threading.Event()
-            threads = [
-                threading.Thread(
-                    target=run_game,
-                    args=(sock, game_data, args.transport,
-                          args.frames_per_req, args.requests_per_game,
-                          latencies, errors, gate))
-                for _ in range(args.games)]
-            for t in threads:
-                t.start()
-            time.sleep(0.3)  # let every game connect before the clock
-            gate.set()
-            t0 = time.monotonic()
-            for t in threads:
-                t.join()
-            wall = time.monotonic() - t0
+            rows = []
+            prev = request(sock, {"op": "stats"}, timeout=60.0)
+            for transport in transports:
+                latencies: list[float] = []
+                errors: list = []
+                gate = threading.Event()
+                threads = [
+                    threading.Thread(
+                        target=run_game,
+                        args=(sock, data_of[transport], transport,
+                              args.frames_per_req, args.requests_per_game,
+                              latencies, errors, gate))
+                    for _ in range(args.games)]
+                for t in threads:
+                    t.start()
+                time.sleep(0.3)  # let every game connect before the clock
+                gate.set()
+                t0 = time.monotonic()
+                for t in threads:
+                    t.join()
+                wall = time.monotonic() - t0
 
-            stats = request(sock, {"op": "stats"}, timeout=60.0)
+                stats = request(sock, {"op": "stats"}, timeout=60.0)
+                delta = {k: (stats.get(k, 0) or 0) - (prev.get(k, 0) or 0)
+                         for k in ("device_batches", "frames_embedded")}
+                prev = stats
+                rows.append((transport, latencies, errors, wall, delta))
         finally:
             # Always try the graceful shutdown op first: on an error path
             # the daemon is most likely MID-COMPILE, and killing it then
@@ -220,29 +230,30 @@ def main():
                       "Reap it manually by pid once the tunnel recovers.",
                       file=sys.stderr)
 
-    if errors:
-        raise SystemExit(f"embed errors: {errors[:3]}")
-    lat = np.sort(np.asarray(latencies))
-    n_req = len(lat)
-    if n_req == 0:
-        raise SystemExit("no successful requests recorded")
-    print(json.dumps({
-        "metric": "daemon_embed_serving",
-        "games": args.games,
-        "transport": args.transport,
-        "coalesce_ms": args.coalesce_ms,
-        "frames_per_req": args.frames_per_req,
-        "requests": n_req,
-        "wall_s": round(wall, 2),
-        "rps": round(n_req / wall, 1),
-        "frames_per_s": round(n_req * args.frames_per_req / wall, 1),
-        "p50_ms": round(float(lat[n_req // 2]) * 1e3, 1),
-        "p99_ms": round(float(lat[min(n_req - 1, int(n_req * 0.99))]) * 1e3,
-                        1),
-        "device_batches": stats.get("device_batches"),
-        "frames_embedded": stats.get("frames_embedded"),
-        "warmup_s": round(warmup_s, 1),
-    }))
+    for transport, latencies, errors, wall, delta in rows:
+        if errors:
+            raise SystemExit(f"[{transport}] embed errors: {errors[:3]}")
+        lat = np.sort(np.asarray(latencies))
+        n_req = len(lat)
+        if n_req == 0:
+            raise SystemExit(f"[{transport}] no successful requests")
+        print(json.dumps({
+            "metric": "daemon_embed_serving",
+            "games": args.games,
+            "transport": transport,
+            "coalesce_ms": args.coalesce_ms,
+            "frames_per_req": args.frames_per_req,
+            "requests": n_req,
+            "wall_s": round(wall, 2),
+            "rps": round(n_req / wall, 1),
+            "frames_per_s": round(n_req * args.frames_per_req / wall, 1),
+            "p50_ms": round(float(lat[n_req // 2]) * 1e3, 1),
+            "p99_ms": round(
+                float(lat[min(n_req - 1, int(n_req * 0.99))]) * 1e3, 1),
+            "device_batches": delta["device_batches"],
+            "frames_embedded": delta["frames_embedded"],
+            "warmup_s": round(warmup_s, 1),
+        }), flush=True)
 
 
 if __name__ == "__main__":
