@@ -95,6 +95,10 @@ class MultiHeadSelfAttention(nn.Module):
     # Softmax compute dtype (ViTConfig.softmax_dtype): f32 is the parity
     # default; bf16 halves VPU/HBM traffic on the (B,H,T,T) scores.
     softmax_dtype: Any = jnp.float32
+    # 'bhtd' (default): transpose q/k/v to (B, H, T, dh) before the
+    # einsums; 'bthd': transpose-free einsums straight off the
+    # projection layout (ViTConfig.attn_layout) — see __call__.
+    attn_layout: str = "bhtd"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, output_scores: bool = False,
@@ -110,9 +114,21 @@ class MultiHeadSelfAttention(nn.Module):
         dense = lambda name: nn.DenseGeneral(  # noqa: E731
             (h, dh), axis=-1, dtype=self.dtype,
             dot_general=self.dot_general, name=name)
-        q = dense("query")(x).transpose(0, 2, 1, 3)  # (B, H, T, dh)
-        k = dense("key")(x).transpose(0, 2, 1, 3)
-        v = dense("value")(x).transpose(0, 2, 1, 3)
+        # attn_layout 'bthd' keeps q/k/v in projection order (B, T, H, dh)
+        # and lets the einsums carry the head batch dim from position 2 —
+        # no explicit transposes. Motivation: the 2026-08-21 device trace
+        # pinned 29.5 ms/batch (14%) of the B=512 parity schedule as pure
+        # (512,12,197,64) layout copies XLA materializes for the
+        # transpose form below (BENCH_NOTES.md trace table).
+        bthd = self.attn_layout == "bthd"
+        if bthd:
+            q = dense("query")(x)  # (B, T, H, dh)
+            k = dense("key")(x)
+            v = dense("value")(x)
+        else:
+            q = dense("query")(x).transpose(0, 2, 1, 3)  # (B, H, T, dh)
+            k = dense("key")(x).transpose(0, 2, 1, 3)
+            v = dense("value")(x).transpose(0, 2, 1, 3)
 
         scores = None
         # The Pallas kernel has no dropout support — training with
@@ -121,26 +137,29 @@ class MultiHeadSelfAttention(nn.Module):
         # internally, so a non-default softmax_dtype routes to XLA rather
         # than silently reporting f32-softmax behavior as bf16.
         needs_xla = (output_scores or log_size is not None
-                     or not self.use_pallas
+                     or not self.use_pallas or bthd
                      or self.softmax_dtype != jnp.float32
                      or (train and self.dropout_rate > 0.0))
         if needs_xla:
-            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (dh ** -0.5)
+            s = jnp.einsum("bqhd,bkhd->bhqk" if bthd else "bhqd,bhkd->bhqk",
+                           q, k) * (dh ** -0.5)
             if log_size is not None:
                 s = s + log_size[:, None, None, :].astype(s.dtype)
             probs = jax.nn.softmax(s.astype(self.softmax_dtype), axis=-1)
             if output_scores:
                 scores = probs.astype(jnp.float32)
             probs = nn.Dropout(self.dropout_rate, deterministic=not train)(probs)
-            o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
+            o = jnp.einsum("bhqk,bkhd->bqhd" if bthd else "bhqk,bhkd->bhqd",
+                           probs.astype(q.dtype), v)
         else:
             o = attn_ops.multi_head_attention(
                 q, k, v, use_pallas=True, interpret=self.interpret_pallas)
-        o = o.transpose(0, 2, 1, 3)  # (B, T, H, dh)
+        if not bthd:
+            o = o.transpose(0, 2, 1, 3)  # (B, T, H, dh)
         out = nn.DenseGeneral(d, axis=(-2, -1), dtype=self.dtype,
                               dot_general=self.dot_general, name="out")(o)
         if output_metric:
-            return out, scores, k.mean(axis=1)
+            return out, scores, k.mean(axis=2 if bthd else 1)
         return out, scores
 
 
@@ -159,6 +178,7 @@ class EncoderBlock(nn.Module):
     interpret_pallas: bool = False
     dot_general: Any = None  # see MlpBlock
     softmax_dtype: Any = jnp.float32  # see MultiHeadSelfAttention
+    attn_layout: str = "bhtd"  # see MultiHeadSelfAttention
 
     @nn.compact
     def __call__(self, x, train: bool = False, output_scores: bool = False):
@@ -172,6 +192,7 @@ class EncoderBlock(nn.Module):
             interpret_pallas=self.interpret_pallas,
             dot_general=self.dot_general,
             softmax_dtype=self.softmax_dtype,
+            attn_layout=self.attn_layout,
             name="attn",
         )(y, train=train, output_scores=output_scores)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
@@ -290,6 +311,7 @@ class VisionTransformer(nn.Module):
                     use_pallas=c.use_flash_attention,
                     interpret_pallas=self.interpret_pallas,
                     dot_general=qdg, softmax_dtype=sm_dtype,
+                    attn_layout=c.attn_layout,
                     name=f"block_{i}")
                 for i in range(c.num_layers)
             ]

@@ -102,6 +102,13 @@ class ViTConfig(_Serializable):
     # ~8 mantissa bits in the normalizer — a measured-accuracy speed
     # knob, NOT a parity setting.
     softmax_dtype: str = "float32"
+    # Attention einsum layout: 'bhtd' (default) transposes q/k/v to
+    # (B, H, T, dh) first; 'bthd' runs transpose-free einsums straight
+    # off the (B, T, H, dh) projection output. The 2026-08-21 device
+    # trace showed the transpose form costs 29.5 ms/batch (14%) of the
+    # B=512 parity schedule in pure layout copies (BENCH_NOTES.md);
+    # numerically identical either way (same contractions).
+    attn_layout: str = "bhtd"
     output_attention_scores: bool = False
     # Gradient rematerialization: recompute each encoder block's
     # activations in the backward pass instead of storing them — trades
