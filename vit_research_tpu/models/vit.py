@@ -116,10 +116,10 @@ class MultiHeadSelfAttention(nn.Module):
             dot_general=self.dot_general, name=name)
         # attn_layout 'bthd' keeps q/k/v in projection order (B, T, H, dh)
         # and lets the einsums carry the head batch dim from position 2 —
-        # no explicit transposes. Motivation: the 2026-08-21 device trace
-        # pinned 29.5 ms/batch (14%) of the B=512 parity schedule as pure
-        # (512,12,197,64) layout copies XLA materializes for the
-        # transpose form below (BENCH_NOTES.md trace table).
+        # no explicit transposes. The 2026-08-21 device trace pinned
+        # 29.5 ms/batch of the B=512 schedule as layout copies around the
+        # transpose form; measured on-chip the two forms TIE (XLA
+        # re-inserts the copies for its dot layouts — BENCH_NOTES.md).
         bthd = self.attn_layout == "bthd"
         if bthd:
             q = dense("query")(x)  # (B, T, H, dh)

@@ -104,10 +104,12 @@ class ViTConfig(_Serializable):
     softmax_dtype: str = "float32"
     # Attention einsum layout: 'bhtd' (default) transposes q/k/v to
     # (B, H, T, dh) first; 'bthd' runs transpose-free einsums straight
-    # off the (B, T, H, dh) projection output. The 2026-08-21 device
-    # trace showed the transpose form costs 29.5 ms/batch (14%) of the
-    # B=512 parity schedule in pure layout copies (BENCH_NOTES.md);
-    # numerically identical either way (same contractions).
+    # off the (B, T, H, dh) projection output. Numerically identical
+    # (same contractions; tests/test_attn_layout.py). MEASURED A TIE on
+    # chip (2,358 vs 2,353 f/s, 2026-08-21): the 29.5 ms/batch of layout
+    # copies the device trace attributed to the transpose form are XLA's
+    # layout assignment, re-inserted either way (BENCH_NOTES.md) — kept
+    # as the documented measurement, not a speed knob.
     attn_layout: str = "bhtd"
     output_attention_scores: bool = False
     # Gradient rematerialization: recompute each encoder block's
