@@ -21,35 +21,16 @@ steady-state batches after compile+warmup.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-_T0 = time.time()
-
-
-def _window_checkpoint(phase: str, need_s: float, barrier=None) -> None:
-    """Clean self-abort when the remaining tool window can't fit the next
-    phase (VRT_WINDOW_S = wall budget from process start; unset = inert).
-
-    The agent tool SIGTERMs at its timeout and a SIGTERM with device work
-    in flight wedges the tunnel (CLAUDE.md); the dominant variance is the
-    one-time backend-init handshake, so the bench decides AT DRAINED
-    PHASE BOUNDARIES whether the rest still fits, and exits 3 cleanly if
-    not. ``barrier`` (called only when the guard is armed) must drain
-    in-flight device work — exiting mid-transfer is exactly the wedge
-    this guard avoids."""
-    budget = float(os.environ.get("VRT_WINDOW_S", "inf"))
-    if budget == float("inf"):
-        return
-    if barrier is not None:
-        barrier()
-    remaining = budget - (time.time() - _T0)
-    if remaining < need_s:
-        print(json.dumps({"aborted_at": phase,
-                          "window_left_s": round(remaining, 1),
-                          "estimated_need_s": need_s}), flush=True)
-        raise SystemExit(3)
+# Tool-window guard (VRT_WINDOW_S; unset = inert): shared with the
+# examples/ harnesses so the abort protocol can't drift.
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "examples"))
+import _window  # noqa: E402
 
 
 def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
@@ -112,7 +93,7 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
     t0 = time.time()
     _ = float(jnp.asarray(1.0) + 1.0)
     _phase(f"backend init {time.time() - t0:.1f}s")
-    _window_checkpoint("post-init", 300.0)
+    _window.checkpoint("post-init", 300.0)
 
     _phase(f"staging {n_buffers} device buffers "
            f"({n_buffers * batch * 224 * 224 * 3 / 1e6:.0f} MB)")
@@ -147,14 +128,14 @@ def measure_embed_throughput(tome_r: int = 0, batch: int = 512,
         return {"frames_per_sec": round(batch * iters / dt, 1),
                 "compile_s": round(compile_s, 1)}
 
-    _window_checkpoint("post-staging", 240.0,
+    _window.checkpoint("post-staging", 240.0,
                        barrier=lambda: int(batches[-1][0, 0, 0, 0]))
     _phase("staged; compiling the B=%d forward" % batch)
     t0 = time.time()
     _ = float(fwd_checksum(eng.params, batches[0]))  # warmup / compile
     compile_s = time.time() - t0
     _phase(f"compiled in {compile_s:.1f}s; measuring")
-    _window_checkpoint("post-compile", 30.0)
+    _window.checkpoint("post-compile", 30.0)
 
     t0 = time.time()
     sums = [fwd_checksum(eng.params, batches[i % n_buffers])

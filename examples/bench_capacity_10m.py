@@ -115,7 +115,8 @@ def main():
     q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
     qd = jax.device_put(q_host)
 
-    _window.checkpoint("post-gen", 180.0)
+    _window.checkpoint("post-gen", 180.0,
+                       barrier=lambda: float(qd[0, 0]))
     _phase(f"corpus up in {gen_s:.1f}s; compiling top-k at "
            f"({args.queries}, {n}) k={args.k}")
     t0 = time.time()

@@ -182,7 +182,6 @@ def main():
             # Daemon idle again (warmup replies received = device drained).
             _window.checkpoint("post-warmup", 120.0 * len(transports))
 
-            rows = []
             prev = request(sock, {"op": "stats"}, timeout=60.0)
             for transport in transports:
                 latencies: list[float] = []
@@ -208,7 +207,35 @@ def main():
                 delta = {k: (stats.get(k, 0) or 0) - (prev.get(k, 0) or 0)
                          for k in ("device_batches", "frames_embedded")}
                 prev = stats
-                rows.append((transport, latencies, errors, wall, delta))
+                # Report (and fail) PER TRANSPORT: an error in one must
+                # not silently burn the window on the rest, and rows
+                # already measured must not be lost to a later failure.
+                if errors:
+                    raise SystemExit(
+                        f"[{transport}] embed errors: {errors[:3]}")
+                lat = np.sort(np.asarray(latencies))
+                n_req = len(lat)
+                if n_req == 0:
+                    raise SystemExit(f"[{transport}] no successful requests")
+                print(json.dumps({
+                    "metric": "daemon_embed_serving",
+                    "games": args.games,
+                    "transport": transport,
+                    "coalesce_ms": args.coalesce_ms,
+                    "frames_per_req": args.frames_per_req,
+                    "requests": n_req,
+                    "wall_s": round(wall, 2),
+                    "rps": round(n_req / wall, 1),
+                    "frames_per_s": round(
+                        n_req * args.frames_per_req / wall, 1),
+                    "p50_ms": round(float(lat[n_req // 2]) * 1e3, 1),
+                    "p99_ms": round(
+                        float(lat[min(n_req - 1, int(n_req * 0.99))]) * 1e3,
+                        1),
+                    "device_batches": delta["device_batches"],
+                    "frames_embedded": delta["frames_embedded"],
+                    "warmup_s": round(warmup_s, 1),
+                }), flush=True)
         finally:
             # Always try the graceful shutdown op first: on an error path
             # the daemon is most likely MID-COMPILE, and killing it then
@@ -221,6 +248,10 @@ def main():
                     pass
             try:
                 proc.wait(timeout=1800)
+                try:  # daemon reaped — a stale pid record would point
+                    os.remove("/tmp/vrt_bench_daemon.pid")  # at PID reuse
+                except OSError:
+                    pass
             except subprocess.TimeoutExpired:
                 # 30 min without exiting after a shutdown op means the
                 # daemon is stuck inside a device call; killing it now
@@ -229,32 +260,6 @@ def main():
                       "NOT killing (mid-compile kill wedges the tunnel). "
                       "Reap it manually by pid once the tunnel recovers.",
                       file=sys.stderr)
-
-    for transport, latencies, errors, wall, delta in rows:
-        if errors:
-            raise SystemExit(f"[{transport}] embed errors: {errors[:3]}")
-        lat = np.sort(np.asarray(latencies))
-        n_req = len(lat)
-        if n_req == 0:
-            raise SystemExit(f"[{transport}] no successful requests")
-        print(json.dumps({
-            "metric": "daemon_embed_serving",
-            "games": args.games,
-            "transport": transport,
-            "coalesce_ms": args.coalesce_ms,
-            "frames_per_req": args.frames_per_req,
-            "requests": n_req,
-            "wall_s": round(wall, 2),
-            "rps": round(n_req / wall, 1),
-            "frames_per_s": round(n_req * args.frames_per_req / wall, 1),
-            "p50_ms": round(float(lat[n_req // 2]) * 1e3, 1),
-            "p99_ms": round(
-                float(lat[min(n_req - 1, int(n_req * 0.99))]) * 1e3, 1),
-            "device_batches": delta["device_batches"],
-            "frames_embedded": delta["frames_embedded"],
-            "warmup_s": round(warmup_s, 1),
-        }), flush=True)
-
 
 if __name__ == "__main__":
     main()

@@ -165,18 +165,12 @@ def run_decode_mode(args):
     eng.embed_batch(rng.integers(0, 256, size=(b, hw, hw, 3),
                                  dtype=np.uint8))
     if "strided" in modes:
+        # (embed_video_strided interpolates on HOST numpy — no extra
+        # device jit to warm beyond the embed path exercised here.)
         embed_video_strided(eng, paths[: b * args.stride],
                             stride=args.stride,
                             num_workers=args.decode_workers,
                             use_native=args.native_decode)
-        # The interp jit is shape-specialized on (n_keys, n): warm the
-        # FULL-length signature so the measured strided pass is all
-        # decode+dispatch, no compile.
-        from vit_research_tpu.parallel.embed import strided_interp_device
-        n_keys = n // args.stride + (1 if args.stride > 1 else 0)
-        _ = float(strided_interp_device(
-            jnp.zeros((n_keys, eng.out_dim), jnp.float32),
-            args.stride, n)[-1, 0])
     d = eng.out_dim
     wq = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
     _, wi = topk_jit(wq, wq)

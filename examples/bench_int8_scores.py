@@ -139,9 +139,10 @@ def main():
         # WHICH phase (staging vs compile vs measure) ate the window.
         print(f"[int8-scores] {msg}", file=sys.stderr, flush=True)
 
-    # Backend-init barrier, then decide whether the rest fits the window.
+    # Backend-init barrier, then decide whether the rest fits the window
+    # (budget scales with variant count: one full-shape compile each).
     _ = float(jnp.asarray(1.0) + 1.0)
-    _window.checkpoint("post-init", 180.0)
+    _window.checkpoint("post-init", 180.0 * len(variants))
     _phase(f"staging q/k/v ({3 * bh * t * dh * 2 / 1e6:.0f} MB bf16)")
     rng = np.random.default_rng(0)
     q = jax.device_put(jnp.asarray(
@@ -151,7 +152,12 @@ def main():
     v = jax.device_put(jnp.asarray(
         rng.normal(size=(bh, t, dh)).astype(np.float32), jnp.bfloat16))
 
-    for variant in variants:
+    for i, variant in enumerate(variants):
+        # Drained here (prior variant ended on float() readbacks; first
+        # iteration follows the staging device_puts — barrier them).
+        _window.checkpoint(f"pre-{variant}", 170.0 * (len(variants) - i),
+                           barrier=(lambda: float(q[0, 0, 0]))
+                           if i == 0 else None)
         attn = make_attention(variant)
 
         @jax.jit

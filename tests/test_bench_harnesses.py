@@ -143,9 +143,10 @@ def test_window_guard_aborts_cleanly(script, phase):
     # VRT_WINDOW_S exhausted -> exit 3 with a one-line JSON verdict
     # naming the drained checkpoint (examples/_window.py; the guard is
     # what keeps a tool-timeout SIGTERM from landing mid-flight on the
-    # real tunnel).
-    env = dict(os.environ, VRT_PLATFORM="cpu", VRT_WINDOW_S="0.001",
-               VRT_TINY="1")
+    # real tunnel). The bench.py case pays a full-size CPU model build
+    # before its post-init barrier (bench.py has no tiny knob) — ~15 s,
+    # accepted: it guards THE script the driver runs.
+    env = dict(os.environ, VRT_PLATFORM="cpu", VRT_WINDOW_S="0.001")
     out = subprocess.run([sys.executable, *script], cwd=REPO, env=env,
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 3, (out.returncode, out.stderr[-2000:])

@@ -189,8 +189,7 @@ def _run_reference_loop(ref, tf, train_chunks, val_chunks, col, emb_of,
     return init, pos_weight, history
 
 
-def test_stage2_loop_trajectory_matches_reference(ref_stage2, heavy_deps,
-                                                  capsys):
+def test_stage2_loop_trajectory_matches_reference(ref_stage2, heavy_deps):
     tf = heavy_deps
 
     from vit_research_tpu.train.train_stage2 import train_stage2
@@ -204,8 +203,6 @@ def test_stage2_loop_trajectory_matches_reference(ref_stage2, heavy_deps,
     ref_cache, our_cache = _build_caches(ref_stage2, train_chunks, col,
                                          emb_of)
 
-    with capsys.disabled():  # the ref loop prints heavily; keep it quiet
-        pass
     init, ref_pw, ref_hist = _run_reference_loop(
         ref_stage2, tf, train_chunks, val_chunks, col, emb_of, ref_cache)
 

@@ -120,6 +120,10 @@ class MultiHeadSelfAttention(nn.Module):
         # 29.5 ms/batch of the B=512 schedule as layout copies around the
         # transpose form; measured on-chip the two forms TIE (XLA
         # re-inserts the copies for its dot layouts — BENCH_NOTES.md).
+        if self.attn_layout not in ("bhtd", "bthd"):
+            raise ValueError(
+                f"attn_layout must be 'bhtd' or 'bthd', got "
+                f"{self.attn_layout!r}")
         bthd = self.attn_layout == "bthd"
         if bthd:
             q = dense("query")(x)  # (B, T, H, dh)
