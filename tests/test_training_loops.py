@@ -127,13 +127,28 @@ def test_train_ratt_loop(world):
     cfg = ExperimentConfig(name="ratt", head=HEAD, train=TRAIN,
                            retrieval=RetrievalConfig(top_k=4))
     retriever = RattChunkRetriever(col, top_k=4)
+    rebuilds = []
+
+    def rebuild_fn(project_fn):
+        # Live 2304->768 chunk projection (reference: db_rebuild_ratt
+        # invoked from the loop, training_ratt.py:560-561).
+        rebuilds.append(project_fn(np.ones((1, 2, D), np.float32)))
+
     params, history = train_ratt(train, val, frame_embs_fn, retriever,
-                                 cfg=cfg, attention_losses=True)
+                                 cfg=cfg, attention_losses=True,
+                                 rebuild_fn=rebuild_fn)
     h = history[-1]
     assert np.isfinite(h["train_loss"]) and np.isfinite(h["val_loss"])
     assert "loss_ibn" in h and "loss_attn_entropy" in h
     # learning: loss drops across epochs
     assert history[-1]["train_loss"] < history[0]["train_loss"] + 0.5
+    # rebuild cadence (rebuild_every=1 in TRAIN): once per epoch, live
+    # projection output shaped (1, D), and the projection CHANGED
+    # between rebuilds (it is the live training projection, not a
+    # snapshot).
+    assert len(rebuilds) == 2
+    assert rebuilds[0].shape == (1, D)
+    assert not np.allclose(rebuilds[0], rebuilds[1])
 
 
 def test_train_chunk_cached_loop(world):

@@ -97,6 +97,7 @@ def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
                cfg: ExperimentConfig | None = None,
                attention_losses: bool = False,
                contrastive_weight: float = 0.0,
+               rebuild_fn=None, rebuild_scheduler=None,
                ckpt_manager=None, resume: bool = False,
                seed: int = 1234, verbose: bool = False):
     """Args:
@@ -106,6 +107,14 @@ def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
       contrastive_weight: weight on the max-pull retrieval contrastive
         term; 0.0 matches the reference, which hardcodes its
         coefficient to zero (reference: nba_proj/train/training_ratt.py:240).
+      rebuild_fn / rebuild_scheduler: chunk-DB rebuild feedback loop,
+        every ``rebuild_every`` epochs after validation (reference:
+        nba_proj/train/training_ratt.py:560-561 calls
+        db_rebuild_ratt.rebuild_db every REBUILD_EVERY epochs). Same
+        contract as train_rag: ``rebuild_fn(project_fn)`` synchronous,
+        or a train.async_rebuild.RebuildScheduler kicked with the LIVE
+        2304->768 chunk projection (``project_fn(frame_embs) -> (B,D)``)
+        and swapped at epoch boundaries.
     """
     cfg = cfg or ExperimentConfig(name="ratt")
     t = cfg.train
@@ -180,4 +189,21 @@ def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
                                       "opt_state": state.opt_state,
                                       "step": state.step}, metrics=metrics)
             ckpt_manager.maybe_update_best(epoch, metrics.get("val_acc", 0))
+        # Chunk-DB rebuild feedback (reference: training_ratt.py:560-561
+        # rebuilds after validation every REBUILD_EVERY epochs; 1-indexed
+        # epoch % R == 0 there == (epoch + 1) % R == 0 here).
+        if rebuild_scheduler is not None:
+            swapped = rebuild_scheduler.maybe_swap()
+            if swapped and verbose:
+                print(f"epoch {epoch}: swapped in async DB rebuild")
+            if t.rebuild_every and (epoch + 1) % t.rebuild_every == 0:
+                rebuild_scheduler.kick(z_np)
+        elif rebuild_fn is not None and t.rebuild_every and \
+                (epoch + 1) % t.rebuild_every == 0:
+            rebuild_fn(z_np)
+    if rebuild_scheduler is not None:
+        rebuild_scheduler.wait()
+        # Training is done — a failed final rebuild must not raise past
+        # the trained params.
+        rebuild_scheduler.maybe_swap(raise_on_error=False)
     return state.params, history
