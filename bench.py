@@ -158,7 +158,8 @@ def vit_flops_per_frame(t: int = 197, d: int = 768, layers: int = 12,
 
 
 def main() -> None:
-    fps = measure_embed_throughput()["frames_per_sec"]
+    r = measure_embed_throughput()
+    fps = r["frames_per_sec"]
     # Speed-of-light context so rounds stop re-deriving it (BENCH_NOTES.md
     # has the full derivation): v5e peak is 197 TFLOP/s bf16, so the
     # matmul-only ceiling for the 35.2 GFLOP/frame parity model is
@@ -179,6 +180,9 @@ def main() -> None:
         "achieved_tflops": round(achieved, 1),
         "mfu": round(achieved / peak_tflops, 3),
         "sol_fps_matmul_only": round(peak_tflops * 1e12 / flops),
+        # Diagnosability for driver logs: a healthy-window compile is
+        # ~20-90 s; hundreds of seconds = degraded compile service.
+        "compile_s": r["compile_s"],
     }))
 
 
