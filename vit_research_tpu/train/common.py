@@ -139,3 +139,35 @@ class MetricAverager:
 
     def reset(self):
         self.sums, self.counts = {}, {}
+
+
+def maybe_rebuild_db(epoch, train_cfg, project_fn, *, rebuild_fn=None,
+                     rebuild_scheduler=None, verbose=False) -> None:
+    """Epoch-end DB-rebuild cadence, shared by the retrieval trainers
+    (reference: nba_proj/train/training.py:479-480 and
+    training_ratt.py:560-561 — 1-indexed ``epoch % R == 0`` there ==
+    ``(epoch + 1) % R == 0`` here).
+
+    ``project_fn`` is the trainer's LIVE projection (its signature is
+    trainer-specific: train_rag projects (B, d) chunk embeddings,
+    train_ratt projects (B, T, d) frame embeddings — a scheduler
+    rebuild_fn is written against its own trainer's contract).
+    """
+    if rebuild_scheduler is not None:
+        swapped = rebuild_scheduler.maybe_swap()
+        if swapped and verbose:
+            print(f"epoch {epoch}: swapped in async DB rebuild")
+        if train_cfg.rebuild_every and \
+                (epoch + 1) % train_cfg.rebuild_every == 0:
+            rebuild_scheduler.kick(project_fn)
+    elif rebuild_fn is not None and train_cfg.rebuild_every and \
+            (epoch + 1) % train_cfg.rebuild_every == 0:
+        rebuild_fn(project_fn)
+
+
+def finish_rebuilds(rebuild_scheduler) -> None:
+    """Drain the async rebuild scheduler at end of training. A failed
+    final rebuild must not raise past the trained params."""
+    if rebuild_scheduler is not None:
+        rebuild_scheduler.wait()
+        rebuild_scheduler.maybe_swap(raise_on_error=False)

@@ -32,6 +32,8 @@ from vit_research_tpu.models.heads import ProjectionHead, RAGHead
 from vit_research_tpu.train import losses
 from vit_research_tpu.train.common import (
     maybe_resume,
+    maybe_rebuild_db,
+    finish_rebuilds,
     MetricAverager,
     TrainState,
     batch_iterator,
@@ -208,22 +210,12 @@ def train_rag(train_chunks, val_chunks, chunk_embed_fn, retriever, *,
                                       "step": state.step},
                               metrics=metrics)
             ckpt_manager.maybe_update_best(epoch, metrics.get("val_acc", 0))
-        if rebuild_scheduler is not None:
-            swapped = rebuild_scheduler.maybe_swap()
-            if swapped and verbose:
-                print(f"epoch {epoch}: swapped in async DB rebuild")
-            if t.rebuild_every and (epoch + 1) % t.rebuild_every == 0:
-                # Forward the LIVE projection: the scheduler's rebuild_fn
-                # signature is (shadow, project_fn).
-                rebuild_scheduler.kick(project_np)
-        elif rebuild_fn is not None and t.rebuild_every and \
-                (epoch + 1) % t.rebuild_every == 0:
-            rebuild_fn(project_np)
-    if rebuild_scheduler is not None:
-        rebuild_scheduler.wait()
-        # Training is done — a failed final rebuild must not raise past
-        # the trained params.
-        rebuild_scheduler.maybe_swap(raise_on_error=False)
+        # Forward the LIVE projection: the scheduler's rebuild_fn
+        # signature is (shadow, project_fn).
+        maybe_rebuild_db(epoch, t, project_np, rebuild_fn=rebuild_fn,
+                         rebuild_scheduler=rebuild_scheduler,
+                         verbose=verbose)
+    finish_rebuilds(rebuild_scheduler)
     return state.params, history
 
 

@@ -29,6 +29,8 @@ from vit_research_tpu.models.heads import (
 from vit_research_tpu.train import losses
 from vit_research_tpu.train.common import (
     maybe_resume,
+    maybe_rebuild_db,
+    finish_rebuilds,
     MetricAverager,
     TrainState,
     batch_iterator,
@@ -190,20 +192,9 @@ def train_ratt(train_chunks, val_chunks, frame_embs_fn, retriever, *,
                                       "step": state.step}, metrics=metrics)
             ckpt_manager.maybe_update_best(epoch, metrics.get("val_acc", 0))
         # Chunk-DB rebuild feedback (reference: training_ratt.py:560-561
-        # rebuilds after validation every REBUILD_EVERY epochs; 1-indexed
-        # epoch % R == 0 there == (epoch + 1) % R == 0 here).
-        if rebuild_scheduler is not None:
-            swapped = rebuild_scheduler.maybe_swap()
-            if swapped and verbose:
-                print(f"epoch {epoch}: swapped in async DB rebuild")
-            if t.rebuild_every and (epoch + 1) % t.rebuild_every == 0:
-                rebuild_scheduler.kick(z_np)
-        elif rebuild_fn is not None and t.rebuild_every and \
-                (epoch + 1) % t.rebuild_every == 0:
-            rebuild_fn(z_np)
-    if rebuild_scheduler is not None:
-        rebuild_scheduler.wait()
-        # Training is done — a failed final rebuild must not raise past
-        # the trained params.
-        rebuild_scheduler.maybe_swap(raise_on_error=False)
+        # rebuilds after validation every REBUILD_EVERY epochs).
+        maybe_rebuild_db(epoch, t, z_np, rebuild_fn=rebuild_fn,
+                         rebuild_scheduler=rebuild_scheduler,
+                         verbose=verbose)
+    finish_rebuilds(rebuild_scheduler)
     return state.params, history
