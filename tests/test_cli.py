@@ -106,6 +106,18 @@ def test_segment_build_store_train_write(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "best val acc" in out
 
+    # train-ratt (live chunk retrieval + per-epoch sync rebuild of the
+    # chunk rows with the live 2304->768 projection)
+    cli.main(["train-ratt", "--store", store_dir, "--db", db_dir,
+              "--ckpt", ckpt_dir, "--collection", "ratt_db",
+              "--train-vids", "1", "--val-vids", "1",
+              "--epochs", "1", "--batch-size", "4", "--top-k", "3",
+              "--attention-losses", "--rebuild", "sync",
+              "--rebuild-every", "1"])
+    out = capsys.readouterr().out
+    assert "best val acc" in out
+    assert "rebuilt" in out and "live" in out
+
     # train-cached (builds + saves the bin cache, then trains)
     cache_path = str(tmp_path / "bin_cache.pkl")
     cli.main(["train-cached", "--store", store_dir, "--db", db_dir,

@@ -112,6 +112,93 @@ def cmd_train_rag(args):
     print(f"run {run_id}: best val acc {best:.4f}")
 
 
+def cmd_train_ratt(args):
+    """Live-retrieval RATT training: 2304-d chunk stats -> projection ->
+    RattChunkRetriever -> RATTHead (reference: nba_proj/train/
+    training_ratt.py as a script; ``--attention-losses`` is the
+    training_chunk_works.py line, :100-135)."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from vit_research_tpu.db.frame_store import FrameStore, load_chunk_index
+    from vit_research_tpu.retrieval.retrievers import RattChunkRetriever
+    from vit_research_tpu.store.vector_store import PersistentClient
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.train.train_ratt import train_ratt
+    from vit_research_tpu.utils.configs import preset, save_config
+
+    store = FrameStore(args.store).open()
+    idx = load_chunk_index(args.store)
+    chunks = common._chunks_from_index(store, idx)
+    train, val = common._split_by_vids(chunks, args.train_vids,
+                                       args.val_vids)
+
+    cfg = preset("chunks" if args.attention_losses else "ratt")
+    cfg = replace(
+        cfg,
+        head=replace(cfg.head, embed_dim=store.dim),
+        retrieval=replace(cfg.retrieval, top_k=args.top_k,
+                          collection=args.collection),
+        train=replace(cfg.train, num_epochs=args.epochs,
+                      batch_size=args.batch_size,
+                      rebuild_every=args.rebuild_every),
+        train_vids=tuple(args.train_vids), test_vids=tuple(args.val_vids))
+    r = cfg.retrieval
+
+    col = PersistentClient(args.db, autoflush=False).get_or_create_collection(
+        args.collection)
+    retriever = RattChunkRetriever(col, top_k=r.top_k, search_k=r.search_k)
+
+    def frame_embs_fn(batch):
+        return store.gather_paths([ch["frames"] for ch in batch])
+
+    rebuild_fn = None
+    if args.rebuild == "sync":
+        all_ids = [f"chunk_{i}" for i in range(len(chunks))]
+
+        def rebuild_fn(project_fn):
+            # Re-project EVERY chunk row with the live 2304->768
+            # projection, preserving stored metadata (ids follow
+            # write_ratt_chunk_db's positional scheme, db/builders.py).
+            bs = 256
+            for s in range(0, len(chunks), bs):
+                batch = chunks[s:s + bs]
+                ids = all_ids[s:s + bs]
+                # np.array (copy): asarray of a jax output is read-only.
+                z = np.array(project_fn(frame_embs_fn(batch)), np.float32)
+                z /= (np.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
+                # Preserve stored metadata (incl. class_logit from the
+                # original write) where the row exists; synthesize for
+                # rows the collection doesn't know yet.
+                got = col.get(ids=ids)
+                by_id = dict(zip(got.get("ids", []),
+                                 got.get("metadatas") or []))
+                metas = [by_id.get(i) or {
+                    "vid_num": c["vid"], "clip_num": c["clip"],
+                    "side": c["side"], "label": int(c["label"]),
+                    "t_center": c["t_center"], "t_width": c["t_width"],
+                    "start_idx": c["start_idx"], "end_idx": c["end_idx"],
+                } for i, c in zip(ids, batch)]
+                col.upsert(ids, z, metas)
+            print(f"rebuilt {len(chunks)} chunk rows with the live "
+                  "projection")
+
+    run_id = args.run_id or cfg.run_id()
+    os.makedirs(args.ckpt, exist_ok=True)
+    mngr = CheckpointManager(args.ckpt, run_id)
+    save_config(cfg, os.path.join(mngr.dir, "experiment.json"))
+    params, history = train_ratt(
+        train, val, frame_embs_fn, retriever, cfg=cfg,
+        attention_losses=args.attention_losses,
+        contrastive_weight=args.contrastive_weight,
+        rebuild_fn=rebuild_fn, ckpt_manager=mngr, resume=args.resume,
+        verbose=True)
+    mngr.wait()
+    best = max((h.get("val_acc", 0.0) for h in history), default=0.0)
+    print(f"run {run_id}: best val acc {best:.4f}")
+
+
 def cmd_train_cached(args):
     """RATT over the label-conditioned bin cache
     (reference: nba_proj/train/training_chunk_cached.py:815-1636)."""
@@ -293,6 +380,32 @@ def register(sub):
     tr.add_argument("--chunk-size", type=int, default=8)
     tr.add_argument("--chunk-stride", type=int, default=2)
     tr.set_defaults(fn=cmd_train_rag)
+
+    tt = sub.add_parser("train-ratt")
+    common.split_args(tt)
+    tt.add_argument("--store", required=True)
+    tt.add_argument("--db", required=True)
+    tt.add_argument("--ckpt", required=True)
+    tt.add_argument("--collection", default="ratt_db")
+    tt.add_argument("--epochs", type=int, default=24)
+    tt.add_argument("--batch-size", type=int, default=8)
+    tt.add_argument("--top-k", type=int, default=8)
+    tt.add_argument("--attention-losses", action="store_true",
+                    help="add the CLS-attention weighted contrastive + "
+                         "entropy terms (the training_chunk_works line)")
+    tt.add_argument("--contrastive-weight", type=float, default=0.0,
+                    help="max-pull retrieval contrastive weight (the "
+                         "reference hardcodes 0 in its step, "
+                         "training_ratt.py:240)")
+    tt.add_argument("--rebuild", choices=["none", "sync"], default="none",
+                    help="sync: re-project every chunk row with the LIVE "
+                         "2304->768 projection every --rebuild-every "
+                         "epochs (reference: db_rebuild_ratt from the "
+                         "loop, training_ratt.py:560-561)")
+    tt.add_argument("--rebuild-every", type=int, default=6)
+    tt.add_argument("--run-id", default=None)
+    tt.add_argument("--resume", action="store_true")
+    tt.set_defaults(fn=cmd_train_ratt)
 
     tc = sub.add_parser("train-cached")
     common.split_args(tc)
