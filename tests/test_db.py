@@ -1,5 +1,6 @@
 """Frame store, chunk index, enrichment, DB builders."""
 
+import pytest
 import numpy as np
 
 from vit_research_tpu.data import chunks as chunks_mod
@@ -185,3 +186,46 @@ def test_write_labeled_frame_collection_and_class_npz(tmp_path):
     data = np.load(out["left"])
     assert data["embeddings"].shape == (3, 1, D)
     assert data["frame_ids"].shape == (3,)
+
+
+def test_reproject_chunk_rows(tmp_path):
+    """The RATT training loop's rebuild (reference: db_rebuild_ratt from
+    nba_proj/train/training_ratt.py:560-561): chunk_{i} rows get fresh
+    live-projection embeddings while stored metadata — including
+    class_logit from the original frozen-encoder write — is preserved."""
+    chs = make_chunks(tmp_path)
+    paths = [p for ch in chs for p in ch["frames"]]
+    store = FrameStore.build(paths, fake_embed, str(tmp_path / "store"))
+    idx = build_chunk_index(chs, store, str(tmp_path / "store"))
+
+    def encode(frame_embs):
+        emb = frame_embs.mean(axis=1)
+        return emb, np.full((emb.shape[0], 1), 7.5)
+
+    col = Collection("ratt_db", space="cosine")
+    builders.write_ratt_chunk_db(idx, store, encode, col, batch_size=4)
+    before = np.array(col.get(include=("embeddings",))["embeddings"])
+
+    def frame_embs_fn(batch):
+        return store.gather_paths([ch["frames"] for ch in batch])
+
+    def project(fe):  # a projection that moves every row
+        return fe.mean(axis=1) + 3.0
+
+    n = builders.reproject_chunk_rows(chs, frame_embs_fn, project, col,
+                                      batch_size=4)
+    assert n == len(chs)
+    assert col.count() == len(chs)
+    got = col.get(include=("embeddings", "metadatas"))
+    after = np.array(got["embeddings"])
+    assert not np.allclose(after, before)  # embeddings moved
+    np.testing.assert_allclose(np.linalg.norm(after, axis=1), 1.0,
+                               atol=1e-4)
+    for m in got["metadatas"]:  # original write's metadata preserved
+        assert m["class_logit"] == 7.5 and "label" in m
+
+    # Store/collection mismatch is a hard error, not silent poisoning.
+    shifted = [dict(ch, start_idx=ch["start_idx"] + 999) for ch in chs]
+    with pytest.raises(ValueError, match="different stores or chunkings"):
+        builders.reproject_chunk_rows(shifted, frame_embs_fn, project, col,
+                                      batch_size=4)

@@ -119,8 +119,6 @@ def cmd_train_ratt(args):
     training_chunk_works.py line, :100-135)."""
     from dataclasses import replace
 
-    import numpy as np
-
     from vit_research_tpu.db.frame_store import FrameStore, load_chunk_index
     from vit_research_tpu.retrieval.retrievers import RattChunkRetriever
     from vit_research_tpu.store.vector_store import PersistentClient
@@ -146,8 +144,13 @@ def cmd_train_ratt(args):
         train_vids=tuple(args.train_vids), test_vids=tuple(args.val_vids))
     r = cfg.retrieval
 
-    col = PersistentClient(args.db, autoflush=False).get_or_create_collection(
-        args.collection)
+    client = PersistentClient(args.db, autoflush=False)
+    try:
+        # Strict lookup: a typoed --collection must fail loudly, not
+        # train against a silently created empty collection.
+        col = client.get_collection(args.collection)
+    except ValueError as e:
+        raise SystemExit(str(e))
     retriever = RattChunkRetriever(col, top_k=r.top_k, search_k=r.search_k)
 
     def frame_embs_fn(batch):
@@ -155,34 +158,13 @@ def cmd_train_ratt(args):
 
     rebuild_fn = None
     if args.rebuild == "sync":
-        all_ids = [f"chunk_{i}" for i in range(len(chunks))]
+        from vit_research_tpu.db.builders import reproject_chunk_rows
 
         def rebuild_fn(project_fn):
-            # Re-project EVERY chunk row with the live 2304->768
-            # projection, preserving stored metadata (ids follow
-            # write_ratt_chunk_db's positional scheme, db/builders.py).
-            bs = 256
-            for s in range(0, len(chunks), bs):
-                batch = chunks[s:s + bs]
-                ids = all_ids[s:s + bs]
-                # np.array (copy): asarray of a jax output is read-only.
-                z = np.array(project_fn(frame_embs_fn(batch)), np.float32)
-                z /= (np.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
-                # Preserve stored metadata (incl. class_logit from the
-                # original write) where the row exists; synthesize for
-                # rows the collection doesn't know yet.
-                got = col.get(ids=ids)
-                by_id = dict(zip(got.get("ids", []),
-                                 got.get("metadatas") or []))
-                metas = [by_id.get(i) or {
-                    "vid_num": c["vid"], "clip_num": c["clip"],
-                    "side": c["side"], "label": int(c["label"]),
-                    "t_center": c["t_center"], "t_width": c["t_width"],
-                    "start_idx": c["start_idx"], "end_idx": c["end_idx"],
-                } for i, c in zip(ids, batch)]
-                col.upsert(ids, z, metas)
-            print(f"rebuilt {len(chunks)} chunk rows with the live "
-                  "projection")
+            n = reproject_chunk_rows(chunks, frame_embs_fn, project_fn,
+                                     col)
+            client.flush()
+            print(f"rebuilt {n} chunk rows with the live projection")
 
     run_id = args.run_id or cfg.run_id()
     os.makedirs(args.ckpt, exist_ok=True)

@@ -211,3 +211,62 @@ def write_class_npz(frames_by_class, embed_fn, out_template: str) -> dict:
                                       dtype=str))
         out[cls] = path
     return out
+
+
+def reproject_chunk_rows(chunks, frame_embs_fn, project_fn, collection, *,
+                         batch_size: int = 256) -> int:
+    """Re-embed existing ``chunk_{i}`` rows with a LIVE chunk projection,
+    preserving stored metadata.
+
+    The RATT training loop's rebuild (reference: db_rebuild_ratt invoked
+    from nba_proj/train/training_ratt.py:560-561): rows written by
+    :func:`write_ratt_chunk_db` (positional ``chunk_{i}`` ids) get fresh
+    embeddings from ``project_fn((B, T, D) frame embeddings) -> (B, D)``
+    while their stored metadata — including ``class_logit`` from the
+    original frozen-encoder write — is kept. Rows the collection doesn't
+    hold yet get metadata synthesized from the chunk dicts.
+
+    Refuses on store/collection mismatch: positional ids are only
+    meaningful when the collection was written from the SAME store and
+    chunking, so a stored row whose (vid_num, start_idx) disagrees with
+    the chunk at that position is a hard error, not a silent
+    embedding/metadata mix-up.
+    """
+    total = 0
+    for s in range(0, len(chunks), batch_size):
+        batch = chunks[s:s + batch_size]
+        ids = [f"chunk_{i}" for i in range(s, s + len(batch))]
+        z = np.array(project_fn(
+            np.asarray(frame_embs_fn(batch), np.float32)), np.float32)
+        z /= (np.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
+        got = collection.get(ids=ids)
+        by_id = dict(zip(got.get("ids", []), got.get("metadatas") or []))
+        metas = []
+        for cid, ch in zip(ids, batch):
+            m = by_id.get(cid)
+            if m is not None:
+                if (int(m.get("vid_num", ch["vid"])) != int(ch["vid"])
+                        or int(m.get("start_idx", ch["start_idx"]))
+                        != int(ch["start_idx"])):
+                    raise ValueError(
+                        f"collection row {cid} (vid "
+                        f"{m.get('vid_num')}, start {m.get('start_idx')}) "
+                        f"does not match the store's chunk at that "
+                        f"position (vid {ch['vid']}, start "
+                        f"{ch['start_idx']}): the chunk index and the "
+                        "collection come from different stores or "
+                        "chunkings — refusing to mix embeddings and "
+                        "metadata")
+            else:
+                m = {
+                    "vid_num": int(ch["vid"]), "clip_num": int(ch["clip"]),
+                    "side": ch["side"], "label": int(ch["label"]),
+                    "t_center": float(ch["t_center"]),
+                    "t_width": float(ch["t_width"]),
+                    "start_idx": int(ch["start_idx"]),
+                    "end_idx": int(ch["end_idx"]),
+                }
+            metas.append(m)
+        collection.upsert(ids, z, metas)
+        total += len(batch)
+    return total
