@@ -147,9 +147,15 @@ def main():
         # If THIS process is SIGTERMed (tool timeout), the finally below
         # never runs and the daemon is orphaned holding the TPU client.
         # Leave a pid record so it can be reaped by PID (never by pattern
-        # — CLAUDE.md) once any in-flight device work has drained.
-        with open("/tmp/vrt_bench_daemon.pid", "w") as f:
-            f.write(str(proc.pid))
+        # — CLAUDE.md) once any in-flight device work has drained. The
+        # record is keyed by pid (concurrent/successive runs don't
+        # clobber each other) and carries the start time so a reaper can
+        # detect PID reuse (compare against /proc/<pid>/stat starttime or
+        # ps -o lstart=).
+        pid_record = f"/tmp/vrt_bench_daemon.{proc.pid}.pid"
+        with open(pid_record, "w") as f:
+            json.dump({"pid": proc.pid, "started_unix": time.time(),
+                       "argv": "vit_research_tpu.cli serve"}, f)
         try:
             deadline = time.monotonic() + 600
             while not os.path.exists(sock):
@@ -249,7 +255,7 @@ def main():
             try:
                 proc.wait(timeout=1800)
                 try:  # daemon reaped — a stale pid record would point
-                    os.remove("/tmp/vrt_bench_daemon.pid")  # at PID reuse
+                    os.remove(pid_record)  # at PID reuse
                 except OSError:
                     pass
             except subprocess.TimeoutExpired:

@@ -132,15 +132,22 @@ def cmd_train_ratt(args):
     train, val = common._split_by_vids(chunks, args.train_vids,
                                        args.val_vids)
 
+    # Flags default to None so the preset's reference values ('chunks':
+    # 12 epochs / top_k 12 / rebuild_every 3) survive unless the user
+    # explicitly overrides them (ADVICE r3).
     cfg = preset("chunks" if args.attention_losses else "ratt")
     cfg = replace(
         cfg,
         head=replace(cfg.head, embed_dim=store.dim),
-        retrieval=replace(cfg.retrieval, top_k=args.top_k,
-                          collection=args.collection),
-        train=replace(cfg.train, num_epochs=args.epochs,
-                      batch_size=args.batch_size,
-                      rebuild_every=args.rebuild_every),
+        retrieval=replace(
+            cfg.retrieval, collection=args.collection,
+            **({} if args.top_k is None else {"top_k": args.top_k})),
+        train=replace(
+            cfg.train,
+            **{k: v for k, v in (
+                ("num_epochs", args.epochs),
+                ("batch_size", args.batch_size),
+                ("rebuild_every", args.rebuild_every)) if v is not None}),
         train_vids=tuple(args.train_vids), test_vids=tuple(args.val_vids))
     r = cfg.retrieval
 
@@ -369,9 +376,12 @@ def register(sub):
     tt.add_argument("--db", required=True)
     tt.add_argument("--ckpt", required=True)
     tt.add_argument("--collection", default="ratt_db")
-    tt.add_argument("--epochs", type=int, default=24)
-    tt.add_argument("--batch-size", type=int, default=8)
-    tt.add_argument("--top-k", type=int, default=8)
+    tt.add_argument("--epochs", type=int, default=None,
+                    help="override the preset's epoch count "
+                         "(ratt: 24, chunks: 12)")
+    tt.add_argument("--batch-size", type=int, default=None)
+    tt.add_argument("--top-k", type=int, default=None,
+                    help="override the preset's top_k (ratt: 8, chunks: 12)")
     tt.add_argument("--attention-losses", action="store_true",
                     help="add the CLS-attention weighted contrastive + "
                          "entropy terms (the training_chunk_works line)")
@@ -384,7 +394,9 @@ def register(sub):
                          "2304->768 projection every --rebuild-every "
                          "epochs (reference: db_rebuild_ratt from the "
                          "loop, training_ratt.py:560-561)")
-    tt.add_argument("--rebuild-every", type=int, default=6)
+    tt.add_argument("--rebuild-every", type=int, default=None,
+                    help="override the preset's cadence "
+                         "(ratt: 4, chunks: 3)")
     tt.add_argument("--run-id", default=None)
     tt.add_argument("--resume", action="store_true")
     tt.set_defaults(fn=cmd_train_ratt)

@@ -245,8 +245,12 @@ def reproject_chunk_rows(chunks, frame_embs_fn, project_fn, collection, *,
         for cid, ch in zip(ids, batch):
             m = by_id.get(cid)
             if m is not None:
-                if (int(m.get("vid_num", ch["vid"])) != int(ch["vid"])
-                        or int(m.get("start_idx", ch["start_idx"]))
+                # A row missing vid_num/start_idx is itself suspect — it
+                # wasn't written by write_ratt_chunk_db, so positional-id
+                # identity can't be trusted. Treat missing as mismatch
+                # rather than defaulting to the expected values (ADVICE r3).
+                if (int(m.get("vid_num", -1)) != int(ch["vid"])
+                        or int(m.get("start_idx", -1))
                         != int(ch["start_idx"])):
                     raise ValueError(
                         f"collection row {cid} (vid "

@@ -139,7 +139,10 @@ class MultiHeadSelfAttention(nn.Module):
         # attention dropout must take the XLA path or the regularization
         # is silently skipped. Likewise it computes its softmax in f32
         # internally, so a non-default softmax_dtype routes to XLA rather
-        # than silently reporting f32-softmax behavior as bf16.
+        # than silently reporting f32-softmax behavior as bf16. And the
+        # kernel consumes (B, H, T, dh), so attn_layout='bthd' (projection
+        # order, transpose-free) also takes the XLA path even when
+        # use_pallas=True — the two flags don't compose.
         needs_xla = (output_scores or log_size is not None
                      or not self.use_pallas or bthd
                      or self.softmax_dtype != jnp.float32

@@ -109,7 +109,10 @@ class ViTConfig(_Serializable):
     # chip (2,358 vs 2,353 f/s, 2026-08-21): the 29.5 ms/batch of layout
     # copies the device trace attributed to the transpose form are XLA's
     # layout assignment, re-inserted either way (BENCH_NOTES.md) — kept
-    # as the documented measurement, not a speed knob.
+    # as the documented measurement, not a speed knob. NOTE: 'bthd' is
+    # XLA-only — the Pallas kernel expects (B, H, T, dh), so combining it
+    # with use_flash_attention=True routes to XLA (the kernel is skipped;
+    # see MultiHeadSelfAttention.needs_xla).
     attn_layout: str = "bhtd"
     output_attention_scores: bool = False
     # Gradient rematerialization: recompute each encoder block's
