@@ -1781,7 +1781,7 @@ def test_failed_segment_start_leaves_no_zombie_state(engine, seg_world,
     srv = EmbedServer(engine, coalesce_ms=0, collection=coll,
                       collection_source=(str(tmp_path / "segdb"), "corpus"))
     monkeypatch.setattr(EmbedServer, "_make_scorer",
-                        lambda self, cfg: object())
+                        lambda self, cfg: (object(), 0))
     bad: dict = {}
     with pytest.raises(ValueError, match="must be an integer"):
         srv.handle({"op": "segment_start", "k": 5, "write_back": True,
@@ -2005,3 +2005,181 @@ def test_serve_drains_inflight_device_work_before_returning(engine,
     t.join(timeout=10)
     assert not t.is_alive()
     h.join(timeout=10)
+
+
+# ---- hot weight reload (reload_weights) -----------------------------------
+
+
+def _run_scored_stream(sock, paths, score_cfg, *, vid=7,
+                       mid_stream_hook=None):
+    """One full scored segment session; returns (start_reply, events).
+    ``mid_stream_hook`` runs between pushes, before the clip finishes."""
+    from vit_research_tpu.serve import SessionClient
+
+    stream = ["left"] * 30 + ["none"] * 20
+    stream_paths = [paths[s] for s in stream]
+    events = []
+    with SessionClient(sock) as c:
+        start = c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                           "pad": 2, "max_lag": 64, "vid": vid,
+                           "score_events": score_cfg})
+        assert start["ok"], start
+        for i in range(0, len(stream_paths), 10):
+            if mid_stream_hook is not None and i == 20:
+                mid_stream_hook()
+            resp = c.request({"op": "segment_push",
+                              "paths": stream_paths[i: i + 10]})
+            assert resp["ok"], resp
+            events.extend(resp.get("events", []))
+        fin = c.request({"op": "segment_finish"})
+        events.extend(fin.get("events", []))
+    assert len(events) == 1 and events[0] is not None
+    return start, events
+
+
+def _rewrite_stage2_checkpoint(score_world, seed=99):
+    """Write NEW stage-2 best params into the same run dir on disk, as a
+    longer training run would."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.models.ratt_v2 import RATTHeadV2
+    from vit_research_tpu.train.checkpoint import CheckpointManager
+    from vit_research_tpu.utils.configs import HeadConfig
+
+    dim = 64
+    ks, kc, kt = (score_world["k_sim"], score_world["k_contrast"],
+                  score_world["k_temporal"])
+    head = RATTHeadV2(HeadConfig(embed_dim=dim, k_sim=ks, k_contrast=kc,
+                                 k_temporal=kt))
+    p2 = head.init(jax.random.PRNGKey(seed), jnp.zeros((1, dim)),
+                   jnp.zeros((1, ks, dim)), jnp.zeros((1, kc, dim)),
+                   jnp.zeros((1, kt, dim)))
+    m = CheckpointManager(score_world["ckpt"], score_world["stage2_run_id"])
+    m.save(2, {"params": p2}, metrics={"val_acc": 2.0})
+    m.maybe_update_best(2, 2.0)
+    m.wait()
+
+
+def test_reload_weights_rolls_new_sessions_forward(seg_server, score_world):
+    """The train->serve weight loop: sessions share ONE cached stack per
+    config (a checkpoint rewritten on disk does NOT leak into serving);
+    reload_weights re-restores it and NEW sessions score with the new
+    generation while the reply names the swap."""
+    sock, paths = seg_server
+    start_a, events_a = _run_scored_stream(sock, paths, score_world)
+    assert start_a["weights_generation"] == 0
+
+    # Training writes a better stage-2 checkpoint into the same run.
+    _rewrite_stage2_checkpoint(score_world)
+
+    # Without reload: the daemon still serves generation 0 — bit-equal
+    # rows (deterministic same-process scoring), deliberate pinning.
+    start_b, events_b = _run_scored_stream(sock, paths, score_world)
+    assert start_b["weights_generation"] == 0
+    assert events_b == events_a
+
+    r = request(sock, {"op": "reload_weights"})
+    assert r["ok"] and r["generation"] == 1
+    assert r["reloaded"][0]["stage2_run_id"] == score_world["stage2_run_id"]
+
+    stats = request(sock, {"op": "stats"})
+    assert stats["weights_generation"] == 1 and stats["scorer_stacks"] == 1
+
+    start_c, events_c = _run_scored_stream(sock, paths, score_world)
+    assert start_c["weights_generation"] == 1
+    # Different head params -> different scored row for the same clip.
+    assert events_c != events_a
+    # Retrieval is weight-independent here (same stage-1, same corpus).
+    assert (events_c[0]["clip_key"] == events_a[0]["clip_key"]
+            == "vid7_clip1")
+
+
+def test_reload_weights_mid_session_pins_no_torn_reads(seg_server,
+                                                       score_world):
+    """A swap landing MID-SESSION must not tear the session's weights:
+    the clip finishing after the reload scores exactly as a session that
+    never saw a reload (its stack is pinned), while the next session
+    gets the new generation."""
+    sock, paths = seg_server
+    _, events_ref = _run_scored_stream(sock, paths, score_world)
+
+    def swap():
+        _rewrite_stage2_checkpoint(score_world)
+        r = request(sock, {"op": "reload_weights"})
+        assert r["ok"] and r["active_sessions_pinned"] == 1
+
+    _, events_pinned = _run_scored_stream(sock, paths, score_world,
+                                          mid_stream_hook=swap)
+    assert events_pinned == events_ref  # scored with the PINNED stack
+
+    _, events_new = _run_scored_stream(sock, paths, score_world)
+    assert events_new != events_ref  # next session rolled forward
+
+
+def test_reload_weights_failure_keeps_serving_old_stack(seg_server,
+                                                        score_world):
+    """A reload whose restore fails (run vanished from disk) is an error
+    reply with the old stack untouched — serving never goes half-swapped
+    or dark."""
+    import shutil
+
+    sock, paths = seg_server
+    _, events_a = _run_scored_stream(sock, paths, score_world)
+    shutil.rmtree(os.path.join(score_world["ckpt"],
+                               score_world["stage2_run_id"]))
+    r = request(sock, {"op": "reload_weights"})
+    assert not r["ok"] and "no run directory" in r["error"]
+    stats = request(sock, {"op": "stats"})
+    assert stats["weights_generation"] == 0
+    _, events_b = _run_scored_stream(sock, paths, score_world)
+    assert events_b == events_a  # old stack still serving
+
+
+def test_reload_weights_preload_and_no_match(seg_server, score_world):
+    """Nothing cached: a bare reload_weights is a clean error; the full
+    target preloads a stack so the first session starts warm on the new
+    generation."""
+    sock, _ = seg_server
+    r = request(sock, {"op": "reload_weights"})
+    assert not r["ok"] and "matched no scorer stacks" in r["error"]
+    r = request(sock, {
+        "op": "reload_weights", "ckpt": score_world["ckpt"],
+        "stage1_run_id": score_world["stage1_run_id"],
+        "stage2_run_id": score_world["stage2_run_id"],
+        "chunk_size": score_world["chunk_size"],
+        "k_sim": score_world["k_sim"],
+        "k_contrast": score_world["k_contrast"],
+        "k_temporal": score_world["k_temporal"]})
+    assert r["ok"] and r["generation"] == 1
+    stats = request(sock, {"op": "stats"})
+    assert stats["scorer_stacks"] == 1
+
+
+def test_serve_ctl_reload_weights_cli(seg_server, score_world, capsys):
+    """cli serve-ctl reload-weights: the operator form of the weight
+    rollout (preload via explicit target, flag scoping, daemon errors)."""
+    import json
+
+    from vit_research_tpu import cli
+
+    sock, _ = seg_server
+    # nothing cached yet -> daemon error surfaces as SystemExit
+    with pytest.raises(SystemExit, match="matched no scorer stacks"):
+        cli.main(["serve-ctl", "reload-weights", "--socket", sock])
+    # weight flags are scoped to reload-weights
+    with pytest.raises(SystemExit, match="only apply to reload-weights"):
+        cli.main(["serve-ctl", "ping", "--socket", sock,
+                  "--ckpt", score_world["ckpt"]])
+    capsys.readouterr()
+    cli.main(["serve-ctl", "reload-weights", "--socket", sock,
+              "--ckpt", score_world["ckpt"],
+              "--stage1-run-id", score_world["stage1_run_id"],
+              "--stage2-run-id", score_world["stage2_run_id"],
+              "--chunk-size", str(score_world["chunk_size"]),
+              "--k-sim", str(score_world["k_sim"]),
+              "--k-contrast", str(score_world["k_contrast"]),
+              "--k-temporal", str(score_world["k_temporal"])])
+    out = json.loads(capsys.readouterr().out)
+    assert out["ok"] and out["generation"] == 1
+    assert out["reloaded"][0]["chunk_size"] == score_world["chunk_size"]

@@ -66,9 +66,11 @@ def cmd_serve_ctl(args):
     else:
         # reload reopens the whole collection from disk before replying —
         # minutes for a multi-GB corpus (rebuild-db --notify-socket uses
-        # the same 300 s); everything else answers instantly
-        timeout = 300.0 if args.op == "reload" else 60.0
-    req = {"op": args.op}
+        # the same 300 s); reload-weights restores checkpoints + inits
+        # models; everything else answers instantly
+        timeout = (300.0 if args.op in ("reload", "reload-weights")
+                   else 60.0)
+    req = {"op": args.op.replace("-", "_")}
     if args.db or args.collection:
         if args.op != "reload":
             raise SystemExit("--db/--collection only apply to reload")
@@ -76,6 +78,17 @@ def cmd_serve_ctl(args):
             req["db"] = args.db
         if args.collection:
             req["collection"] = args.collection
+    weight_args = {"ckpt": args.ckpt, "stage1_run_id": args.stage1_run_id,
+                   "stage2_run_id": args.stage2_run_id,
+                   "chunk_size": args.chunk_size, "k_sim": args.k_sim,
+                   "k_contrast": args.k_contrast,
+                   "k_temporal": args.k_temporal}
+    if any(v is not None for v in weight_args.values()):
+        if args.op != "reload-weights":
+            raise SystemExit(
+                "--ckpt/--stage*-run-id/--chunk-size/--k-* only apply to "
+                "reload-weights")
+        req.update({k: v for k, v in weight_args.items() if v is not None})
     try:
         resp = request(args.socket, req, timeout=timeout)
     except (OSError, ConnectionError) as e:
@@ -110,8 +123,10 @@ def register(sub):
     sc = sub.add_parser(
         "serve-ctl", help="operate a running serve daemon: ping, stats, "
                           "reload (hot-swap the collection from disk), "
-                          "shutdown")
-    sc.add_argument("op", choices=["ping", "stats", "reload", "shutdown"])
+                          "reload-weights (hot-swap retrained scorer "
+                          "checkpoints), shutdown")
+    sc.add_argument("op", choices=["ping", "stats", "reload",
+                                   "reload-weights", "shutdown"])
     sc.add_argument("--socket", required=True)
     sc.add_argument("--timeout", type=float, default=None,
                     help="reply wait in seconds (default: 300 for reload "
@@ -123,4 +138,22 @@ def register(sub):
     sc.add_argument("--collection", default=None,
                     help="reload only: collection name "
                          "(default: the daemon's own --collection)")
+    sc.add_argument("--ckpt", default=None,
+                    help="reload-weights only: narrow to stacks from this "
+                         "checkpoint root (with both run ids: preload a "
+                         "stack no session has requested yet)")
+    sc.add_argument("--stage1-run-id", default=None,
+                    help="reload-weights only: narrow/preload by stage-1 "
+                         "run id")
+    sc.add_argument("--stage2-run-id", default=None,
+                    help="reload-weights only: narrow/preload by stage-2 "
+                         "run id")
+    sc.add_argument("--chunk-size", type=int, default=None,
+                    help="reload-weights preload only (default 8)")
+    sc.add_argument("--k-sim", type=int, default=None,
+                    help="reload-weights preload only (default 8)")
+    sc.add_argument("--k-contrast", type=int, default=None,
+                    help="reload-weights preload only (default 8)")
+    sc.add_argument("--k-temporal", type=int, default=None,
+                    help="reload-weights preload only (default 4)")
     sc.set_defaults(fn=cmd_serve_ctl)

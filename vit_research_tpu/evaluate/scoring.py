@@ -145,11 +145,35 @@ def open_collection(db_path, name):
         raise ScoringUnavailable(str(e))
 
 
-def make_live_scorer(embed_fn, *, dim: int, ckpt, stage1_run_id,
-                     stage2_run_id, db, collection, chunk_size: int = 8,
+def load_scorer_stack(*, dim: int, ckpt, stage1_run_id, stage2_run_id,
+                      chunk_size: int = 8, k_sim: int = 8,
+                      k_contrast: int = 8, k_temporal: int = 4):
+    """Restore the trained-weight callables of the live scorer — the
+    frozen stage-1 ChunkEncoder ``encode_batch`` and the stage-2
+    RATTHeadV2 ``head_apply`` — from their checkpoint runs (both STRICT:
+    a missing checkpoint raises, never a silent fall-back to random
+    weights). Pure functions closing over the restored params: safe to
+    share across concurrent scorer sessions, and the unit the serving
+    daemon's ``reload_weights`` op swaps (per-session state lives in
+    :class:`~vit_research_tpu.evaluate.live.LiveEventScorer`, not
+    here)."""
+    if chunk_size < 1:
+        raise ScoringUnavailable("event scoring needs positive chunk_size")
+    encode_batch = stage1_encode_batch(dim, chunk_size, ckpt,
+                                       stage1_run_id, strict=True)
+    head_apply = stage2_head(dim, ckpt, stage2_run_id, k_sim=k_sim,
+                             k_contrast=k_contrast, k_temporal=k_temporal,
+                             strict=True)
+    return encode_batch, head_apply
+
+
+def make_live_scorer(embed_fn, *, dim: int, ckpt=None, stage1_run_id=None,
+                     stage2_run_id=None, db=None, collection,
+                     chunk_size: int = 8,
                      chunk_stride: int = 2, k_sim: int = 8,
                      k_contrast: int = 8, k_temporal: int = 4,
-                     future_step: int = 2, emb_cache_cap: int | None = None):
+                     future_step: int = 2, emb_cache_cap: int | None = None,
+                     stack=None):
     """The full live make/miss scorer from its trained runs — frozen
     stage-1 encoder + trained stage-2 head (both STRICT: a missing
     checkpoint raises, never a silent fall-back to random weights) +
@@ -159,7 +183,10 @@ def make_live_scorer(embed_fn, *, dim: int, ckpt, stage1_run_id,
     ``collection`` is a name looked up in ``db``, or an already-open
     collection object (callers that must stage the host-side store read
     separately from the model init — e.g. the daemon opens outside its
-    device lock)."""
+    device lock). ``stack`` is an already-restored
+    ``(encode_batch, head_apply)`` pair from :func:`load_scorer_stack`
+    (callers that cache/swap weights across sessions — the daemon);
+    without it the checkpoint args are restored here."""
     from vit_research_tpu.evaluate.live import LiveEventScorer
 
     if chunk_size < 1 or chunk_stride < 1:
@@ -167,11 +194,12 @@ def make_live_scorer(embed_fn, *, dim: int, ckpt, stage1_run_id,
             "event scoring needs positive chunk_size and chunk_stride")
     col = (collection if hasattr(collection, "query")
            else open_collection(db, collection))
-    encode_batch = stage1_encode_batch(dim, chunk_size, ckpt,
-                                       stage1_run_id, strict=True)
-    head_apply = stage2_head(dim, ckpt, stage2_run_id, k_sim=k_sim,
-                             k_contrast=k_contrast, k_temporal=k_temporal,
-                             strict=True)
+    if stack is None:
+        stack = load_scorer_stack(
+            dim=dim, ckpt=ckpt, stage1_run_id=stage1_run_id,
+            stage2_run_id=stage2_run_id, chunk_size=chunk_size,
+            k_sim=k_sim, k_contrast=k_contrast, k_temporal=k_temporal)
+    encode_batch, head_apply = stack
     return LiveEventScorer(
         embed_fn, encode_batch, head_apply, col,
         chunk_size=chunk_size, chunk_stride=chunk_stride,

@@ -26,6 +26,9 @@ per request by the first byte.
                                                   frames/clips/events)
     {"op": "reload", "db": null, "collection": null}
                                                -> {"ok": true, "rows": N, ...}
+    {"op": "reload_weights", "ckpt": null, "stage1_run_id": null,
+     "stage2_run_id": null}                    -> {"ok": true, "generation": N,
+                                                   "reloaded": [...]}
     {"op": "shutdown"}
 
 Binary framing (bulk transport — a 16-frame JPEG request is ~0.7 MB of
@@ -84,6 +87,31 @@ atomically — no engine restart, nothing recompiles:
   already-finished sessions survive into the reopened generation.
 - ``cli rebuild-db --notify-socket`` sends this op automatically after
   a rebuild; ``cli serve-ctl reload`` is the manual form.
+
+Hot WEIGHT reload (``reload_weights``): the other half of the
+train->serve loop. Scoring sessions restore a stage-1 ChunkEncoder +
+stage-2 RATTHeadV2 stack from checkpoint runs; the daemon caches each
+restored stack per config key ``(ckpt, stage1_run_id, stage2_run_id,
+chunk_size, k_sim, k_contrast, k_temporal)`` from first use, so
+concurrent sessions share one restore and serving stays on ONE weight
+generation until the operator rolls it forward (the reference restarted
+its per-script models to pick up new weights —
+nba_proj/train/training_stage2.py:1302-1303):
+
+- ``reload_weights`` re-restores cached stacks from disk (training
+  wrote a new best checkpoint into the same run) and swaps them in
+  atomically — all restores complete before any swap, so a failed
+  restore leaves every old stack serving.
+- Filters ``ckpt``/``stage1_run_id``/``stage2_run_id`` narrow which
+  cached stacks reload; passing all three PRELOADS a stack that no
+  session has requested yet (warm rollout: the first session pays no
+  restore).
+- ACTIVE scoring sessions are pinned: they hold the stack they started
+  with and keep scoring with it — a mid-session swap never tears a
+  session's weights (``segment_start`` replies carry
+  ``weights_generation`` so a follower can tell which generation scored
+  it). NEW sessions get the reloaded stack.
+- ``cli serve-ctl reload-weights`` is the operator form.
 
 Live segmentation sessions (one per connection — use
 :class:`SessionClient`, not the one-shot :func:`request`): the server's
@@ -415,6 +443,15 @@ class EmbedServer:
         self._collection_lock = threading.Lock()
         self._reload_lock = threading.Lock()  # one reload at a time
         self._write_back_sessions = 0
+        # Hot weight reload (the `reload_weights` op): restored scorer
+        # stacks cached per config key from first use. Entries are
+        # (generation, (encode_batch, head_apply)) — pure callables
+        # closing over restored params, shared across sessions; a swap
+        # REPLACES the entry (never mutates params in place), so sessions
+        # holding the old stack are untouched (pinned generation).
+        self._weights_lock = threading.Lock()
+        self._scorer_stacks: dict[tuple, tuple] = {}
+        self._weights_generation = 0
         # observability (the `stats` op): counters shared across
         # connection threads, guarded by their own lock — never the
         # device lock, a stats probe must not queue behind a forward
@@ -572,19 +609,47 @@ class EmbedServer:
         # other session's pushes, cf. _corpus_snapshot); only the model
         # init below runs under it.
         col = scoring.open_collection(cfg["db"], cfg["collection"])
+        key = (str(cfg["ckpt"]), str(cfg["stage1_run_id"]),
+               str(cfg["stage2_run_id"]), num("chunk_size", 8),
+               num("k_sim", 8), num("k_contrast", 8), num("k_temporal", 4))
+        gen, stack = self._scorer_stack(key)
         with self._device():
-            return scoring.make_live_scorer(
+            scorer = scoring.make_live_scorer(
                 embed_missing, dim=self.engine.out_dim,
-                ckpt=cfg["ckpt"], stage1_run_id=cfg["stage1_run_id"],
-                stage2_run_id=cfg["stage2_run_id"], db=cfg["db"],
-                collection=col,
-                chunk_size=num("chunk_size", 8),
+                collection=col, stack=stack,
+                chunk_size=key[3],
                 chunk_stride=num("chunk_stride", 2),
-                k_sim=num("k_sim", 8),
-                k_contrast=num("k_contrast", 8),
-                k_temporal=num("k_temporal", 4),
+                k_sim=key[4], k_contrast=key[5], k_temporal=key[6],
                 future_step=num("future_step", 2),
                 emb_cache_cap=cap)
+        return scorer, gen
+
+    def _scorer_stack(self, key: tuple) -> tuple:
+        """The cached ``(generation, (encode_batch, head_apply))`` for a
+        scorer config key, restoring from disk on first use. Sessions
+        bind the returned stack object — a later ``reload_weights``
+        replaces the cache ENTRY, never the stack, so bound sessions are
+        pinned to the generation they started with."""
+        from vit_research_tpu.evaluate import scoring
+
+        with self._weights_lock:
+            ent = self._scorer_stacks.get(key)
+        if ent is not None:
+            return ent
+        # Restore outside _weights_lock (disk + device init must not
+        # stall other sessions' cache hits), device init under the
+        # device lock like every model build on this server.
+        with self._device():
+            stack = scoring.load_scorer_stack(
+                dim=self.engine.out_dim, ckpt=key[0], stage1_run_id=key[1],
+                stage2_run_id=key[2], chunk_size=key[3], k_sim=key[4],
+                k_contrast=key[5], k_temporal=key[6])
+        with self._weights_lock:
+            # Lost race: another session restored the same key meanwhile
+            # — keep THEIRS so all sessions of one key share one stack.
+            ent = self._scorer_stacks.setdefault(
+                key, (self._weights_generation, stack))
+        return ent
 
     def _score_clips(self, session, clips):
         """Eval rows for just-finished clips, aligned with ``clips``
@@ -673,7 +738,7 @@ class EmbedServer:
             except ValueError as e:
                 raise ValueError(f"'transitions': {e} (calibrate with "
                                  "cli tune-segment)")
-        scorer = None
+        scorer, weights_gen = None, None
         score_cfg = req.get("score_events")
         if score_cfg not in (None, False):
             # not a truthiness test: {} must reach _make_scorer's
@@ -681,7 +746,7 @@ class EmbedServer:
             # Built BEFORE any session state, so a bad config leaves the
             # connection exactly as it was (_make_scorer scopes the
             # device lock itself: store read outside, model init inside).
-            scorer = self._make_scorer(score_cfg)
+            scorer, weights_gen = self._make_scorer(score_cfg)
         score_vid = 0
         if scorer is not None and req.get("vid") is not None:
             try:
@@ -723,11 +788,16 @@ class EmbedServer:
         if scorer is not None:
             session["segment_score"] = {
                 "scorer": scorer, "refs": [], "clips": 0,
-                "vid": score_vid}
+                "vid": score_vid, "weights_generation": weights_gen}
         self._count("segment", "sessions_started")
         self._count("segment", "sessions_active")
-        return {"ok": True, "corpus_size": seg.corpus_size,
+        resp = {"ok": True, "corpus_size": seg.corpus_size,
                 "metric": space, "scoring": scorer is not None}
+        if weights_gen is not None:
+            # Which weight generation scores this session (pinned for
+            # its lifetime — see "Hot WEIGHT reload" in the module doc).
+            resp["weights_generation"] = weights_gen
+        return resp
 
     @staticmethod
     def _clips_json(clips) -> list:
@@ -948,6 +1018,66 @@ class EmbedServer:
                     "carried_flushed": carried_flushed,
                     "sharded": self._shard_mesh is not None}
 
+    def _reload_weights(self, req) -> dict:
+        """Re-restore scorer weight stacks from disk and swap them in for
+        FUTURE sessions (see the module docstring's "Hot WEIGHT reload").
+
+        All selected stacks restore BEFORE any swap: a stack that fails
+        to restore (corrupt/missing checkpoint) makes the whole op an
+        error reply with every old stack still serving — a failed rollout
+        must never leave serving half-swapped. Active scoring sessions
+        hold their stack object and are untouched either way."""
+        ckpt = req.get("ckpt")
+        s1 = req.get("stage1_run_id")
+        s2 = req.get("stage2_run_id")
+        with self._weights_lock:
+            keys = list(self._scorer_stacks)
+        if ckpt and s1 and s2:
+            # Full target given: preload it even if no session has asked
+            # for this config yet (warm rollout).
+            def num(k, default):
+                v = req.get(k)
+                return default if v is None else int(v)
+
+            target = (str(ckpt), str(s1), str(s2), num("chunk_size", 8),
+                      num("k_sim", 8), num("k_contrast", 8),
+                      num("k_temporal", 4))
+            if target not in keys:
+                keys.append(target)
+        selected = [k for k in keys
+                    if (not ckpt or k[0] == str(ckpt))
+                    and (not s1 or k[1] == str(s1))
+                    and (not s2 or k[2] == str(s2))]
+        if not selected:
+            raise ValueError(
+                "reload_weights matched no scorer stacks — none are "
+                "cached yet (no scoring session has run); pass ckpt, "
+                "stage1_run_id and stage2_run_id together to preload one")
+        from vit_research_tpu.evaluate import scoring
+
+        fresh = {}
+        for k in selected:
+            # ScoringUnavailable (ValueError) propagates -> {"ok": false}
+            # reply; nothing swapped yet, old stacks keep serving.
+            with self._device():
+                fresh[k] = scoring.load_scorer_stack(
+                    dim=self.engine.out_dim, ckpt=k[0], stage1_run_id=k[1],
+                    stage2_run_id=k[2], chunk_size=k[3], k_sim=k[4],
+                    k_contrast=k[5], k_temporal=k[6])
+        with self._weights_lock:
+            self._weights_generation += 1
+            gen = self._weights_generation
+            for k, stack in fresh.items():
+                self._scorer_stacks[k] = (gen, stack)
+        with self._stats_lock:
+            pinned = self._stats["segment"]["sessions_active"]
+        return {"ok": True, "generation": gen,
+                "reloaded": [{"ckpt": k[0], "stage1_run_id": k[1],
+                              "stage2_run_id": k[2], "chunk_size": k[3],
+                              "k_sim": k[4], "k_contrast": k[5],
+                              "k_temporal": k[6]} for k in selected],
+                "active_sessions_pinned": pinned}
+
     def _connection_closed(self, session) -> None:
         """Called by the socket handler when a connection ends. A still-
         open segment session dies with it (state is per-connection) —
@@ -970,12 +1100,17 @@ class EmbedServer:
                         "errors": self._stats["errors"],
                         "frames_embedded": self._stats["frames_embedded"],
                         "segment": dict(self._stats["segment"])}
+            with self._weights_lock:
+                wgen = self._weights_generation
+                n_stacks = len(self._scorer_stacks)
             return {"ok": True,
                     "uptime_s": round(time.time() - self._started, 3),
                     **snap,
                     "device_batches": (self._coalescer.batches_run
                                        if self._coalescer else None),
                     "collection": getattr(self.collection, "name", None),
+                    "weights_generation": wgen,
+                    "scorer_stacks": n_stacks,
                     "batch_size": self.engine.batch_size,
                     "out_dim": self.engine.out_dim}
         if op == "segment_start":
@@ -990,6 +1125,8 @@ class EmbedServer:
                     "collection": getattr(self.collection, "name", None)}
         if op == "reload":
             return self._reload(req)
+        if op == "reload_weights":
+            return self._reload_weights(req)
         if op == "embed":
             emb = self._embed_request(req)
             if req.get("_reply_binary"):
