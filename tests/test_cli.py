@@ -605,6 +605,48 @@ def test_gemm_quant_env_engine(monkeypatch):
         cli._engine(batch_size=8)
 
 
+def test_gemm_quant_static_env_engine(monkeypatch, tmp_path):
+    """VRT_GEMM_QUANT=int8-static + VRT_GEMM_SCALES=<json> threads the
+    calibrated static scales into the CLI engine; missing/empty scales
+    are hard errors (silent dynamic fallback would re-add the abs-max
+    cost the static path removes)."""
+    import json
+
+    # calibrate the tiny model the CLI builds (1 layer x 6 dense sites)
+    # BEFORE setting the env toggles
+    import dataclasses
+
+    from vit_research_tpu.models.vit import init_vit
+    from vit_research_tpu.ops.quant import calibration_mode
+
+    eng0 = cli._engine(batch_size=8)
+    cfg = dataclasses.replace(eng0.model.config, gemm_quant="int8-static")
+    model, params = init_vit(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    with calibration_mode() as scales:
+        model.apply(params, rng.uniform(size=(2, 32, 32, 3)).astype(
+            np.float32))
+    assert len(scales) == 6
+
+    monkeypatch.setenv("VRT_GEMM_QUANT", "int8-static")
+    with pytest.raises(SystemExit, match="VRT_GEMM_SCALES"):
+        cli._engine(batch_size=8)
+    scales_path = tmp_path / "scales.json"
+    scales_path.write_text(json.dumps({"scales": list(scales)}))
+    monkeypatch.setenv("VRT_GEMM_SCALES", str(scales_path))
+    eng = cli._engine(batch_size=8)
+    assert eng.model.config.gemm_quant == "int8-static"
+    assert len(eng.model.config.gemm_quant_scales) == 6
+    out = eng.embed_batch(rng.integers(0, 256, size=(3, 32, 32, 3))
+                          .astype(np.uint8))
+    assert out.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+    scales_path.write_text("[]")
+    with pytest.raises(SystemExit, match="empty"):
+        cli._engine(batch_size=8)
+
+
 def test_tome_segmentation_boundaries_match_parity(monkeypatch, tmp_path):
     """Merged-token embeddings drift from parity, but the kNN+HMM
     segmentation consumers absorb the drift: on the synthetic world the

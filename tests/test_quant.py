@@ -225,3 +225,91 @@ class TestQuantizedViT:
                                            retrieved, labels)
             first = first if first is not None else float(loss)
         assert float(loss) < first * 0.8
+
+
+class TestStaticInt8:
+    """gemm_quant='int8-static': calibrated per-site activation scales
+    baked as graph constants (VERDICT r3 item 1 — removes the dynamic
+    path's per-GEMM abs-max reduction)."""
+
+    def _small(self, **over):
+        return dataclasses.replace(
+            VIT_B16_224, num_layers=3, hidden_size=96, num_heads=4,
+            mlp_dim=192, image_size=(96, 96), **over)
+
+    def _calibrated(self, **over):
+        from vit_research_tpu.ops.quant import calibration_mode
+
+        cfg = self._small(gemm_quant="int8-static", **over)
+        model, params = init_vit(cfg, seed=0)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(size=(2, 96, 96, 3)), jnp.float32)
+        with calibration_mode() as scales:
+            model.apply(params, img)
+        assert len(scales) == 3 * 6  # 6 dense sites per layer, in order
+        cfg = dataclasses.replace(cfg, gemm_quant_scales=tuple(scales))
+        model_s, _ = init_vit(cfg, seed=0)
+        return model_s, params, img
+
+    def test_calibrate_then_static_outputs_close_to_f32(self):
+        model_s, params, img = self._calibrated()
+        model_f, _ = init_vit(self._small(), seed=0)
+        e_f = model_f.apply(params, img)["pre_logits"]
+        e_s = model_s.apply(params, img)["pre_logits"]
+        cos = jnp.sum(e_f * e_s, -1) / (
+            jnp.linalg.norm(e_f, axis=-1) * jnp.linalg.norm(e_s, axis=-1))
+        # per-tensor static scales are coarser than dynamic per-token
+        assert float(jnp.min(cos)) > 0.97
+
+    def test_static_jits_and_matches_eager(self):
+        model_s, params, img = self._calibrated()
+        eager = model_s.apply(params, img)["pre_logits"]
+        jitted = jax.jit(lambda p, x: model_s.apply(p, x)["pre_logits"])
+        out = jitted(params, img)
+        # jit fuses the round/clip into different epilogues than eager
+        # dispatch on CPU — semantics equal, last-ulp rounding differs
+        np.testing.assert_allclose(np.asarray(out), np.asarray(eager),
+                                   atol=1e-4, rtol=1e-4)
+        # a second trace at another batch shape restarts the site cursor
+        out3 = jitted(params, jnp.concatenate([img, img, img]))
+        assert out3.shape == (6, 96)
+
+    def test_uncalibrated_static_is_a_hard_error(self):
+        cfg = self._small(gemm_quant="int8-static")
+        model, params = init_vit(cfg, seed=0)
+        img = jnp.zeros((1, 96, 96, 3), jnp.float32)
+        with pytest.raises(ValueError, match="calibration_mode"):
+            model.apply(params, img)
+
+    def test_scale_count_mismatch_is_a_hard_error(self):
+        model_s, params, img = self._calibrated()
+        cfg = dataclasses.replace(self._small(gemm_quant="int8-static"),
+                                  gemm_quant_scales=(0.1, 0.2))
+        # fails fast — already at param init, before any apply
+        with pytest.raises(ValueError, match="exhausted"):
+            init_vit(cfg, seed=0)
+
+    def test_static_close_to_dynamic_int8(self):
+        model_s, params, img = self._calibrated()
+        model_d, _ = init_vit(self._small(gemm_quant="int8"), seed=0)
+        e_d = model_d.apply(params, img)["pre_logits"]
+        e_s = model_s.apply(params, img)["pre_logits"]
+        cos = jnp.sum(e_d * e_s, -1) / (
+            jnp.linalg.norm(e_d, axis=-1) * jnp.linalg.norm(e_s, axis=-1))
+        assert float(jnp.min(cos)) > 0.98
+
+    def test_gradients_flow_static(self):
+        from vit_research_tpu.ops.quant import StaticInt8DotGeneral
+
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)),
+                        jnp.float32)
+        w = jnp.asarray(np.random.default_rng(1).normal(size=(8, 3)),
+                        jnp.float32)
+        dot = StaticInt8DotGeneral((0.05,))
+
+        def loss(w):
+            return jnp.sum(dot(x, w, (((1,), (0,)), ((), ()))) ** 2)
+
+        g = jax.grad(loss)(w)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0

@@ -15,8 +15,12 @@ def _engine(preset: str = "hf", batch_size: int = 256):
     embedder — a speed/accuracy trade (r=13 measured +33% throughput on
     v5e), OFF by default because merged embeddings drift from the
     reference-parity outputs. VRT_GEMM_QUANT=int8 likewise swaps the
-    encoder GEMMs for dynamic int8 (ops/quant.py); the two compose. All
-    embeddings a pipeline compares must come from the same settings.
+    encoder GEMMs for dynamic int8 (ops/quant.py); 'int8-static'
+    additionally needs VRT_GEMM_SCALES=<json file> of calibrated
+    per-site activation scales (examples/bench_int8_static.py
+    --calibrate-only) and removes the dynamic path's per-GEMM abs-max
+    pass. The quant modes compose with tome_r. All embeddings a
+    pipeline compares must come from the same settings.
 
     VRT_GRAYSCALE=1 embeds luminance-converted frames — the reference's
     USE_GRAYSCALE ablation constant as an env toggle (reference:
@@ -31,9 +35,40 @@ def _engine(preset: str = "hf", batch_size: int = 256):
         raise SystemExit(
             f"VRT_TOME_R must be an integer, got {raw_tome!r}")
     gemm_quant = os.environ.get("VRT_GEMM_QUANT", "").strip() or None
-    if gemm_quant not in (None, "int8"):
+    if gemm_quant not in (None, "int8", "int8-static"):
         raise SystemExit(
-            f"VRT_GEMM_QUANT must be 'int8' or unset, got {gemm_quant!r}")
+            f"VRT_GEMM_QUANT must be 'int8', 'int8-static' or unset, "
+            f"got {gemm_quant!r}")
+    gemm_scales: tuple = ()
+    if gemm_quant == "int8-static":
+        # Static scales come from an offline calibration run
+        # (examples/bench_int8_static.py --calibrate-only > scales.json);
+        # the engine cannot calibrate here — eager forwards over a TPU
+        # tunnel cost minutes, and silent auto-calibration would bake
+        # whatever batch happened to be first.
+        scales_path = os.environ.get("VRT_GEMM_SCALES", "").strip()
+        if not scales_path:
+            raise SystemExit(
+                "VRT_GEMM_QUANT=int8-static needs VRT_GEMM_SCALES="
+                "<scales.json> (produce it with examples/"
+                "bench_int8_static.py --calibrate-only)")
+        import json
+
+        try:
+            with open(scales_path) as f:
+                loaded = json.load(f)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"VRT_GEMM_SCALES {scales_path!r}: {e}")
+        raw_scales = (loaded.get("scales")
+                      if isinstance(loaded, dict) else loaded)
+        try:
+            gemm_scales = tuple(float(s) for s in raw_scales)
+        except (TypeError, ValueError):
+            raise SystemExit(
+                f"VRT_GEMM_SCALES {scales_path!r} must hold a list of "
+                "floats (or an object with a 'scales' list)")
+        if not gemm_scales:
+            raise SystemExit(f"VRT_GEMM_SCALES {scales_path!r} is empty")
     grayscale = os.environ.get("VRT_GRAYSCALE", "").strip() not in ("", "0")
     if os.environ.get("VRT_TINY"):
         from vit_research_tpu.data.preprocess import PreprocessSpec
@@ -44,7 +79,8 @@ def _engine(preset: str = "hf", batch_size: int = 256):
         cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
                         num_layers=1, num_heads=2, mlp_dim=64,
                         use_flash_attention=False, tome_r=tome_r,
-                        gemm_quant=gemm_quant)
+                        gemm_quant=gemm_quant,
+                        gemm_quant_scales=gemm_scales)
         model, params = init_vit(cfg, seed=0)
         return EmbeddingEngine(model, params,
                                PreprocessSpec(size=(32, 32),
@@ -55,6 +91,7 @@ def _engine(preset: str = "hf", batch_size: int = 256):
 
     return make_hf_frame_embedder(batch_size=batch_size, tome_r=tome_r,
                                   gemm_quant=gemm_quant,
+                                  gemm_quant_scales=gemm_scales,
                                   grayscale=grayscale)
 
 

@@ -268,11 +268,25 @@ class VisionTransformer(nn.Module):
             raise ValueError(f"unknown softmax_dtype {c.softmax_dtype!r}")
         sm_dtype = (jnp.bfloat16 if c.softmax_dtype == "bfloat16"
                     else jnp.float32)
-        if c.gemm_quant not in (None, "int8"):
+        if c.gemm_quant not in (None, "int8", "int8-static"):
             raise ValueError(f"unknown gemm_quant {c.gemm_quant!r}")
         if c.gemm_quant == "int8":
             from vit_research_tpu.ops.quant import int8_dot_general
             qdg = int8_dot_general
+        elif c.gemm_quant == "int8-static":
+            # Static per-site activation scales (ops/quant.py): setup
+            # runs per apply, so the instance's site cursor starts at 0
+            # for every forward / jit trace. Empty scales are only valid
+            # inside quant.calibration_mode() — except during param INIT,
+            # which must run before any calibration is possible (shapes
+            # don't depend on scale values): route init through the
+            # dynamic dot.
+            from vit_research_tpu.ops.quant import (StaticInt8DotGeneral,
+                                                    int8_dot_general)
+            if not c.gemm_quant_scales and self.is_initializing():
+                qdg = int8_dot_general
+            else:
+                qdg = StaticInt8DotGeneral(c.gemm_quant_scales)
         else:
             qdg = None
         self._quant_dot_general = qdg

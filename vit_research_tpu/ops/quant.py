@@ -26,7 +26,9 @@ reference counterpart — the reference runs f32 throughout
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -105,3 +107,134 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     lc = tuple(a % lhs.ndim for a in lc)
     rc = tuple(a % rhs.ndim for a in rc)
     return _int8_dot_ste(((lc, rc), (lb, rb)), lhs, rhs)
+
+
+# --------------------------------------------------------------- static
+#
+# Dynamic quantization ties bf16 end-to-end because every GEMM pays an
+# abs-max REDUCTION over the activations before it can quantize — a full
+# extra HBM pass that XLA cannot fuse into the producer (BENCH_NOTES.md,
+# "dynamic int8 GEMMs"). The static path removes exactly that cost: the
+# per-site activation scale is a CONSTANT baked into the graph, measured
+# once offline on a calibration batch, so the forward's only quantize
+# work is a round/clip that fuses into the preceding elementwise
+# epilogue. Weight scales stay per-output-channel and in-graph (the
+# weight-side abs-max is over the (D_in,) contraction of a weight tensor
+# — thousands of times smaller than the token-dim activation pass).
+#
+# The scale is per-SITE and per-TENSOR (one scalar per dense layer, in
+# deterministic trace order), coarser than the dynamic path's per-token
+# scales: expect ~2-4x the quantization error, still ~1e-2 relative.
+# Calibration must run EAGERLY (outside jit — the recorder reads
+# concrete values):
+#
+#     cfg = dataclasses.replace(cfg, gemm_quant="int8-static")
+#     model, params = init_vit(cfg, seed=0)
+#     with calibration_mode() as scales:
+#         model.apply(params, sample_images)          # eager forward
+#     cfg = dataclasses.replace(cfg, gemm_quant_scales=tuple(scales))
+#     model, _ = init_vit(cfg, seed=0)                # static, jittable
+
+_calibration = threading.local()
+
+
+@contextlib.contextmanager
+def calibration_mode():
+    """Collect per-site static activation scales from eager forwards.
+
+    Yields a list that fills with one scale per dot-general call site in
+    execution order (multiple forwards under one context max-reduce per
+    site — calibrate over several batches for a safer envelope)."""
+    if getattr(_calibration, "scales", None) is not None:
+        raise RuntimeError("calibration_mode is not reentrant")
+    _calibration.scales = []
+    try:
+        yield _calibration.scales
+    finally:
+        _calibration.scales = None
+
+
+def _static_int8_dot_forward(dimension_numbers, act_scale, lhs, rhs):
+    (lc, rc), _ = dimension_numbers
+    ls = jnp.asarray(act_scale, jnp.float32)
+    rs = _axmax_scale(rhs, rc)
+    lq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / ls),
+                  -127, 127).astype(jnp.int8)
+    rq = jnp.clip(jnp.round(rhs.astype(jnp.float32) / rs),
+                  -127, 127).astype(jnp.int8)
+    out = lax.dot_general(lq, rq, dimension_numbers,
+                          preferred_element_type=jnp.int32)
+    rs_free = jnp.squeeze(rs, axis=rc)
+    out_dtype = jnp.promote_types(lhs.dtype, rhs.dtype)
+    return (out.astype(jnp.float32) * (ls * rs_free)).astype(out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _static_int8_dot_ste(dimension_numbers, act_scale, lhs, rhs):
+    return _static_int8_dot_forward(dimension_numbers, act_scale, lhs, rhs)
+
+
+def _static_ste_fwd(dimension_numbers, act_scale, lhs, rhs):
+    return (_static_int8_dot_forward(dimension_numbers, act_scale, lhs, rhs),
+            (lhs, rhs))
+
+
+def _static_ste_bwd(dimension_numbers, act_scale, res, g):
+    return _ste_bwd(dimension_numbers, res, g)
+
+
+_static_int8_dot_ste.defvjp(_static_ste_fwd, _static_ste_bwd)
+
+
+class StaticInt8DotGeneral:
+    """``lax.dot_general`` replacement with STATIC per-site activation
+    scales, consumed in call order.
+
+    One instance is created per model ``apply`` (flax ``setup`` runs per
+    binding), so the site cursor naturally starts at 0 for every forward
+    — including every distinct jit trace (pad buckets). With EMPTY
+    scales inside :func:`calibration_mode`, each call records
+    ``max|activation| / 127`` into the active list and computes the
+    dynamic-int8 result (so calibration sees int8-conditioned
+    downstream activations); with scales, each call consumes the next
+    one. Empty scales outside calibration is a hard error — silently
+    falling back to dynamic would quietly re-add the cost this path
+    exists to remove."""
+
+    def __init__(self, scales=()):
+        self.scales = tuple(float(s) for s in scales)
+        self._i = 0
+
+    def __call__(self, lhs, rhs, dimension_numbers, precision=None,
+                 preferred_element_type=None):
+        (lc, rc), (lb, rb) = dimension_numbers
+        if lb or rb:
+            raise NotImplementedError(
+                "StaticInt8DotGeneral supports no batch dims")
+        lc = tuple(a % lhs.ndim for a in lc)
+        rc = tuple(a % rhs.ndim for a in rc)
+        dn = ((lc, rc), (lb, rb))
+        recording = getattr(_calibration, "scales", None)
+        if not self.scales:
+            if recording is None:
+                raise ValueError(
+                    "gemm_quant='int8-static' needs calibrated scales: "
+                    "run one eager forward under quant.calibration_mode() "
+                    "and set ViTConfig.gemm_quant_scales to the result")
+            m = float(jnp.max(jnp.abs(lhs.astype(jnp.float32)))) / 127.0
+            m = max(m, 1e-12)
+            if self._i < len(recording):
+                recording[self._i] = max(recording[self._i], m)
+            else:
+                recording.append(m)
+            self._i += 1
+            return _int8_dot_ste(dn, lhs, rhs)
+        if self._i >= len(self.scales):
+            raise ValueError(
+                f"static int8 scales exhausted at call {self._i}: the "
+                f"model makes more dot_general calls than the "
+                f"{len(self.scales)} calibration recorded — re-calibrate "
+                "with the same architecture flags")
+        s = self.scales[self._i]
+        self._i += 1
+        return _static_int8_dot_ste(dn, s, lhs, rhs)

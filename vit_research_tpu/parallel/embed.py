@@ -420,6 +420,7 @@ def make_hf_frame_embedder(params=None, *, spec=None, mesh=None,
                            interpret_pallas: bool = False,
                            tome_r: int = 0,
                            gemm_quant: str | None = None,
+                           gemm_quant_scales=(),
                            grayscale: bool = False) -> EmbeddingEngine:
     """The ``hf_vit_embed_batch`` capability as one engine: ViT-B/16 @224,
     CLS token, L2-normalized (reference: nba_proj/train/training.py:37-60).
@@ -439,7 +440,8 @@ def make_hf_frame_embedder(params=None, *, spec=None, mesh=None,
     if spec is None and grayscale:
         spec = dataclasses.replace(HF_VIT_SPEC, grayscale=True)
     cfg = (dataclasses.replace(HF_VIT_B16_224, tome_r=tome_r,
-                               gemm_quant=gemm_quant)
+                               gemm_quant=gemm_quant,
+                               gemm_quant_scales=tuple(gemm_quant_scales))
            if (tome_r or gemm_quant) else HF_VIT_B16_224)
     model, init_params = init_vit(cfg, seed=seed,
                                   interpret_pallas=interpret_pallas)

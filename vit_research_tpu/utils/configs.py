@@ -127,6 +127,10 @@ class ViTConfig(_Serializable):
     # at ViT-B/16 @224 (197 tokens): r=8 keeps ~2/3 of tokens by the last
     # block, r=13 keeps ~1/3.
     tome_r: int = 0
+    # Static-int8 calibration product (gemm_quant='int8-static'): one
+    # activation scale per dense dot site in trace order, from
+    # ops/quant.calibration_mode(). Empty = not yet calibrated.
+    gemm_quant_scales: tuple = ()
     # Dynamic int8 quantization of the encoder-block GEMMs
     # (ops/quant.py): 'int8' runs qkv/out/mlp contractions as s8xs8->s32
     # on the MXU with per-token/per-channel scales and straight-through
