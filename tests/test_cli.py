@@ -679,6 +679,46 @@ def test_tome_segmentation_boundaries_match_parity(monkeypatch, tmp_path):
     assert parity and tome == parity
 
 
+def test_frame_stride_segmentation_matches_parity(tmp_path):
+    """--frame-stride N (the fast profile's strided embed + interpolate)
+    through the real CLI surface: on the decisive synthetic world the
+    decoded clips match the parity run; --follow combination is refused
+    rather than silently ignored."""
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("none", 4), ("left", 30), ("none", 4),
+                        ("right", 30), ("none", 4)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    for side, a, b in (("none", 1, 4), ("left", 5, 34), ("none", 35, 38),
+                       ("right", 39, 68), ("none", 69, 72)):
+        mi.intervals[side].append((1, a, b))
+    csv_path = str(tmp_path / "manual_intervals.csv")
+    mi.to_csv(csv_path)
+
+    def segment(out_dir, *extra):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", out_dir, "--vid", "1", "--epochs", "150",
+                  "--batch-size", "16", "--min-len", "20", "--pad", "2",
+                  *extra])
+        return {d: sorted(os.listdir(os.path.join(out_dir, d)))
+                for d in sorted(os.listdir(out_dir))
+                if d.startswith("vid1_clip")}
+
+    parity = segment(str(tmp_path / "clips_parity"))
+    strided = segment(str(tmp_path / "clips_strided"),
+                      "--frame-stride", "2")
+    assert parity and strided == parity
+    with pytest.raises(SystemExit, match="frame-stride"):
+        cli.main(["segment", frames_dir, "--method", "knn-hmm",
+                  "--out", str(tmp_path / "x"), "--vid", "1", "--follow",
+                  "--frame-stride", "2", "--db", "nope",
+                  "--corpus-collection", "c"])
+    with pytest.raises(SystemExit, match="frame-stride"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "y"), "--vid", "1",
+                  "--frame-stride", "0"])
+
+
 def test_metrics_command(tmp_path, capsys):
     from vit_research_tpu.utils.metrics import MetricsLogger
 

@@ -26,6 +26,13 @@ def cmd_segment(args):
     # Validate method arguments BEFORE the engine spins up: embedding a
     # whole frames dir (minutes of TPU compile + transfer) only to fail
     # on a missing flag is hostile.
+    if args.frame_stride < 1:
+        raise SystemExit("--frame-stride must be >= 1")
+    if args.frame_stride > 1 and args.follow:
+        # the follow loop embeds incrementally as frames appear; a
+        # silent ignore would report parity-cost numbers as strided
+        raise SystemExit("--frame-stride applies to offline runs only "
+                         "(--follow embeds incrementally)")
     if args.socket:
         if not args.follow:
             raise SystemExit("--socket is the daemon-routed live mode: "
@@ -101,7 +108,19 @@ def cmd_segment(args):
     # after minutes of embedding + segmentation
     scorer = common._live_event_scorer(args, eng)
     frame_paths = [os.path.join(args.frames, f) for f in frames]
-    embs = eng.embed_paths(frame_paths)
+    if args.frame_stride > 1:
+        # Fast profile: embed every Nth frame exactly, linearly
+        # interpolate the rest (parallel/embed.embed_video_strided) —
+        # measured on this pipeline's own metrics: clip F1 1.0, ~1 frame
+        # boundary drift, 0.95 retrieval top-8 overlap at stride 4
+        # (BENCH_NOTES.md "fast-profile quality dossier"); composes with
+        # VRT_TOME_R.
+        from vit_research_tpu.parallel.embed import embed_video_strided
+
+        embs = embed_video_strided(eng, frame_paths,
+                                   stride=args.frame_stride)
+    else:
+        embs = eng.embed_paths(frame_paths)
     if scorer is not None:
         # the clip dirs hold COPIES of these frames under the same
         # basenames — remember the embeddings so scoring does not
@@ -910,6 +929,12 @@ def register(sub):
     sg.add_argument("--batch-size", type=int, default=256)
     sg.add_argument("--min-len", type=int, default=100)
     sg.add_argument("--pad", type=int, default=100)
+    sg.add_argument("--frame-stride", type=int, default=1,
+                    help="fast profile: embed every Nth frame and "
+                         "interpolate between (stride 4 measured 5,992 "
+                         "effective f/s with clip F1 1.0 / ~1 frame "
+                         "boundary drift on the dossier world — "
+                         "BENCH_NOTES.md); offline methods only")
     sg.add_argument("--transitions", default=None,
                     help="JSON with a 3x3 HMM transition matrix (bare "
                     "list or tune-segment output); default is the "

@@ -340,6 +340,22 @@ def preset(name: str) -> ExperimentConfig:
             train=TrainConfig(chunk_size=8, chunk_stride=2, num_epochs=30),
             retrieval=RetrievalConfig(collection="ratt_db_s2", top_k=6),
         ),
+        # FAST profile (no reference counterpart): the speed levers that
+        # meet BASELINE.md's throughput targets, quality-scored on this
+        # pipeline's own metrics (examples/quality_fast_profile.py,
+        # BENCH_NOTES.md "fast-profile quality dossier"): ToMe r=16
+        # (3,630 f/s embed, +54%) measured clip F1 1.0 / retrieval
+        # top-8 overlap 1.0 / event hit@1 == parity on the dossier
+        # world; pair with `cli segment --frame-stride 4` (5,992
+        # effective f/s, F1 1.0, ~1 frame boundary drift, 0.95
+        # retrieval overlap). NON-PARITY: merged-token embeddings drift
+        # from the reference outputs — every embedding one pipeline
+        # compares must come from the same profile.
+        "fast": ExperimentConfig(
+            name="fast",
+            vit=dataclasses.replace(VIT_B16_224, tome_r=16,
+                                    dtype="bfloat16"),
+        ),
         # reference: nba_proj/config_stage3.py:1-109 — stage-2 settings
         # evaluated/continued from a pinned historical run's weights.
         "stage3": ExperimentConfig(
