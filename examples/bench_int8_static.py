@@ -45,7 +45,7 @@ def mark(msg):
     print(f"[int8-static] {msg}", file=sys.stderr, flush=True)
 
 
-def calibrate_cpu(batch: int = 4) -> dict:
+def calibrate_cpu(batch: int = 4, tome_r: int = 0) -> dict:
     """Eager CPU calibration + full-dims accuracy readout (no TPU)."""
     import dataclasses
 
@@ -59,7 +59,7 @@ def calibrate_cpu(batch: int = 4) -> dict:
     from vit_research_tpu.ops.quant import calibration_mode
 
     cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
-                              gemm_quant="int8-static")
+                              gemm_quant="int8-static", tome_r=tome_r)
     model, params = init_vit(cfg, seed=0)
     rng = np.random.default_rng(0)
     # The engine feeds normalized f32 in [-1, 1]-ish; calibrate on the
@@ -93,11 +93,16 @@ def main():
     ap.add_argument("--calibrate-only", action="store_true")
     ap.add_argument("--variant", choices=["all", "parity", "static"],
                     default="all")
+    ap.add_argument("--tome-r", type=int, default=0,
+                    help="stack token merging on the static-int8 engine "
+                         "(composition measurement; calibration re-runs "
+                         "with tome active — merged-token activations "
+                         "have their own ranges)")
     ap.add_argument("--batch", type=int, default=512)
     args = ap.parse_args()
 
     if args.calibrate_only:
-        print(json.dumps(calibrate_cpu()), flush=True)
+        print(json.dumps(calibrate_cpu(tome_r=args.tome_r)), flush=True)
         return
 
     # 1. CPU calibration in a subprocess (this process must keep its
@@ -106,7 +111,8 @@ def main():
     env = dict(os.environ, VRT_PLATFORM="cpu")
     env.pop("VRT_WINDOW_S", None)  # the guard clock belongs to US
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--calibrate-only"],
+        [sys.executable, os.path.abspath(__file__), "--calibrate-only",
+         "--tome-r", str(args.tome_r)],
         capture_output=True, text=True, timeout=3600, env=env)
     if r.returncode != 0:
         raise SystemExit(f"calibration failed:\n{r.stderr[-2000:]}")
@@ -120,17 +126,18 @@ def main():
     from bench import measure_embed_throughput
 
     out = {"metric": "int8_static_embed", "batch": args.batch,
+           "tome_r": args.tome_r,
            "cpu_cos_vs_parity_mean": calib["cos_vs_parity_mean"],
            "cpu_cos_vs_parity_min": calib["cos_vs_parity_min"]}
     if args.variant in ("all", "parity"):
-        mark("measuring parity (bf16)")
-        p = measure_embed_throughput(batch=args.batch)
+        mark(f"measuring baseline (bf16, tome_r={args.tome_r})")
+        p = measure_embed_throughput(tome_r=args.tome_r, batch=args.batch)
         out["parity_fps"] = p["frames_per_sec"]
         out["parity_compile_s"] = p["compile_s"]
         _window.checkpoint("post-parity", 400.0)
     if args.variant in ("all", "static"):
-        mark("measuring int8-static")
-        s = measure_embed_throughput(batch=args.batch,
+        mark(f"measuring int8-static (tome_r={args.tome_r})")
+        s = measure_embed_throughput(tome_r=args.tome_r, batch=args.batch,
                                      gemm_quant="int8-static",
                                      gemm_quant_scales=scales)
         out["int8_static_fps"] = s["frames_per_sec"]

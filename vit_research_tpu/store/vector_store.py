@@ -30,6 +30,14 @@ writes go through write-tmp + ``os.replace`` so readers never observe a
 torn file, and segment files not yet listed in the manifest are ignored
 (crash between segment write and manifest update loses only that delta).
 ``upsert`` is idempotent like the reference's (SURVEY.md section 5.3).
+
+Capacity guidance (measured at 5M x 768 f32, BENCH_NOTES.md "store
+housekeeping at capacity scale"): a 1%-delta flush is ~2 s; a
+compaction (full snapshot rewrite) is ~150 s and peaks at ~3x the
+corpus bytes of RSS. Size in-memory collections so corpus x 3 fits
+RAM (~13M f32 768-d rows on a 125 GB host); beyond that use the
+out-of-core IVF spill (store/ivf.py) or int8 device corpora
+(``device_quant='int8'``, 1/4 the bytes).
 """
 
 from __future__ import annotations
