@@ -1178,3 +1178,13 @@ def test_restore_failure_is_fatal_even_nonstrict(tmp_path, monkeypatch):
     with pytest.raises(scoring.ScoringUnavailable, match="failed"):
         scoring.restore_best("stage-1", str(tmp_path / "ck"), "stage1_x",
                              strict=False)
+
+
+def test_frame_stride_write_back_refused(tmp_path):
+    """--frame-stride + --write-back would persist interpolated rows
+    into the corpus — refused before any work (review r4)."""
+    with pytest.raises(SystemExit, match="write-back"):
+        cli.main(["segment", str(tmp_path), "--method", "knn-hmm",
+                  "--db", "d", "--corpus-collection", "c",
+                  "--out", str(tmp_path / "o"), "--vid", "1",
+                  "--frame-stride", "4", "--write-back"])

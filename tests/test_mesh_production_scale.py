@@ -23,6 +23,7 @@ HF ViT-B/16 the reference loads) and training_stage2.py:998-1074 (the
 stage-2 step graph).
 """
 
+import contextlib
 import dataclasses
 
 import jax
@@ -116,7 +117,7 @@ def test_stage2_mesh_train_production_dims():
         opt = tx.init(p)
         step, _ = make_step_fns(head, tx, pos_weight)
         out_losses, r = [], jax.random.PRNGKey(1)
-        ctx = mesh if shard else _nullcontext()
+        ctx = mesh if shard else contextlib.nullcontext()
         with ctx:
             for _ in range(steps):
                 r, sub = jax.random.split(r)
@@ -133,11 +134,3 @@ def test_stage2_mesh_train_production_dims():
     # Same math, different partitioning: trajectories must agree to f32
     # reduction-order tolerance at 768-d.
     np.testing.assert_allclose(sharded_losses, single_losses, rtol=2e-4)
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False

@@ -282,11 +282,12 @@ class TestStaticInt8:
             model.apply(params, img)
 
     def test_scale_count_mismatch_is_a_hard_error(self):
-        model_s, params, img = self._calibrated()
+        # too few scales — caught by the setup-time site-count check
+        # (which also guards the too-many direction, tested below),
+        # failing fast at param init before any apply
         cfg = dataclasses.replace(self._small(gemm_quant="int8-static"),
                                   gemm_quant_scales=(0.1, 0.2))
-        # fails fast — already at param init, before any apply
-        with pytest.raises(ValueError, match="exhausted"):
+        with pytest.raises(ValueError, match="18 dense dot sites"):
             init_vit(cfg, seed=0)
 
     def test_static_close_to_dynamic_int8(self):
@@ -313,3 +314,11 @@ class TestStaticInt8:
         g = jax.grad(loss)(w)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).max()) > 0
+
+    def test_wrong_architecture_scales_rejected(self):
+        # too MANY scales = calibration from a different architecture —
+        # must be as hard an error as too few (review r4)
+        cfg = dataclasses.replace(self._small(gemm_quant="int8-static"),
+                                  gemm_quant_scales=tuple([0.04] * 72))
+        with pytest.raises(ValueError, match="different architecture"):
+            init_vit(cfg, seed=0)

@@ -2183,3 +2183,50 @@ def test_serve_ctl_reload_weights_cli(seg_server, score_world, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["ok"] and out["generation"] == 1
     assert out["reloaded"][0]["chunk_size"] == score_world["chunk_size"]
+
+
+def test_reload_weights_dims_require_full_target(seg_server):
+    """Dims without the full id triple would be silently discarded —
+    refuse instead (review r4)."""
+    sock, _ = seg_server
+    r = request(sock, {"op": "reload_weights", "stage2_run_id": "x",
+                       "chunk_size": 16})
+    assert not r["ok"] and "preload target" in r["error"]
+
+
+def test_scoring_session_bad_stride_rejected_before_restore(seg_server,
+                                                            score_world):
+    """A non-positive chunk_stride fails BEFORE the checkpoint restore:
+    no scorer stack may be cached by the rejected request (review r4)."""
+    from vit_research_tpu.serve import SessionClient
+
+    sock, _ = seg_server
+    with SessionClient(sock) as c:
+        bad = dict(score_world, chunk_stride=0)
+        r = c.request({"op": "segment_start", "k": 5,
+                       "score_events": bad})
+        assert not r["ok"] and "chunk_stride" in r["error"]
+    stats = request(sock, {"op": "stats"})
+    assert stats["scorer_stacks"] == 0
+
+
+def test_reload_weights_pinned_counts_only_scoring_sessions(seg_server,
+                                                            score_world):
+    """active_sessions_pinned counts sessions holding a weight stack —
+    a plain (non-scored) segment session has no weights to pin."""
+    from vit_research_tpu.serve import SessionClient
+
+    sock, _ = seg_server
+    with SessionClient(sock) as c:
+        assert c.request({"op": "segment_start", "k": 5, "min_len": 20,
+                          "pad": 2, "max_lag": 64})["ok"]
+        r = request(sock, {
+            "op": "reload_weights", "ckpt": score_world["ckpt"],
+            "stage1_run_id": score_world["stage1_run_id"],
+            "stage2_run_id": score_world["stage2_run_id"],
+            "chunk_size": score_world["chunk_size"],
+            "k_sim": score_world["k_sim"],
+            "k_contrast": score_world["k_contrast"],
+            "k_temporal": score_world["k_temporal"]})
+        assert r["ok"] and r["active_sessions_pinned"] == 0
+        c.request({"op": "segment_finish"})

@@ -33,6 +33,14 @@ def cmd_segment(args):
         # silent ignore would report parity-cost numbers as strided
         raise SystemExit("--frame-stride applies to offline runs only "
                          "(--follow embeds incrementally)")
+    if args.frame_stride > 1 and getattr(args, "write_back", False):
+        # interpolated rows are not real embeddings; upserting them as
+        # 'confident' corpus rows would contaminate every future run
+        # that ranks against the collection
+        raise SystemExit(
+            "--frame-stride cannot combine with --write-back: N-1 of "
+            "every N rows are interpolations, not embeddings, and "
+            "write-back would persist them into the corpus")
     if args.socket:
         if not args.follow:
             raise SystemExit("--socket is the daemon-routed live mode: "

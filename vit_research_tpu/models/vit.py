@@ -283,6 +283,18 @@ class VisionTransformer(nn.Module):
             # dynamic dot.
             from vit_research_tpu.ops.quant import (StaticInt8DotGeneral,
                                                     int8_dot_general)
+            expected = 6 * c.num_layers  # qkv(3) + out + fc1 + fc2 per block
+            if c.gemm_quant_scales and len(c.gemm_quant_scales) != expected:
+                # Exhaustion catches too FEW scales; too MANY would
+                # silently apply a different architecture's calibration
+                # (e.g. a 72-site ViT-B file against the 6-site tiny
+                # model) — both directions must be hard errors.
+                raise ValueError(
+                    f"gemm_quant_scales has {len(c.gemm_quant_scales)} "
+                    f"entries but this {c.num_layers}-layer model has "
+                    f"{expected} dense dot sites — the calibration came "
+                    "from a different architecture; re-calibrate with "
+                    "the same flags")
             if not c.gemm_quant_scales and self.is_initializing():
                 qdg = int8_dot_general
             else:

@@ -461,6 +461,7 @@ class EmbedServer:
             "requests": {}, "errors": 0, "frames_embedded": 0,
             "segment": {"sessions_started": 0, "sessions_finished": 0,
                         "sessions_abandoned": 0, "sessions_active": 0,
+                        "scoring_active": 0,
                         "frames_pushed": 0, "clips_emitted": 0,
                         "events_scored": 0, "event_errors": 0},
         }
@@ -609,6 +610,13 @@ class EmbedServer:
         # other session's pushes, cf. _corpus_snapshot); only the model
         # init below runs under it.
         col = scoring.open_collection(cfg["db"], cfg["collection"])
+        # Validate the cheap scalar config BEFORE the expensive restore:
+        # a chunk_stride of 0 must not pay a checkpoint restore + device
+        # init (under the device lock) only to be rejected by
+        # make_live_scorer afterwards.
+        if num("chunk_size", 8) < 1 or num("chunk_stride", 2) < 1:
+            raise ValueError(
+                "score_events needs positive chunk_size and chunk_stride")
         key = (str(cfg["ckpt"]), str(cfg["stage1_run_id"]),
                str(cfg["stage2_run_id"]), num("chunk_size", 8),
                num("k_sim", 8), num("k_contrast", 8), num("k_temporal", 4))
@@ -789,6 +797,7 @@ class EmbedServer:
             session["segment_score"] = {
                 "scorer": scorer, "refs": [], "clips": 0,
                 "vid": score_vid, "weights_generation": weights_gen}
+            self._count("segment", "scoring_active")
         self._count("segment", "sessions_started")
         self._count("segment", "sessions_active")
         resp = {"ok": True, "corpus_size": seg.corpus_size,
@@ -855,7 +864,8 @@ class EmbedServer:
         if events is not None:
             resp["events"] = events
         session.pop("segment")
-        session.pop("segment_score", None)
+        if session.pop("segment_score", None) is not None:
+            self._count("segment", "scoring_active", n=-1)
         self._unpin_write_back(session)
         self._count("segment", "sessions_finished")
         self._count("segment", "sessions_active", n=-1)
@@ -1030,6 +1040,16 @@ class EmbedServer:
         ckpt = req.get("ckpt")
         s1 = req.get("stage1_run_id")
         s2 = req.get("stage2_run_id")
+        dim_keys = ("chunk_size", "k_sim", "k_contrast", "k_temporal")
+        if (any(req.get(k) is not None for k in dim_keys)
+                and not (ckpt and s1 and s2)):
+            # The dims only parameterize a PRELOAD target; without the
+            # full id triple they would be silently discarded and the
+            # operator would believe the reload was scoped by them.
+            raise ValueError(
+                "chunk_size/k_sim/k_contrast/k_temporal only apply when "
+                "ckpt, stage1_run_id and stage2_run_id are all given "
+                "(they parameterize the preload target, not a filter)")
         with self._weights_lock:
             keys = list(self._scorer_stacks)
         if ckpt and s1 and s2:
@@ -1070,7 +1090,9 @@ class EmbedServer:
             for k, stack in fresh.items():
                 self._scorer_stacks[k] = (gen, stack)
         with self._stats_lock:
-            pinned = self._stats["segment"]["sessions_active"]
+            # Only SCORING sessions hold a weight stack; plain segment
+            # sessions have no weights to pin.
+            pinned = self._stats["segment"]["scoring_active"]
         return {"ok": True, "generation": gen,
                 "reloaded": [{"ckpt": k[0], "stage1_run_id": k[1],
                               "stage2_run_id": k[2], "chunk_size": k[3],
@@ -1084,7 +1106,8 @@ class EmbedServer:
         account it so the active gauge can't leak upward forever."""
         if session.get("segment") is not None:
             session.pop("segment", None)
-            session.pop("segment_score", None)
+            if session.pop("segment_score", None) is not None:
+                self._count("segment", "scoring_active", n=-1)
             self._unpin_write_back(session)
             self._count("segment", "sessions_abandoned")
             self._count("segment", "sessions_active", n=-1)
