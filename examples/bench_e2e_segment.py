@@ -66,8 +66,32 @@ route_platform()
 
 
 def build_engine(mode: str, batch: int, tiny: bool = False):
-    tome_r = (2 if tiny else 16) if mode == "tome" else 0
-    return _build_engine(batch, tiny=tiny, tome_r=tome_r)
+    tome_r = (2 if tiny else 16) if mode in ("tome", "fast") else 0
+    quant, scales = None, ()
+    if mode == "fast" and not tiny:  # tiny smoke: tome-only (no 7-min calib)
+        # The full fast stack: ToMe r=16 + static-int8 GEMMs (+ strided
+        # embed in the caller). Scales calibrate in a CPU subprocess
+        # exactly like bench_int8_static (eager forwards must not run
+        # over the TPU tunnel).
+        import subprocess
+
+        env = dict(os.environ, VRT_PLATFORM="cpu")
+        env.pop("VRT_WINDOW_S", None)
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_int8_static.py"),
+             "--calibrate-only", "--tome-r", str(tome_r)],
+            capture_output=True, text=True, timeout=3600, env=env)
+        if r.returncode != 0:
+            raise SystemExit(f"calibration failed:\n{r.stderr[-2000:]}")
+        scales = tuple(json.loads(r.stdout.strip().splitlines()[-1])["scales"])
+        quant = "int8-static"
+        print(f"[e2e] calibrated {len(scales)} int8-static sites",
+              file=sys.stderr, flush=True)
+    return _build_engine(batch, tiny=tiny, tome_r=tome_r,
+                         **({"gemm_quant": quant,
+                             "gemm_quant_scales": scales} if quant else {}))
 
 
 def _ensure_frames(frames_dir: str, n: int, src_hw: tuple) -> list:
@@ -256,7 +280,8 @@ def run_decode_mode(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["parity", "strided", "tome", "both"],
+    ap.add_argument("--mode",
+                    choices=["parity", "strided", "tome", "fast", "both"],
                     default="parity",
                     help="'both' (only with --decode) measures parity AND "
                          "strided in one process (one backend-init)")
@@ -374,7 +399,7 @@ def main():
     _ = int(jnp.asarray(_i)[0, 0])
     warm_probs = np.abs(rng.normal(size=(n, 3))).astype(np.float32) + 1e-3
     smooth_probabilities(warm_probs / warm_probs.sum(1, keepdims=True))
-    if args.mode == "strided":
+    if args.mode in ("strided", "fast"):
         # Warm the EXACT key-assembly signature the timed section runs:
         # an n_key_dispatch-part concatenate + [:n_keys] slice + interp
         # (parity's 36-part concat is already warmed by building the
@@ -392,7 +417,7 @@ def main():
 
     # ---- embed ----------------------------------------------------------
     t0 = time.time()
-    if args.mode == "strided":
+    if args.mode in ("strided", "fast"):
         # Key layout per strided_interp_device: [0, stride, ..., n-stride,
         # n-1] for stride>1 (tail key), every frame (no tail) at stride 1.
         n_keys = n // args.stride + (1 if args.stride > 1 else 0)

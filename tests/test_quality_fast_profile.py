@@ -31,7 +31,7 @@ def test_tiny_dossier_end_to_end(tmp_path):
     rows = [json.loads(line) for line in open(out)]
     by_name = {row["variant"]: row for row in rows}
     assert set(by_name) == {"parity", "tome2", "strided2",
-                            "tome2_strided2"}
+                            "tome2_strided2", "int8static"}
     par = by_name["parity"]
     # parity vs itself is exact by construction
     assert par["fidelity_cos_mean"] == 1.0

@@ -125,6 +125,11 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
 # The scale is per-SITE and per-TENSOR (one scalar per dense layer, in
 # deterministic trace order), coarser than the dynamic path's per-token
 # scales: expect ~2-4x the quantization error, still ~1e-2 relative.
+# CALIBRATION COVERAGE MATTERS: scales calibrated on random pixels
+# measured 0.9884 mean cosine vs f32 on structured frames, vs 0.99986
+# when calibrated on 8 representative frames of the same world
+# (BENCH_NOTES.md "static-int8 calibration coverage") — always
+# calibrate on frames drawn from the distribution you will embed.
 # Calibration must run EAGERLY (outside jit — the recorder reads
 # concrete values):
 #
