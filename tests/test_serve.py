@@ -1492,6 +1492,33 @@ def test_daemon_mixed_concurrency_stress(engine, seg_world, score_world,
         threading.Thread(target=stats_poller, args=("p1",)),
         threading.Thread(target=bad_client, args=("b1",)),
     ]
+
+    def reload_client(key):
+        # Concurrent weight rollouts mid-traffic: preload (always valid,
+        # independent of session timing) then two bare reloads. The
+        # checkpoint on disk is unchanged, so scored sessions must still
+        # match their solo results below whether they bound the stack
+        # before or after a swap — pinning AND the swap itself exercised
+        # under full lock interleaving.
+        try:
+            with SessionClient(sock, timeout=120) as c:
+                r = c.request({
+                    "op": "reload_weights", "ckpt": score_world["ckpt"],
+                    "stage1_run_id": score_world["stage1_run_id"],
+                    "stage2_run_id": score_world["stage2_run_id"],
+                    "chunk_size": score_world["chunk_size"],
+                    "k_sim": score_world["k_sim"],
+                    "k_contrast": score_world["k_contrast"],
+                    "k_temporal": score_world["k_temporal"]})
+                assert r["ok"], r
+                for _ in range(2):
+                    time_mod.sleep(0.05)
+                    assert c.request({"op": "reload_weights"})["ok"]
+            results[key] = True
+        except Exception as e:  # pragma: no cover
+            errs.append((key, e))
+
+    threads.append(threading.Thread(target=reload_client, args=("w1",)))
     for th in threads:
         th.start()
     for th in threads:
