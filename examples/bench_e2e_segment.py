@@ -72,23 +72,36 @@ def build_engine(mode: str, batch: int, tiny: bool = False):
         # The full fast stack: ToMe r=16 + static-int8 GEMMs (+ strided
         # embed in the caller). Scales calibrate in a CPU subprocess
         # exactly like bench_int8_static (eager forwards must not run
-        # over the TPU tunnel).
-        import subprocess
+        # over the TPU tunnel); the result is deterministic (seed 0,
+        # fixed inputs), so it is cached on disk — a --warmup run plus
+        # the measured run must not pay the eager ViT-B calibration
+        # twice.
+        cache = f"/tmp/vrt_int8_scales_tome{tome_r}.json"
+        if os.path.exists(cache):
+            with open(cache) as f:
+                scales = tuple(json.load(f)["scales"])
+            print(f"[e2e] loaded {len(scales)} cached int8-static sites "
+                  f"from {cache}", file=sys.stderr, flush=True)
+        else:
+            import subprocess
 
-        env = dict(os.environ, VRT_PLATFORM="cpu")
-        env.pop("VRT_WINDOW_S", None)
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "bench_int8_static.py"),
-             "--calibrate-only", "--tome-r", str(tome_r)],
-            capture_output=True, text=True, timeout=3600, env=env)
-        if r.returncode != 0:
-            raise SystemExit(f"calibration failed:\n{r.stderr[-2000:]}")
-        scales = tuple(json.loads(r.stdout.strip().splitlines()[-1])["scales"])
+            env = dict(os.environ, VRT_PLATFORM="cpu")
+            env.pop("VRT_WINDOW_S", None)
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_int8_static.py"),
+                 "--calibrate-only", "--tome-r", str(tome_r)],
+                capture_output=True, text=True, timeout=3600, env=env)
+            if r.returncode != 0:
+                raise SystemExit(f"calibration failed:\n{r.stderr[-2000:]}")
+            scales = tuple(
+                json.loads(r.stdout.strip().splitlines()[-1])["scales"])
+            with open(cache, "w") as f:
+                json.dump({"scales": list(scales), "tome_r": tome_r}, f)
+            print(f"[e2e] calibrated {len(scales)} int8-static sites "
+                  f"(cached to {cache})", file=sys.stderr, flush=True)
         quant = "int8-static"
-        print(f"[e2e] calibrated {len(scales)} int8-static sites",
-              file=sys.stderr, flush=True)
     return _build_engine(batch, tiny=tiny, tome_r=tome_r,
                          **({"gemm_quant": quant,
                              "gemm_quant_scales": scales} if quant else {}))
@@ -284,7 +297,10 @@ def main():
                     choices=["parity", "strided", "tome", "fast", "both"],
                     default="parity",
                     help="'both' (only with --decode) measures parity AND "
-                         "strided in one process (one backend-init)")
+                         "strided in one process (one backend-init); "
+                         "'fast' = ToMe r=16 + static-int8 GEMMs + "
+                         "strided embed, device-resident only (no "
+                         "--decode)")
     ap.add_argument("--frames", type=int, default=18432,
                     help="video length (default ~10 min @30fps, 36 batches)")
     ap.add_argument("--batch", type=int, default=512)
@@ -320,6 +336,9 @@ def main():
 
     if args.mode == "both" and not args.decode:
         ap.error("--mode both is only meaningful with --decode")
+    if args.decode and args.mode == "fast":
+        ap.error("--mode fast is the device-resident fast stack; the "
+                 "decode-included path supports parity/strided/both")
     if args.decode:
         return run_decode_mode(args)
 

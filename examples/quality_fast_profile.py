@@ -215,7 +215,8 @@ def variant_defs(tiny: bool):
             ("tome13", 13, 1, None), ("tome16", 16, 1, None),
             ("strided4", 0, 4, None), ("tome16_strided4", 16, 4, None),
             ("int8static", 0, 1, "int8-static"),
-            ("tome16_int8static", 16, 1, "int8-static")]
+            ("tome16_int8static", 16, 1, "int8-static"),
+            ("tome16_int8static_strided4", 16, 4, "int8-static")]
 
 
 def embed_variant(engines, tome_r, stride, quant, paths):
@@ -370,12 +371,26 @@ def main():
     defs = variant_defs(args.tiny)
     if args.only:
         want = {v.strip() for v in args.only.split(",")} | {"parity"}
+        known = {d[0] for d in defs}
+        unknown = want - known
+        if unknown:
+            raise SystemExit(
+                f"--only: unknown variant(s) {sorted(unknown)} "
+                f"(have: {sorted(known)})")
         defs = [d for d in defs if d[0] in want]
     engines = {}
-    # Calibration frames: a spread of vid-1 frames covering every side
-    # and the event marker (calibration coverage matters — see
-    # build_engine); vid 2 stays held out.
-    calib_paths = world["frames"][1][::max(len(world["frames"][1]) // 8, 1)]
+    # Calibration frames: per vid-1 possession, its first frame (side
+    # signal) AND a mid-event frame (the marker block) — the two
+    # activation regimes scoring will see; vid 2 stays held out.
+    # (Calibration coverage matters — see build_engine; an even [::N]
+    # stride missed every event span.)
+    calib_paths = []
+    for (vid, _clip), (_first, _side, cpaths) in sorted(
+            world["clip_ranges"].items()):
+        if vid != 1:
+            continue
+        mid_event = min((2 if args.tiny else 18) + 2, len(cpaths) - 1)
+        calib_paths += [cpaths[0], cpaths[mid_event]]
     for _, r, _, q in defs:
         if (r, q) not in engines:
             engines[(r, q)] = build_engine(r, tiny=args.tiny, quant=q,
@@ -476,6 +491,8 @@ def main():
         t0 = time.monotonic()
         row = {"variant": name, "tome_r": r, "stride": stride,
                "gemm_quant": q}
+        if q:
+            row["calibration"] = "representative-frames"
         # fidelity vs parity
         cos = np.sum(embs[name][2] * embs["parity"][2], axis=1)
         row["fidelity_cos_mean"] = round(float(cos.mean()), 4)
