@@ -1188,3 +1188,29 @@ def test_frame_stride_write_back_refused(tmp_path):
                   "--db", "d", "--corpus-collection", "c",
                   "--out", str(tmp_path / "o"), "--vid", "1",
                   "--frame-stride", "4", "--write-back"])
+
+
+def test_calibrate_int8_cli(tmp_path, capsys):
+    """cli calibrate-int8: representative frames -> scales.json that the
+    int8-static engine env accepts end-to-end."""
+    import json
+
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(frames_dir, 1, [("left", 12)],
+                                 size=(32, 32))
+    out = str(tmp_path / "scales.json")
+    cli.main(["calibrate-int8", frames_dir, "--out", out, "--n-frames", "4"])
+    blob = json.loads(open(out).read())
+    assert len(blob["scales"]) == 6  # tiny 1-layer model: 6 dense sites
+    assert blob["n_frames"] == 4
+    assert "VRT_GEMM_SCALES" in capsys.readouterr().out
+    # the produced file drives the engine env (the round-trip the help
+    # text advertises)
+    os.environ["VRT_GEMM_QUANT"] = "int8-static"
+    os.environ["VRT_GEMM_SCALES"] = out
+    try:
+        eng = cli._engine(batch_size=8)
+        e = eng.embed_batch(np.zeros((2, 32, 32, 3), np.uint8))
+        assert e.shape == (2, 32) and np.isfinite(e).all()
+    finally:
+        del os.environ["VRT_GEMM_QUANT"], os.environ["VRT_GEMM_SCALES"]

@@ -1,5 +1,5 @@
 """Data production commands: extract-frames, write-frame-db,
-write-embeddings, build-frame-store."""
+write-embeddings, build-frame-store, calibrate-int8."""
 
 from __future__ import annotations
 
@@ -20,6 +20,67 @@ def cmd_extract_frames(args):
                            size=(args.height, args.width), every=args.every,
                            frame_range=frame_range)
     print(f"wrote {len(paths)} frames to {args.out}")
+
+
+def cmd_calibrate_int8(args):
+    """Produce the static-int8 activation scales for
+    VRT_GEMM_QUANT=int8-static (ops/quant.py): one eager forward over
+    REPRESENTATIVE frames records one scale per dense dot site.
+    Calibration coverage matters — scales from unrepresentative frames
+    measured 0.9884 cosine vs f32 where representative frames give
+    0.99986 (BENCH_NOTES.md "static-int8 calibration coverage") — so
+    pass frames drawn from the footage you will embed. Runs on CPU
+    (eager forwards over a TPU link cost minutes and gain nothing:
+    scales are just floats)."""
+    import dataclasses
+    import json
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from vit_research_tpu.data import naming
+    from vit_research_tpu.data.preprocess import load_frames
+    from vit_research_tpu.models.vit import init_vit
+    from vit_research_tpu.ops.quant import calibration_mode
+
+    frames = naming.list_frames(args.frames)
+    if not frames:
+        raise SystemExit(f"no frames found under {args.frames}")
+    step = max(len(frames) // max(args.n_frames, 1), 1)
+    picked = [os.path.join(args.frames, f) for f in frames[::step]]
+    picked = picked[: args.n_frames]
+
+    if os.environ.get("VRT_TINY"):
+        from vit_research_tpu.data.preprocess import PreprocessSpec
+        from vit_research_tpu.utils.configs import ViTConfig
+
+        cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
+                        num_layers=1, num_heads=2, mlp_dim=64,
+                        use_flash_attention=False, tome_r=args.tome_r,
+                        gemm_quant="int8-static")
+        spec = PreprocessSpec(size=(32, 32))
+    else:
+        from vit_research_tpu.data.preprocess import HF_VIT_SPEC
+        from vit_research_tpu.models.hf_import import HF_VIT_B16_224
+
+        cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
+                                  tome_r=args.tome_r,
+                                  gemm_quant="int8-static")
+        spec = HF_VIT_SPEC
+    model, params = init_vit(cfg, seed=0)
+    imgs = load_frames(picked, spec)
+    print(f"calibrating on {len(imgs)} frames (tome_r={args.tome_r}, "
+          "eager CPU forward)...", flush=True)
+    with calibration_mode() as scales:
+        model.apply(params, imgs)
+    with open(args.out, "w") as f:
+        json.dump({"scales": [float(s) for s in scales],
+                   "tome_r": args.tome_r, "n_frames": len(imgs),
+                   "frames_dir": os.path.abspath(args.frames)}, f)
+    print(f"wrote {len(scales)} site scales -> {args.out}\n"
+          f"use: VRT_GEMM_QUANT=int8-static VRT_GEMM_SCALES={args.out} "
+          "vit-research-tpu <command>")
 
 
 def cmd_write_frame_db(args):
@@ -121,6 +182,19 @@ def register(sub):
                     help="e.g. 'out/{cls}_embeddings.npz'")
     we.add_argument("--batch-size", type=int, default=256)
     we.set_defaults(fn=cmd_write_embeddings)
+
+    ci = sub.add_parser(
+        "calibrate-int8",
+        help="record static-int8 activation scales from representative "
+             "frames (VRT_GEMM_QUANT=int8-static + VRT_GEMM_SCALES)")
+    ci.add_argument("frames", help="frames dir; an even spread of "
+                                   "--n-frames is sampled")
+    ci.add_argument("--out", required=True, help="scales JSON path")
+    ci.add_argument("--n-frames", type=int, default=8)
+    ci.add_argument("--tome-r", type=int, default=0,
+                    help="calibrate with token merging active (merged-"
+                         "token activations have their own ranges)")
+    ci.set_defaults(fn=cmd_calibrate_int8)
 
     bs = sub.add_parser("build-frame-store")
     common.world_args(bs)
