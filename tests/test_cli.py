@@ -1214,3 +1214,103 @@ def test_calibrate_int8_cli(tmp_path, capsys):
         assert e.shape == (2, 32) and np.isfinite(e).all()
     finally:
         del os.environ["VRT_GEMM_QUANT"], os.environ["VRT_GEMM_SCALES"]
+
+
+
+# ---- embedding-profile fencing (fast-profile guard) ------------------------
+
+
+def test_embedding_profile_roundtrip_and_stamp(tmp_path):
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine",
+                       "vrt:embedding_profile": "tome0|quant-none|gray0"})
+    col.upsert(["a"], np.ones((1, 4), np.float32))
+    client.flush()
+    col2 = PersistentClient(db, autoflush=False).get_collection("c")
+    assert col2.embedding_profile == "tome0|quant-none|gray0"
+    col2.stamp_embedding_profile("tome0|quant-none|gray0")  # equal: no-op
+    with pytest.raises(ValueError, match="mixing embedding spaces"):
+        col2.stamp_embedding_profile("tome16|quant-none|gray0")
+    # unknown-profile collections stamp on first write
+    col3 = PersistentClient(db, autoflush=False).get_or_create_collection("d")
+    assert col3.embedding_profile is None
+    col3.stamp_embedding_profile("p1")
+    assert col3.embedding_profile == "p1"
+
+
+def test_profile_fencing_cli(tmp_path, monkeypatch, capsys):
+    """write-frame-db stamps the engine profile; a cross-profile segment
+    warns; a cross-profile self-label --upsert refuses."""
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("none", 4), ("left", 30), ("none", 4),
+                        ("right", 30), ("none", 4)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    for side, a, b in (("none", 1, 4), ("left", 5, 34), ("none", 35, 38),
+                       ("right", 39, 68), ("none", 69, 72)):
+        mi.intervals[side].append((1, a, b))
+    csv_path = str(tmp_path / "manual.csv")
+    mi.to_csv(csv_path)
+    db = str(tmp_path / "db")
+
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    col = PersistentClient(db, autoflush=False).get_collection("corpus")
+    assert col.embedding_profile == "tiny|tome0|quant-none|gray0"
+    capsys.readouterr()
+
+    # same profile: no warning
+    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", str(tmp_path / "c0"), "--vid", "1",
+              "--min-len", "20", "--pad", "2", "--batch-size", "16"])
+    assert "WARNING" not in capsys.readouterr().err
+
+    # cross-profile read: loud warning, still runs
+    monkeypatch.setenv("VRT_TOME_R", "2")
+    cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+              "--corpus-collection", "corpus", "--k", "5",
+              "--out", str(tmp_path / "c1"), "--vid", "1",
+              "--min-len", "20", "--pad", "2", "--batch-size", "16"])
+    err = capsys.readouterr().err
+    assert "embedding profile" in err and "tome2" in err
+
+    # cross-profile WRITE: refused outright
+    with pytest.raises(SystemExit, match="mixing embedding spaces"):
+        cli.main(["self-label", frames_dir, "--db", db,
+                  "--collection", "corpus", "--out",
+                  str(tmp_path / "sl.csv"), "--k", "5", "--min-votes", "4",
+                  "--batch-size", "16", "--upsert"])
+
+
+def test_profile_inherited_by_store_derived_collections(tmp_path, capsys):
+    """build-frame-store records the profile; write-ratt-db /
+    write-rag-db collections inherit the STORE's profile (the frames
+    were embedded at store-build time)."""
+    template, clip_labels, _ = synthetic.make_mini_dataset(
+        str(tmp_path), vids=(1,), clips_per_vid=2, frames_per_clip=8,
+        size=(32, 32))
+    labels_mod.save_clip_labels(clip_labels, str(tmp_path / "labels.csv"))
+    store_dir = str(tmp_path / "store")
+    cli.main(["build-frame-store", "--clip-root", template,
+              "--vids", "1", "--clip-labels", str(tmp_path / "labels.csv"),
+              "--out", store_dir, "--chunk-size", "6", "--chunk-stride",
+              "3", "--batch-size", "16"])
+    from vit_research_tpu.db.frame_store import FrameStore
+
+    store = FrameStore(store_dir).open()
+    assert store.embedding_profile == "tiny|tome0|quant-none|gray0"
+    db = str(tmp_path / "db")
+    ckpt = str(tmp_path / "ckpts")
+    cli.main(["write-ratt-db", "--store", store_dir, "--ckpt", ckpt,
+              "--db", db, "--collection", "ratt_db"])
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    col = PersistentClient(db, autoflush=False).get_collection("ratt_db")
+    assert col.embedding_profile == "tiny|tome0|quant-none|gray0"

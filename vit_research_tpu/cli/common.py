@@ -95,6 +95,52 @@ def _engine(preset: str = "hf", batch_size: int = 256):
                                   grayscale=grayscale)
 
 
+def engine_profile() -> str:
+    """Canonical string for the CURRENT embedding settings (the env
+    toggles _engine reads): collections stamp it at write time
+    (vector_store.Collection.stamp_embedding_profile) and read-side
+    commands warn when querying across profiles — embeddings from
+    different settings live in different spaces and rank garbage
+    against each other."""
+    raw_tome = os.environ.get("VRT_TOME_R", "").strip()
+    tome = raw_tome if raw_tome else "0"
+    quant = os.environ.get("VRT_GEMM_QUANT", "").strip() or "none"
+    gray = "1" if os.environ.get("VRT_GRAYSCALE", "").strip() \
+        not in ("", "0") else "0"
+    tiny = "tiny|" if os.environ.get("VRT_TINY") else ""
+    return f"{tiny}tome{tome}|quant-{quant}|gray{gray}"
+
+
+def check_embedding_profile(col, what: str = "collection") -> None:
+    """Warn (stderr) when querying a collection whose stored profile
+    differs from the current engine settings. A warning, not an error:
+    cross-profile reads are usually a misconfiguration but measurement
+    harnesses do it deliberately (quality_fast_profile)."""
+    import sys
+
+    stored = getattr(col, "embedding_profile", None)
+    current = engine_profile()
+    if stored is not None and stored != current:
+        print(
+            f"WARNING: {what} {getattr(col, 'name', '?')!r} was built "
+            f"with embedding profile {stored!r} but this command runs "
+            f"{current!r} (VRT_TOME_R/VRT_GEMM_QUANT/VRT_GRAYSCALE) — "
+            "distances across profiles are not comparable; rebuild the "
+            "collection or match the settings",
+            file=sys.stderr, flush=True)
+
+
+def _stamp_profile(col, profile=None) -> None:
+    """Writer-side stamp (vector_store.stamp_embedding_profile) with the
+    CLI error convention: a profile mismatch is a clean SystemExit, not
+    a traceback."""
+    try:
+        col.stamp_embedding_profile(profile if profile is not None
+                                    else engine_profile())
+    except ValueError as e:
+        raise SystemExit(str(e))
+
+
 def _load_world(args):
     from vit_research_tpu.data import chunks as chunks_mod
     from vit_research_tpu.data import labels as labels_mod
@@ -251,11 +297,17 @@ def _labeled_frames(frames_dir: str, manual_csv: str):
     return frames, [mi.class_from_frame(f) for f in frames]
 
 
-def _corpus_from_collection(col):
+def _corpus_from_collection(col, *, check_profile: bool = True):
     """CLI shim over segment/knn.py::corpus_from_collection: same corpus
-    dict, ValueError surfaced as a clean exit instead of a traceback."""
+    dict, ValueError surfaced as a clean exit instead of a traceback.
+    ``check_profile`` warns when the stored rows were embedded under a
+    different profile than the current env (the queries about to be
+    ranked against them would live in a different space); pass False on
+    surfaces that rank nothing new against the corpus (clustering)."""
     from vit_research_tpu.segment.knn import corpus_from_collection
 
+    if check_profile:
+        check_embedding_profile(col, what="corpus collection")
     try:
         return corpus_from_collection(col)
     except ValueError as e:

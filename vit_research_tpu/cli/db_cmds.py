@@ -19,6 +19,10 @@ def cmd_write_ratt_db(args):
     client = PersistentClient(args.db)
     col = client.get_or_create_collection(
         args.collection, metadata={"hnsw:space": "cosine"})
+    # chunk rows inherit the STORE's embedding profile (the frames were
+    # embedded at store-build time, not now)
+    if store.embedding_profile:
+        common._stamp_profile(col, store.embedding_profile)
     n = write_ratt_chunk_db(idx, store, encode, col)
     client.flush()
     print(f"wrote {n} chunk embeddings into {args.collection}")
@@ -40,6 +44,8 @@ def cmd_write_rag_db(args):
     client = PersistentClient(args.db)
     col = client.get_or_create_collection(
         args.collection, metadata={"hnsw:space": "cosine"})
+    if store.embedding_profile:
+        common._stamp_profile(col, store.embedding_profile)
     n = write_frame_ragdb(recs, embed, col, batch_size=args.batch_size)
     client.flush()
     print(f"wrote {n} frame embeddings into {args.collection}")
@@ -138,6 +144,9 @@ def cmd_search(args):
             q = q[None]
         names = [f"{args.npz}[{key}][{i}]" for i in range(len(q))]
     elif args.frames:
+        # the queries are embedded NOW: warn if the stored rows came
+        # from different embedding settings (fast-profile guard)
+        common.check_embedding_profile(col)
         eng = common._engine(batch_size=args.batch_size)
         q = np.asarray(eng.embed_paths(args.frames))
         names = list(args.frames)

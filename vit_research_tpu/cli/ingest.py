@@ -102,6 +102,8 @@ def cmd_write_frame_db(args):
     client = PersistentClient(args.db)
     col = client.get_or_create_collection(
         args.collection, metadata={"hnsw:space": "l2"})
+    # refuse to mix embedding profiles in one corpus (fast-profile guard)
+    common._stamp_profile(col)
     n = write_labeled_frame_collection(paths, labels, probs, eng.embed_paths,
                                        col, batch_size=args.batch_size)
     client.flush()
@@ -134,7 +136,8 @@ def cmd_build_frame_store(args):
     paths = [r["pth"] for r in recs]
     eng = common._engine(batch_size=args.batch_size)
     store = FrameStore.build(paths, eng.embed_paths, args.out,
-                             batch_size=1024, verbose=True)
+                             batch_size=1024, verbose=True,
+                             embedding_profile=common.engine_profile())
     build_chunk_index(chunks, store, args.out)
     labels = [int(c["label"]) for c in chunks]
     n_unlabeled = sum(1 for v in labels if v < 0)

@@ -776,6 +776,10 @@ def cmd_self_label(args):
                         1 if accepted[i] else 2] +
                        [f"{p:.6f}" for p in probs[i]])
     if args.upsert and accepted.any():
+        # Writing engine embeddings into the corpus: refuse a profile
+        # mismatch outright (a warning suffices for reads, but writes
+        # would permanently mix embedding spaces).
+        common._stamp_profile(col)
         # Enlarge the corpus with NEW frames only: ids are frame
         # basenames, and overwriting an existing row would replace
         # manually-labeled seed metadata with a kNN-derived guess
@@ -845,7 +849,9 @@ def cmd_clustering(args):
     from vit_research_tpu.train.checkpoint import save_params_npz
 
     col = PersistentClient(args.db).get_collection(args.collection)
-    corpus = common._corpus_from_collection(col)
+    # no new embeddings rank against this corpus (training only): the
+    # cross-profile warning would be noise here
+    corpus = common._corpus_from_collection(col, check_profile=False)
     embs, labels = corpus["embeddings"], corpus["labels"]
     sep = class_mean_separation(embs, labels)
     for (a, b), d in sorted(sep.items()):

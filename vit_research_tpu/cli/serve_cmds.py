@@ -21,6 +21,10 @@ def cmd_serve(args):
         from vit_research_tpu.store.vector_store import PersistentClient
 
         coll = PersistentClient(args.db).get_collection(args.collection)
+        # the daemon embeds live queries/pushes against this corpus for
+        # its whole lifetime: a cross-profile mismatch deserves a loud
+        # startup warning (fast-profile guard)
+        common.check_embedding_profile(coll, what="daemon collection")
         if args.shard_device:
             from vit_research_tpu.parallel.mesh import make_mesh
 

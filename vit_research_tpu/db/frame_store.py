@@ -22,6 +22,7 @@ class FrameStore:
 
     def __init__(self, directory: str):
         self.dir = directory
+        self.embedding_profile = None  # set by open()/build()
         self._mm = None
         self._paths = None
         self._path_to_idx = None
@@ -31,7 +32,7 @@ class FrameStore:
     @classmethod
     def build(cls, frame_paths, embed_fn, directory: str, *,
               batch_size: int = 1024, dim: int | None = None,
-              verbose: bool = False) -> "FrameStore":
+              verbose: bool = False, embedding_profile: str | None = None) -> "FrameStore":
         """Embed unique frame paths and write the store.
 
         Args:
@@ -63,7 +64,12 @@ class FrameStore:
         np.save(os.path.join(directory, "paths.npy"),
                 np.asarray(unique, dtype=str))
         with open(os.path.join(directory, "meta.json"), "w") as f:
-            json.dump({"n": n, "dim": int(dim or 0)}, f)
+            # embedding_profile: which engine settings produced these
+            # rows (cli/common.engine_profile) — collections derived
+            # from this store inherit it, so cross-profile queries can
+            # warn (see vector_store.Collection.stamp_embedding_profile)
+            json.dump({"n": n, "dim": int(dim or 0),
+                       "embedding_profile": embedding_profile}, f)
         store = cls(directory)
         store.open()
         return store
@@ -73,6 +79,7 @@ class FrameStore:
             meta = json.load(f)
         self.n = meta["n"]
         self.dim = meta["dim"]
+        self.embedding_profile = meta.get("embedding_profile")
         self._mm = np.memmap(os.path.join(self.dir, "embeddings.dat"),
                              dtype=np.float32, mode="r",
                              shape=(self.n, self.dim))

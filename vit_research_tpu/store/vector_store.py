@@ -131,11 +131,19 @@ class Collection:
     ivf_threshold: int | None = 1_000_000
 
     def __init__(self, name: str, space: str = "l2", dim: int | None = None,
-                 path: str | None = None, device_quant: str | None = None):
+                 path: str | None = None, device_quant: str | None = None,
+                 embedding_profile: str | None = None):
         if space not in ("l2", "cosine", "ip"):
             raise ValueError(f"unknown space {space!r}")
         self.name = name
         self.space = space
+        # Which embedding settings produced the stored rows (e.g.
+        # "tome0|quant-none|gray0" — cli/common.engine_profile): mixed
+        # profiles inside one collection are corruption (half the rows
+        # in a different embedding space), so writers stamp it and
+        # stamp_embedding_profile refuses a mismatch. None = unknown
+        # (pre-profile collections, or non-engine rows).
+        self.embedding_profile = embedding_profile
         self.device_quant = None
         if device_quant:
             self._check_device_quant(device_quant, space)
@@ -196,7 +204,8 @@ class Collection:
         with open(os.path.join(path, "config.json")) as f:
             cfg = json.load(f)
         col = cls(name, space=cfg["space"], dim=cfg.get("dim"), path=path,
-                  device_quant=cfg.get("device_quant"))
+                  device_quant=cfg.get("device_quant"),
+                  embedding_profile=cfg.get("embedding_profile"))
         snap_path = os.path.join(path, "snapshot.npz")
         emb_path = os.path.join(path, "embeddings.npy")
         if os.path.exists(snap_path):
@@ -371,7 +380,8 @@ class Collection:
             os.makedirs(self._path, exist_ok=True)
             _atomic_write_json(os.path.join(self._path, "config.json"),
                                {"space": self.space, "dim": self._dim,
-                                "device_quant": self.device_quant})
+                                "device_quant": self.device_quant,
+                                "embedding_profile": self.embedding_profile})
             delta = (len(self._pending_dirty) + len(self._pending_deleted)
                      + self._logged_rows)
             has_snapshot = (
@@ -397,12 +407,36 @@ class Collection:
             os.makedirs(self._path, exist_ok=True)
             _atomic_write_json(os.path.join(self._path, "config.json"),
                                {"space": self.space, "dim": self._dim,
-                                "device_quant": self.device_quant})
+                                "device_quant": self.device_quant,
+                                "embedding_profile": self.embedding_profile})
             self._write_snapshot()
             self._persisted_ids = set(self._ids)
             self._pending_dirty.clear()
             self._pending_deleted.clear()
             self._dirty = False
+
+    def stamp_embedding_profile(self, profile: str) -> None:
+        """Record which embedding settings produced this collection's
+        rows (writers call this before upserting engine embeddings).
+        First stamp wins and persists; an equal re-stamp is a no-op; a
+        DIFFERENT profile is a hard error — mixing embedding spaces in
+        one collection corrupts every ranking against it. Rebuild into
+        a fresh collection (or delete this one) to change profiles."""
+        with self._lock:
+            if profile is None:
+                return
+            if self.embedding_profile is None:
+                self.embedding_profile = str(profile)
+                self._dirty = True  # persist via config.json on flush
+                return
+            if self.embedding_profile != str(profile):
+                raise ValueError(
+                    f"collection {self.name!r} holds embeddings produced "
+                    f"with profile {self.embedding_profile!r}, but this "
+                    f"writer is running {profile!r} — mixing embedding "
+                    "spaces in one collection corrupts every ranking "
+                    "against it; rebuild into a fresh collection (or "
+                    "delete this one) to switch profiles")
 
     def _write_snapshot(self) -> None:
         # One file, one os.replace: concurrent readers see the whole
@@ -880,7 +914,9 @@ class PersistentClient:
             space = (metadata or {}).get("hnsw:space", "l2")
             col = Collection(name, space=space, path=path,
                              device_quant=(metadata or {}).get(
-                                 "vrt:device_quant"))
+                                 "vrt:device_quant"),
+                             embedding_profile=(metadata or {}).get(
+                                 "vrt:embedding_profile"))
             col._dirty = True
         self._collections[name] = col
         return col
