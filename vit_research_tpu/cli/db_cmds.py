@@ -95,6 +95,8 @@ def cmd_rebuild_db(args):
     client = PersistentClient(args.db)
     col = client.get_or_create_collection(
         args.collection, metadata={"hnsw:space": "cosine"})
+    if store.embedding_profile:  # rows come from the store's embeddings
+        common._stamp_profile(col, store.embedding_profile)
     n = rebuild_frame_db(recs, embed, project_fn, col,
                          batch_size=args.batch_size)
     client.flush()

@@ -44,6 +44,7 @@ def cmd_serve(args):
         print(f"engine warmed in {_time.monotonic() - t0:.1f}s "
               f"(batch {engine.batch_size} + pad buckets)", flush=True)
     server = EmbedServer(engine,
+                         engine_profile=common.engine_profile(),
                          collection=coll, coalesce_ms=args.coalesce_ms,
                          # the reload op's defaults (+ re-shard target):
                          # serve-ctl reload / rebuild-db --notify-socket

@@ -422,8 +422,12 @@ class EmbedServer:
 
     def __init__(self, engine, *, collection=None, coalesce_ms: float = 2.0,
                  collection_source: tuple[str, str] | None = None,
-                 shard_mesh=None):
+                 shard_mesh=None, engine_profile: str | None = None):
         self.engine = engine
+        #: which embedding settings the engine runs (operator
+        #: observability — cli/common.engine_profile); shown by
+        #: ping/stats so a cross-profile daemon is diagnosable remotely
+        self.engine_profile = engine_profile
         self.collection = collection
         self._lock = threading.Lock()  # serialize device work
         self._stopping = False  # set by stop(); device ops then refuse
@@ -1132,6 +1136,7 @@ class EmbedServer:
                     "device_batches": (self._coalescer.batches_run
                                        if self._coalescer else None),
                     "collection": getattr(self.collection, "name", None),
+                    "engine_profile": self.engine_profile,
                     "weights_generation": wgen,
                     "scorer_stacks": n_stacks,
                     "batch_size": self.engine.batch_size,
@@ -1145,6 +1150,7 @@ class EmbedServer:
         if op == "ping":
             return {"ok": True, "batch_size": self.engine.batch_size,
                     "out_dim": self.engine.out_dim,
+                    "engine_profile": self.engine_profile,
                     "collection": getattr(self.collection, "name", None)}
         if op == "reload":
             return self._reload(req)
