@@ -1314,3 +1314,51 @@ def test_profile_inherited_by_store_derived_collections(tmp_path, capsys):
 
     col = PersistentClient(db, autoflush=False).get_collection("ratt_db")
     assert col.embedding_profile == "tiny|tome0|quant-none|gray0"
+
+
+def test_write_back_refused_cross_profile(tmp_path, monkeypatch, capsys):
+    """segment --write-back (offline and --follow construction) refuses
+    a cross-profile corpus exactly like self-label --upsert: a warning
+    is not enough when engine embeddings are PERSISTED (review r4)."""
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("none", 4), ("left", 30), ("none", 4),
+                        ("right", 30), ("none", 4)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    for side, a, b in (("none", 1, 4), ("left", 5, 34), ("none", 35, 38),
+                       ("right", 39, 68), ("none", 69, 72)):
+        mi.intervals[side].append((1, a, b))
+    csv_path = str(tmp_path / "manual.csv")
+    mi.to_csv(csv_path)
+    db = str(tmp_path / "db")
+    cli.main(["write-frame-db", frames_dir, "--manual-csv", csv_path,
+              "--db", db, "--collection", "corpus", "--batch-size", "16"])
+    capsys.readouterr()
+    monkeypatch.setenv("VRT_TOME_R", "2")
+    with pytest.raises(SystemExit, match="mixing embedding spaces"):
+        cli.main(["segment", frames_dir, "--method", "knn-hmm", "--db", db,
+                  "--corpus-collection", "corpus", "--k", "5",
+                  "--out", str(tmp_path / "wb"), "--vid", "1",
+                  "--min-len", "20", "--pad", "2", "--batch-size", "16",
+                  "--write-back"])
+
+
+def test_stamp_only_flush_appends_no_segment(tmp_path):
+    """A profile stamp alone persists via config.json without growing
+    the append log (review r4)."""
+    import os as os_mod
+
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    col = client.get_or_create_collection("c")
+    col.upsert(["a"], np.ones((1, 4), np.float32))
+    client.flush()  # snapshot exists, log empty
+    before = sorted(os_mod.listdir(os_mod.path.join(db, "c")))
+    col.stamp_embedding_profile("p1")
+    client.flush()
+    after = sorted(os_mod.listdir(os_mod.path.join(db, "c")))
+    assert before == after  # no new segment file
+    col2 = PersistentClient(db, autoflush=False).get_collection("c")
+    assert col2.embedding_profile == "p1"  # but the stamp persisted

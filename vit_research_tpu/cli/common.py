@@ -28,6 +28,35 @@ def _engine(preset: str = "hf", batch_size: int = 256):
     nba_proj/train/training_chunk_cached.py:473-505). Like the reference
     toggle it changes the feature space globally: every embedding a
     pipeline compares must be produced with the same setting."""
+    env = _engine_env()
+    if os.environ.get("VRT_TINY"):
+        from vit_research_tpu.data.preprocess import PreprocessSpec
+        from vit_research_tpu.models.vit import init_vit
+        from vit_research_tpu.parallel.embed import EmbeddingEngine
+
+        cfg = _tiny_vit_config(env)
+        model, params = init_vit(cfg, seed=0)
+        return EmbeddingEngine(model, params,
+                               PreprocessSpec(size=(32, 32),
+                                              grayscale=env["grayscale"]),
+                               batch_size=min(batch_size, 16),
+                               use_fused_patch_embed=False)
+    from vit_research_tpu.parallel.embed import make_hf_frame_embedder
+
+    return make_hf_frame_embedder(batch_size=batch_size,
+                                  tome_r=env["tome_r"],
+                                  gemm_quant=env["gemm_quant"],
+                                  gemm_quant_scales=env["gemm_scales"],
+                                  grayscale=env["grayscale"])
+
+
+def _engine_env(require_scales: bool = True) -> dict:
+    """Parse the embedding env toggles ONCE for every consumer
+    (engine construction, calibrate-int8, engine_profile): tome_r (int),
+    gemm_quant, gemm_scales (loaded + validated from VRT_GEMM_SCALES
+    when quant is int8-static), grayscale. ``require_scales=False``
+    skips the scales-file requirement — calibrate-int8 runs BEFORE the
+    file exists (it produces it)."""
     raw_tome = os.environ.get("VRT_TOME_R", "").strip()
     try:
         tome_r = int(raw_tome) if raw_tome else 0
@@ -40,18 +69,17 @@ def _engine(preset: str = "hf", batch_size: int = 256):
             f"VRT_GEMM_QUANT must be 'int8', 'int8-static' or unset, "
             f"got {gemm_quant!r}")
     gemm_scales: tuple = ()
-    if gemm_quant == "int8-static":
+    if gemm_quant == "int8-static" and require_scales:
         # Static scales come from an offline calibration run
-        # (examples/bench_int8_static.py --calibrate-only > scales.json);
-        # the engine cannot calibrate here — eager forwards over a TPU
-        # tunnel cost minutes, and silent auto-calibration would bake
-        # whatever batch happened to be first.
+        # (cli calibrate-int8, or examples/bench_int8_static.py
+        # --calibrate-only); the engine cannot calibrate here — eager
+        # forwards over a TPU tunnel cost minutes, and silent
+        # auto-calibration would bake whatever batch happened first.
         scales_path = os.environ.get("VRT_GEMM_SCALES", "").strip()
         if not scales_path:
             raise SystemExit(
                 "VRT_GEMM_QUANT=int8-static needs VRT_GEMM_SCALES="
-                "<scales.json> (produce it with examples/"
-                "bench_int8_static.py --calibrate-only)")
+                "<scales.json> (produce it with cli calibrate-int8)")
         import json
 
         try:
@@ -70,29 +98,21 @@ def _engine(preset: str = "hf", batch_size: int = 256):
         if not gemm_scales:
             raise SystemExit(f"VRT_GEMM_SCALES {scales_path!r} is empty")
     grayscale = os.environ.get("VRT_GRAYSCALE", "").strip() not in ("", "0")
-    if os.environ.get("VRT_TINY"):
-        from vit_research_tpu.data.preprocess import PreprocessSpec
-        from vit_research_tpu.models.vit import init_vit
-        from vit_research_tpu.parallel.embed import EmbeddingEngine
-        from vit_research_tpu.utils.configs import ViTConfig
+    return {"tome_r": tome_r, "gemm_quant": gemm_quant,
+            "gemm_scales": gemm_scales, "grayscale": grayscale}
 
-        cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
-                        num_layers=1, num_heads=2, mlp_dim=64,
-                        use_flash_attention=False, tome_r=tome_r,
-                        gemm_quant=gemm_quant,
-                        gemm_quant_scales=gemm_scales)
-        model, params = init_vit(cfg, seed=0)
-        return EmbeddingEngine(model, params,
-                               PreprocessSpec(size=(32, 32),
-                                              grayscale=grayscale),
-                               batch_size=min(batch_size, 16),
-                               use_fused_patch_embed=False)
-    from vit_research_tpu.parallel.embed import make_hf_frame_embedder
 
-    return make_hf_frame_embedder(batch_size=batch_size, tome_r=tome_r,
-                                  gemm_quant=gemm_quant,
-                                  gemm_quant_scales=gemm_scales,
-                                  grayscale=grayscale)
+def _tiny_vit_config(env: dict):
+    """The ONE tiny test-ViT configuration (VRT_TINY), shared by
+    _engine and calibrate-int8 so calibration and the engine can never
+    drift apart architecturally."""
+    from vit_research_tpu.utils.configs import ViTConfig
+
+    return ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
+                     num_layers=1, num_heads=2, mlp_dim=64,
+                     use_flash_attention=False, tome_r=env["tome_r"],
+                     gemm_quant=env["gemm_quant"],
+                     gemm_quant_scales=env["gemm_scales"])
 
 
 def engine_profile() -> str:
@@ -102,13 +122,22 @@ def engine_profile() -> str:
     commands warn when querying across profiles — embeddings from
     different settings live in different spaces and rank garbage
     against each other."""
-    raw_tome = os.environ.get("VRT_TOME_R", "").strip()
-    tome = raw_tome if raw_tome else "0"
-    quant = os.environ.get("VRT_GEMM_QUANT", "").strip() or "none"
-    gray = "1" if os.environ.get("VRT_GRAYSCALE", "").strip() \
-        not in ("", "0") else "0"
+    env = _engine_env()
+    quant = env["gemm_quant"] or "none"
+    if env["gemm_quant"] == "int8-static":
+        # Two int8-static engines with DIFFERENT calibration files are
+        # different embedding spaces (measured: random- vs
+        # representative-calibrated scales differ by cosine ~0.988) —
+        # fold the scale VALUES into the profile so the fence sees it.
+        import hashlib
+
+        digest = hashlib.sha256(
+            ",".join(f"{s:.9e}" for s in env["gemm_scales"])
+            .encode()).hexdigest()[:8]
+        quant = f"int8-static:{digest}"
+    gray = "1" if env["grayscale"] else "0"
     tiny = "tiny|" if os.environ.get("VRT_TINY") else ""
-    return f"{tiny}tome{tome}|quant-{quant}|gray{gray}"
+    return f"{tiny}tome{env['tome_r']}|quant-{quant}|gray{gray}"
 
 
 def check_embedding_profile(col, what: str = "collection") -> None:

@@ -95,8 +95,13 @@ def cmd_rebuild_db(args):
     client = PersistentClient(args.db)
     col = client.get_or_create_collection(
         args.collection, metadata={"hnsw:space": "cosine"})
-    if store.embedding_profile:  # rows come from the store's embeddings
-        common._stamp_profile(col, store.embedding_profile)
+    if store.embedding_profile:
+        # Projected rows are a DIFFERENT space than the raw store
+        # embeddings (ProjectionHead output) — the profile must say so,
+        # or the fence would vouch for raw-vs-projected comparability.
+        profile = store.embedding_profile + (
+            f"|proj:{args.run_id}" if project_fn is not None else "")
+        common._stamp_profile(col, profile)
     n = rebuild_frame_db(recs, embed, project_fn, col,
                          batch_size=args.batch_size)
     client.flush()

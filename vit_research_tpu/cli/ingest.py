@@ -51,32 +51,39 @@ def cmd_calibrate_int8(args):
     picked = [os.path.join(args.frames, f) for f in frames[::step]]
     picked = picked[: args.n_frames]
 
+    # Calibrate for the engine the env DESCRIBES: tome/grayscale change
+    # the activation distributions (and grayscale the input spec), so
+    # scales calibrated without them would drive the wrong engine
+    # (review r4). --tome-r overrides the env when given explicitly.
+    env = common._engine_env(require_scales=False)  # we PRODUCE them
+    tome_r = env["tome_r"] if args.tome_r is None else args.tome_r
     if os.environ.get("VRT_TINY"):
         from vit_research_tpu.data.preprocess import PreprocessSpec
-        from vit_research_tpu.utils.configs import ViTConfig
 
-        cfg = ViTConfig(image_size=(32, 32), patch_size=8, hidden_size=32,
-                        num_layers=1, num_heads=2, mlp_dim=64,
-                        use_flash_attention=False, tome_r=args.tome_r,
-                        gemm_quant="int8-static")
-        spec = PreprocessSpec(size=(32, 32))
+        cfg = dataclasses.replace(
+            common._tiny_vit_config(env), tome_r=tome_r,
+            gemm_quant="int8-static", gemm_quant_scales=())
+        spec = PreprocessSpec(size=(32, 32), grayscale=env["grayscale"])
     else:
         from vit_research_tpu.data.preprocess import HF_VIT_SPEC
         from vit_research_tpu.models.hf_import import HF_VIT_B16_224
 
         cfg = dataclasses.replace(HF_VIT_B16_224, dtype="bfloat16",
-                                  tome_r=args.tome_r,
+                                  tome_r=tome_r,
                                   gemm_quant="int8-static")
-        spec = HF_VIT_SPEC
+        spec = (dataclasses.replace(HF_VIT_SPEC, grayscale=True)
+                if env["grayscale"] else HF_VIT_SPEC)
     model, params = init_vit(cfg, seed=0)
     imgs = load_frames(picked, spec)
-    print(f"calibrating on {len(imgs)} frames (tome_r={args.tome_r}, "
-          "eager CPU forward)...", flush=True)
+    print(f"calibrating on {len(imgs)} frames (tome_r={tome_r}, "
+          f"grayscale={env['grayscale']}, eager CPU forward)...",
+          flush=True)
     with calibration_mode() as scales:
         model.apply(params, imgs)
     with open(args.out, "w") as f:
         json.dump({"scales": [float(s) for s in scales],
-                   "tome_r": args.tome_r, "n_frames": len(imgs),
+                   "tome_r": tome_r, "grayscale": env["grayscale"],
+                   "n_frames": len(imgs),
                    "frames_dir": os.path.abspath(args.frames)}, f)
     print(f"wrote {len(scales)} site scales -> {args.out}\n"
           f"use: VRT_GEMM_QUANT=int8-static VRT_GEMM_SCALES={args.out} "
@@ -194,9 +201,11 @@ def register(sub):
                                    "--n-frames is sampled")
     ci.add_argument("--out", required=True, help="scales JSON path")
     ci.add_argument("--n-frames", type=int, default=8)
-    ci.add_argument("--tome-r", type=int, default=0,
+    ci.add_argument("--tome-r", type=int, default=None,
                     help="calibrate with token merging active (merged-"
-                         "token activations have their own ranges)")
+                         "token activations have their own ranges); "
+                         "defaults to VRT_TOME_R so calibration matches "
+                         "the engine the env describes")
     ci.set_defaults(fn=cmd_calibrate_int8)
 
     bs = sub.add_parser("build-frame-store")

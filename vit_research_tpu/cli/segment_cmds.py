@@ -135,6 +135,11 @@ def cmd_segment(args):
         # re-embed the whole game a second time
         scorer.remember(frame_paths, embs)
     if args.method in ("knn-hmm", "streaks"):
+        if args.write_back:
+            # write-back upserts THIS engine's embeddings into the
+            # corpus: a cross-profile write permanently mixes embedding
+            # spaces — refuse, like self-label --upsert (review r4)
+            common._stamp_profile(col)
         if args.method == "streaks":
             from vit_research_tpu.segment.pipeline import (
                 segment_with_knn_streaks)
@@ -216,6 +221,10 @@ class _LocalFollowBackend:
         from vit_research_tpu.segment.pipeline import KnnHmmStreamSession
 
         self.eng = common._engine(batch_size=args.batch_size)
+        if collection is not None:
+            # --write-back: refuse cross-profile corpus writes outright
+            # (reads already warned via _corpus_from_collection)
+            common._stamp_profile(collection)
         # bounded LRU: a followed game grows without limit, but clips
         # are always recent (fixed-lag commits) — 16k frames (~48 MB at
         # D=768) covers any possession; evicted frames re-embed on miss

@@ -715,6 +715,13 @@ class EmbedServer:
                     "sessions need a labeled corpus (serve --db "
                     "--collection, or the reload op)")
             if write_back:
+                if self.engine_profile is not None and hasattr(
+                        collection, "stamp_embedding_profile"):
+                    # a write-back session upserts THIS engine's
+                    # embeddings: refuse a cross-profile corpus write
+                    # before pinning (ValueError -> protocol error
+                    # reply; mixing spaces would corrupt the corpus)
+                    collection.stamp_embedding_profile(self.engine_profile)
                 self._write_back_sessions += 1
         try:
             return self._segment_start_bound(req, session, collection,
@@ -966,6 +973,16 @@ class EmbedServer:
             # lifetime; durability comes from the flush above plus the
             # flush-on-unpin of write-back sessions.
             new = PersistentClient(db, autoflush=False).get_collection(name)
+            new_profile = getattr(new, "embedding_profile", None)
+            profile_mismatch = (self.engine_profile is not None
+                                and new_profile is not None
+                                and new_profile != self.engine_profile)
+            if profile_mismatch:
+                print(f"serve: WARNING: reloaded collection {name!r} was "
+                      f"built with embedding profile {new_profile!r} but "
+                      f"this daemon's engine runs "
+                      f"{self.engine_profile!r} — distances across "
+                      "profiles are not comparable", file=sys.stderr)
             if self._shard_mesh is not None:
                 # Placement-only (records the mesh, clears the corpus
                 # cache — vector_store.shard_device): no device work
@@ -1025,6 +1042,7 @@ class EmbedServer:
                 # buffer eagerly rather than at the next session start
                 self._corpus_cache = None
             return {"ok": True, "db": db, "collection": name,
+                    "profile_mismatch": profile_mismatch,
                     "rows": new.count(),
                     "previous_rows": (old.count() if old is not None
                                       else None),

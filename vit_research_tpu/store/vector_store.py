@@ -388,7 +388,15 @@ class Collection:
                 os.path.exists(os.path.join(self._path, "snapshot.npz"))
                 or os.path.exists(
                     os.path.join(self._path, "embeddings.npy")))
-            if (not has_snapshot or len(self._segments) >= self.max_segments
+            if (has_snapshot and not self._pending_dirty
+                    and not self._pending_deleted):
+                # config-only change (e.g. a profile stamp): the
+                # config.json write above already persisted it — an
+                # empty log segment per stamp would grow the manifest
+                # toward a pointless compaction (review r4)
+                pass
+            elif (not has_snapshot
+                    or len(self._segments) >= self.max_segments
                     or delta >= self.compact_ratio * max(len(self._ids), 1)):
                 self._write_snapshot()
             else:
