@@ -2257,3 +2257,41 @@ def test_reload_weights_pinned_counts_only_scoring_sessions(seg_server,
             "k_temporal": score_world["k_temporal"]})
         assert r["ok"] and r["active_sessions_pinned"] == 0
         c.request({"op": "segment_finish"})
+
+
+def test_reload_reports_profile_mismatch(engine, tmp_path, capsys):
+    """reload onto a collection built under a different embedding
+    profile warns and flags profile_mismatch in the reply."""
+    from vit_research_tpu.store.vector_store import PersistentClient
+
+    db, srv, base = _reload_world(tmp_path, engine)
+    srv.engine_profile = "tome0|quant-none|gray0"
+    r = srv.handle({"op": "reload"})
+    assert r["ok"] and r["profile_mismatch"] is False  # unstamped: unknown
+    ext = PersistentClient(db, autoflush=False).get_collection("served")
+    ext.stamp_embedding_profile("tome16|quant-none|gray0")
+    ext.flush()
+    r = srv.handle({"op": "reload"})
+    assert r["ok"] and r["profile_mismatch"] is True
+
+
+def test_daemon_write_back_refused_cross_profile(engine, seg_world):
+    """A write-back segment session against a cross-profile corpus is a
+    protocol error, not a silent corpus contamination."""
+    paths, coll = seg_world
+    coll.stamp_embedding_profile("tome16|quant-none|gray0")
+    srv = EmbedServer(engine, collection=coll, coalesce_ms=0,
+                      engine_profile="tome0|quant-none|gray0")
+    session: dict = {}
+    # handle() raises; the socket layer converts to {"ok": false}
+    with pytest.raises(ValueError, match="mixing embedding spaces"):
+        srv.handle({"op": "segment_start", "k": 5, "write_back": True,
+                    "vid": 1}, session)
+    assert srv._write_back_sessions == 0 and session == {}
+    # matching profile works
+    srv2 = EmbedServer(engine, collection=coll, coalesce_ms=0,
+                       engine_profile="tome16|quant-none|gray0")
+    s2: dict = {}
+    assert srv2.handle({"op": "segment_start", "k": 5, "write_back": True,
+                        "vid": 1}, s2)["ok"]
+    srv2.handle({"op": "segment_finish"}, s2)

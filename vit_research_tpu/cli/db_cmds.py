@@ -187,6 +187,7 @@ def cmd_db_info(args):
         segs = len(col._segments)
         print(f"{name}: {col.count()} rows  space={col.space}  "
               f"dim={col._dim}  device_quant={col.device_quant or '-'}  "
+              f"profile={col.embedding_profile or '-'}  "
               f"log_segments={segs}")
         if args.compact and segs:
             col.compact()
