@@ -350,7 +350,12 @@ def preset(name: str) -> ExperimentConfig:
         # effective f/s, F1 1.0, ~1 frame boundary drift, 0.95
         # retrieval overlap). NON-PARITY: merged-token embeddings drift
         # from the reference outputs — every embedding one pipeline
-        # compares must come from the same profile.
+        # compares must come from the same profile. NOTE the `vit` field
+        # documents the profile (like every preset's — training flows
+        # consume pre-embedded stores): the ENGINE reads the env, so
+        # activate with VRT_TOME_R=16 (+ VRT_GEMM_QUANT=int8-static
+        # VRT_GEMM_SCALES=... for the full stack); collections record
+        # the active profile either way (cli db-info).
         "fast": ExperimentConfig(
             name="fast",
             vit=dataclasses.replace(VIT_B16_224, tome_r=16,
