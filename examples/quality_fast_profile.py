@@ -58,10 +58,19 @@ def mark(msg: str) -> None:
 # ---------------------------------------------------------------- world
 
 
-def _frame(vid, fnum, side, event, size, rng):
+def _frame(vid, fnum, side, event, size, rng, entropy="low"):
     from vit_research_tpu.data.synthetic import synth_frame
 
     img = synth_frame(vid, fnum, side, size, rng).astype(np.int32)
+    if entropy == "high":
+        # Adversarial content for token merging: full-range iid pixel
+        # noise blended 50% makes every 16x16 patch token DISTINCT, so
+        # ToMe cannot find redundant tokens and must merge dissimilar
+        # ones — the worst case for merging quality. The default world's
+        # large uniform regions are ToMe's best case; measuring both
+        # brackets real footage.
+        noise = rng.integers(0, 256, size=img.shape)
+        img = (img + noise) // 2
     if event is not None:  # label-dependent marker: make=top, miss=bottom
         h, w = size
         bh, bw = max(h // 4, 4), max(w // 4, 4)
@@ -72,7 +81,8 @@ def _frame(vid, fnum, side, event, size, rng):
 
 
 def build_world(root, vids=(1, 2), possessions=4, frames_per=32, gap=6,
-                lead=4, event_start=18, event_len=6, size=(112, 112)):
+                lead=4, event_start=18, event_len=6, size=(112, 112),
+                entropy="low"):
     """Frames dirs + clip dirs + labels + event template + manual truth.
 
     Each vid: ``lead`` none frames, then ``possessions`` alternating
@@ -99,7 +109,8 @@ def build_world(root, vids=(1, 2), possessions=4, frames_per=32, gap=6,
             for i in range(n):
                 ev = (label == 1 if event_span is not None
                       and event_span[0] <= i < event_span[1] else None)
-                img = _frame(vid, fnum, side, ev, size, rng)
+                img = _frame(vid, fnum, side, ev, size, rng,
+                             entropy=entropy)
                 p = os.path.join(fdir, naming.frame_name(vid, fnum))
                 Image.fromarray(img).save(p, quality=90)
                 paths.append(p)
@@ -328,6 +339,13 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names to measure "
                          "(parity is always included as the baseline)")
+    ap.add_argument("--world-entropy", choices=["low", "high"],
+                    default="low",
+                    help="'high' blends full-range iid pixel noise into "
+                         "every frame — adversarial for token merging "
+                         "(every patch token distinct); 'low' is the "
+                         "default block-structured world (ToMe's best "
+                         "case). Measure both to bracket real footage.")
     args = ap.parse_args()
 
     import jax
@@ -359,7 +377,8 @@ def main():
     world = build_world(root, possessions=args.possessions,
                         frames_per=args.frames_per, size=size,
                         event_start=(2 if args.tiny else 18),
-                        event_len=(3 if args.tiny else 6))
+                        event_len=(3 if args.tiny else 6),
+                        entropy=args.world_entropy)
 
     samples = load_samples([1, 2], world["clip_template"],
                            world["clip_labels"], world["events"])
@@ -490,7 +509,7 @@ def main():
     for name, r, stride, q in defs:
         t0 = time.monotonic()
         row = {"variant": name, "tome_r": r, "stride": stride,
-               "gemm_quant": q}
+               "gemm_quant": q, "world_entropy": args.world_entropy}
         if q:
             row["calibration"] = "representative-frames"
         # fidelity vs parity
