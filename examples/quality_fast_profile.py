@@ -216,28 +216,41 @@ def _calibrate(cfg, spec, calib_paths):
 
 
 def variant_defs(tiny: bool):
-    """(name, tome_r, stride, quant) — tome radii shrink in --tiny mode
-    (the 2-layer 17-token test ViT can't merge 16/layer)."""
+    """(name, tome_r, stride, quant, refine) — tome radii shrink in
+    --tiny mode (the 2-layer 17-token test ViT can't merge 16/layer);
+    refine='auto' is the novelty-gated strided refinement
+    (embed_video_strided refine_threshold, the fix for strided's
+    adversarial-world event-localization collapse)."""
     if tiny:
-        return [("parity", 0, 1, None), ("tome2", 2, 1, None),
-                ("strided2", 0, 2, None), ("tome2_strided2", 2, 2, None),
-                ("int8static", 0, 1, "int8-static")]
-    return [("parity", 0, 1, None), ("tome8", 8, 1, None),
-            ("tome13", 13, 1, None), ("tome16", 16, 1, None),
-            ("strided4", 0, 4, None), ("tome16_strided4", 16, 4, None),
-            ("int8static", 0, 1, "int8-static"),
-            ("tome16_int8static", 16, 1, "int8-static"),
-            ("tome16_int8static_strided4", 16, 4, "int8-static")]
+        return [("parity", 0, 1, None, None), ("tome2", 2, 1, None, None),
+                ("strided2", 0, 2, None, None),
+                ("strided2_refined", 0, 2, None, "auto"),
+                ("tome2_strided2", 2, 2, None, None),
+                ("int8static", 0, 1, "int8-static", None)]
+    return [("parity", 0, 1, None, None), ("tome8", 8, 1, None, None),
+            ("tome13", 13, 1, None, None), ("tome16", 16, 1, None, None),
+            ("strided4", 0, 4, None, None),
+            ("strided4_refined", 0, 4, None, "auto"),
+            ("tome16_strided4", 16, 4, None, None),
+            ("int8static", 0, 1, "int8-static", None),
+            ("tome16_int8static", 16, 1, "int8-static", None),
+            ("tome16_int8static_strided4", 16, 4, "int8-static", None),
+            ("tome16_int8static_strided4r", 16, 4, "int8-static", "auto")]
 
 
-def embed_variant(engines, tome_r, stride, quant, paths):
-    from vit_research_tpu.parallel.embed import embed_video_strided
+def embed_variant(engines, tome_r, stride, quant, paths, refine=None,
+                  stats=None):
+    from vit_research_tpu.parallel.embed import (REFINE_THRESHOLD_DEFAULT,
+                                                 embed_video_strided)
 
     eng = engines[(tome_r, quant)]
     if stride == 1:
         return np.asarray(eng.embed_paths(paths), np.float32)
-    return np.asarray(embed_video_strided(eng, paths, stride=stride),
-                      np.float32)
+    thresh = REFINE_THRESHOLD_DEFAULT if refine == "auto" else refine
+    return np.asarray(
+        embed_video_strided(eng, paths, stride=stride,
+                            refine_threshold=thresh, stats=stats),
+        np.float32)
 
 
 # -------------------------------------------------------------- metrics
@@ -410,23 +423,33 @@ def main():
             continue
         mid_event = min((2 if args.tiny else 18) + 2, len(cpaths) - 1)
         calib_paths += [cpaths[0], cpaths[mid_event]]
-    for _, r, _, q in defs:
+    for _, r, _, q, _ in defs:
         if (r, q) not in engines:
             engines[(r, q)] = build_engine(r, tiny=args.tiny, quant=q,
                                            calib_paths=calib_paths)
     dim = engines[(0, None)].out_dim
 
     # ---- per-variant frame embeddings (both vids; ~1.2 s/frame parity)
-    embs = {}
-    for name, r, stride, q in defs:
+    embs, refine_stats = {}, {}
+    for name, r, stride, q, refine in defs:
         t0 = time.monotonic()
+        st = {1: {}, 2: {}}
         embs[name] = {v: embed_variant(engines, r, stride, q,
-                                       world["frames"][v]) for v in (1, 2)}
-        mark(f"embedded {name} in {time.monotonic() - t0:.0f}s")
+                                       world["frames"][v], refine=refine,
+                                       stats=st[v]) for v in (1, 2)}
+        if refine is not None:
+            refine_stats[name] = {
+                "gaps": st[1].get("gaps", 0) + st[2].get("gaps", 0),
+                "refined_gaps": (st[1].get("refined_gaps", 0)
+                                 + st[2].get("refined_gaps", 0)),
+                "refined_frames": (st[1].get("refined_frames", 0)
+                                   + st[2].get("refined_frames", 0))}
+        mark(f"embedded {name} in {time.monotonic() - t0:.0f}s"
+             + (f" (refine: {refine_stats[name]})" if refine else ""))
     lookup = {name: {os.path.basename(p): embs[name][v][i]
                      for v in (1, 2)
                      for i, p in enumerate(world["frames"][v])}
-              for name, _, _, _ in defs}
+              for name, _, _, _, _ in defs}
 
     # ---- train ONCE at parity: stage-1 encoder, ratt store, stage-2 head
     mark("training stage-1 ChunkEncoder at parity")
@@ -506,12 +529,25 @@ def main():
         "quality_fast_profile.jsonl")
     rows_out = []
     parity_q = None
-    for name, r, stride, q in defs:
+    for name, r, stride, q, refine in defs:
         t0 = time.monotonic()
         row = {"variant": name, "tome_r": r, "stride": stride,
                "gemm_quant": q, "world_entropy": args.world_entropy}
         if q:
             row["calibration"] = "representative-frames"
+        if refine is not None:
+            row["stride_refine"] = refine
+            rs = refine_stats.get(name, {})
+            row["refined_frame_frac"] = round(
+                rs.get("refined_frames", 0)
+                / max(sum(len(world["frames"][v]) for v in (1, 2)), 1), 3)
+            row.update({f"refine_{k}": v for k, v in rs.items()})
+            # exact forwards paid / total frames: keyframes (gaps+1 per
+            # vid, 2 vids) plus refined interiors — the throughput story
+            n_total = sum(len(world["frames"][v]) for v in (1, 2))
+            row["exact_embed_frac"] = round(
+                (rs.get("gaps", 0) + 2 + rs.get("refined_frames", 0))
+                / max(n_total, 1), 3)
         # fidelity vs parity
         cos = np.sum(embs[name][2] * embs["parity"][2], axis=1)
         row["fidelity_cos_mean"] = round(float(cos.mean()), 4)

@@ -679,7 +679,7 @@ def test_tome_segmentation_boundaries_match_parity(monkeypatch, tmp_path):
     assert parity and tome == parity
 
 
-def test_frame_stride_segmentation_matches_parity(tmp_path):
+def test_frame_stride_segmentation_matches_parity(tmp_path, capsys):
     """--frame-stride N (the fast profile's strided embed + interpolate)
     through the real CLI surface: on the decisive synthetic world the
     decoded clips match the parity run; --follow combination is refused
@@ -708,6 +708,15 @@ def test_frame_stride_segmentation_matches_parity(tmp_path):
     strided = segment(str(tmp_path / "clips_strided"),
                       "--frame-stride", "2")
     assert parity and strided == parity
+    # --stride-refine: same decisive world through the refined path;
+    # side cuts make hot gaps, so SOME frames re-embed exactly and the
+    # cost line is printed
+    capsys.readouterr()
+    refined = segment(str(tmp_path / "clips_refined"),
+                      "--frame-stride", "2", "--stride-refine", "auto")
+    assert refined == parity
+    out = capsys.readouterr().out
+    assert "stride-refine:" in out and "gaps hot" in out
     with pytest.raises(SystemExit, match="frame-stride"):
         cli.main(["segment", frames_dir, "--method", "knn-hmm",
                   "--out", str(tmp_path / "x"), "--vid", "1", "--follow",
@@ -717,6 +726,19 @@ def test_frame_stride_segmentation_matches_parity(tmp_path):
         cli.main(["segment", frames_dir, "--manual-csv", csv_path,
                   "--out", str(tmp_path / "y"), "--vid", "1",
                   "--frame-stride", "0"])
+    # --stride-refine validation fails BEFORE the engine spins up
+    with pytest.raises(SystemExit, match="stride-refine"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "y"), "--vid", "1",
+                  "--stride-refine", "auto"])  # needs --frame-stride > 1
+    with pytest.raises(SystemExit, match="stride-refine"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "y"), "--vid", "1",
+                  "--frame-stride", "2", "--stride-refine", "bogus"])
+    with pytest.raises(SystemExit, match="stride-refine"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "y"), "--vid", "1",
+                  "--frame-stride", "2", "--stride-refine", "3.5"])
 
 
 def test_metrics_command(tmp_path, capsys):

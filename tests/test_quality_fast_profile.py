@@ -31,7 +31,16 @@ def test_tiny_dossier_end_to_end(tmp_path):
     rows = [json.loads(line) for line in open(out)]
     by_name = {row["variant"]: row for row in rows}
     assert set(by_name) == {"parity", "tome2", "strided2",
-                            "tome2_strided2", "int8static"}
+                            "strided2_refined", "tome2_strided2",
+                            "int8static"}
+    ref = by_name["strided2_refined"]
+    assert ref["stride_refine"] == "auto"
+    assert 0.0 <= ref["refined_frame_frac"] <= 1.0
+    assert ref["exact_embed_frac"] <= 1.0
+    # refinement only swaps interpolations for exact embeddings, so
+    # fidelity can't drop below the plain strided run's
+    assert (ref["fidelity_cos_mean"]
+            >= by_name["strided2"]["fidelity_cos_mean"] - 1e-6)
     par = by_name["parity"]
     # parity vs itself is exact by construction
     assert par["fidelity_cos_mean"] == 1.0

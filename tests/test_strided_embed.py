@@ -92,6 +92,107 @@ def test_strided_segmentation_matches_full(tmp_path):
     assert agree_strided > agree_full - 0.05  # near-parity at 4x speed
 
 
+class _ScriptedEngine:
+    """Fake engine with path->embedding lookup so refine tests can craft
+    exact novelty structure; records every embed_paths call."""
+
+    def __init__(self, emb_by_path, l2_normalize=True):
+        self.emb_by_path = {k: np.asarray(v, np.float32)
+                            for k, v in emb_by_path.items()}
+        self.l2_normalize = l2_normalize
+        self.out_dim = next(iter(self.emb_by_path.values())).shape[0]
+        self.calls = []
+
+    def embed_paths(self, paths, num_workers=8, use_native=False):
+        self.calls.append(list(paths))
+        out = np.stack([self.emb_by_path[p] for p in paths])
+        if self.l2_normalize:
+            out = out / np.maximum(
+                np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return out
+
+
+def _unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v)
+
+
+def test_refine_quiet_content_is_free():
+    """Identical keyframes -> zero novelty -> no second embed call, and
+    the output equals plain interpolation."""
+    e = [1.0, 0.0, 0.0]
+    paths = [f"p{i}" for i in range(9)]
+    eng = _ScriptedEngine({p: e for p in paths})
+    stats = {}
+    out = embed_video_strided(eng, paths, stride=4, refine_threshold=0.05,
+                              stats=stats)
+    assert stats == {"gaps": 2, "refined_gaps": 0, "refined_frames": 0,
+                     "novelty_p50": stats["novelty_p50"],
+                     "novelty_max": stats["novelty_max"]}
+    assert stats["novelty_max"] < 1e-6
+    assert len(eng.calls) == 1  # keyframes only
+    np.testing.assert_allclose(out, np.tile(_unit(e), (9, 1)), atol=1e-6)
+
+
+def test_refine_hot_gap_gets_exact_embeddings():
+    """A cut inside one gap: that gap's interior frames are re-embedded
+    exactly instead of blended between the two sides."""
+    e1, e2 = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    paths = [f"p{i}" for i in range(12)]
+    # frames 0-3 content A, frames 4-11 content B; stride-4 keys are
+    # p0 (A), p4/p8/p11 (B) -> only gap 0 (p0..p4) is hot
+    emb = {p: (e1 if i < 4 else e2) for i, p in enumerate(paths)}
+    eng = _ScriptedEngine(emb)
+    stats = {}
+    out = embed_video_strided(eng, paths, stride=4, refine_threshold=0.05,
+                              stats=stats)
+    assert stats["gaps"] == 3
+    assert stats["refined_gaps"] == 1
+    assert stats["refined_frames"] == 3
+    assert eng.calls[1] == ["p1", "p2", "p3"]
+    # refined interior frames carry their TRUE embedding, not a blend
+    for i in (1, 2, 3):
+        np.testing.assert_allclose(out[i], _unit(e1), atol=1e-6)
+    # un-refined gaps keep the interpolation path (here: constant e2)
+    np.testing.assert_allclose(out[5], _unit(e2), atol=1e-6)
+    # without refinement the same frames would be smeared blends
+    blended = embed_video_strided(eng, paths, stride=4)
+    assert float(blended[2] @ _unit(e1)) < 0.95
+
+
+def test_refine_radius_dilates_neighbouring_gaps():
+    e1, e2 = [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]
+    paths = [f"p{i}" for i in range(12)]
+    emb = {p: (e1 if i < 4 else e2) for i, p in enumerate(paths)}
+    eng = _ScriptedEngine(emb)
+    stats = {}
+    embed_video_strided(eng, paths, stride=4, refine_threshold=0.05,
+                        refine_radius=1, stats=stats)
+    assert stats["refined_gaps"] == 2  # hot gap 0 + dilated gap 1
+    assert eng.calls[1] == ["p1", "p2", "p3", "p5", "p6", "p7"]
+
+
+def test_refine_threshold_zero_recovers_full_rate():
+    """On content where every keyframe differs, threshold 0 degrades to
+    exact full-rate embedding everywhere — the right answer there."""
+    rng = np.random.default_rng(3)
+    paths = [f"p{i}" for i in range(10)]
+    emb = {p: rng.normal(size=4) for p in paths}
+    eng = _ScriptedEngine(emb)
+    out = embed_video_strided(eng, paths, stride=3, refine_threshold=0.0)
+    want = eng.embed_paths(paths)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_refine_rejects_negative_radius():
+    import pytest as _pytest
+
+    eng = _ScriptedEngine({"p0": [1.0, 0.0]})
+    with _pytest.raises(ValueError, match="refine_radius"):
+        embed_video_strided(eng, ["p0"], stride=2, refine_threshold=0.05,
+                            refine_radius=-1)
+
+
 def test_device_interp_matches_host_math():
     """strided_interp_device == embed_video_strided's host interpolation
     on the same keyframes (the device twin the e2e segment bench jits)."""

@@ -321,10 +321,23 @@ def _timed_load(paths, spec, num_workers, use_native):
                            use_native=use_native)
 
 
+# Default novelty gate for refined strided embedding: cosine DISTANCE
+# between a gap's two bounding keyframe embeddings above which the gap's
+# interior frames are embedded exactly instead of interpolated. Static
+# broadcast content sits well under this (adjacent-keyframe novelty
+# ~1e-3 on the dossier world); event onsets / cuts / fast motion sit
+# well above it (the 6-frame event marker moves the embedding by >0.1
+# cosine). Measured in examples/quality_fast_profile.py's refined rows.
+REFINE_THRESHOLD_DEFAULT = 0.05
+
+
 def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
                         interpolate: bool = True,
                         num_workers: int = 8,
-                        use_native: bool = False) -> np.ndarray:
+                        use_native: bool = False,
+                        refine_threshold: float | None = None,
+                        refine_radius: int = 0,
+                        stats: dict | None = None) -> np.ndarray:
     """Temporally-strided embedding with inter-frame reuse.
 
     Consecutive broadcast frames are nearly identical, so embedding every
@@ -337,10 +350,29 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
     Effective throughput multiplies by ~``stride`` for the
     embed+segment path (BASELINE.md: <5 s per 10-min video).
 
+    **Novelty-gated refinement** (``refine_threshold``): plain
+    interpolation smears short events on fast-changing content — the
+    adversarial dossier world measured event hit@1 collapsing to 0.0 at
+    stride 4 (BENCH_NOTES.md "Adversarial (high-entropy) dossier world").
+    When ``refine_threshold`` is set, any gap whose two bounding keyframe
+    embeddings disagree by more than that cosine distance — i.e. the
+    content changed, so linear interpolation is not trustworthy there —
+    gets its interior frames embedded exactly in one extra batched
+    forward; quiet gaps keep the stride speedup. ``refine_radius``
+    additionally refines that many neighbouring gaps on each side (an
+    event straddling a keyframe can leave one adjacent gap looking
+    quiet). The cost is data-dependent: near-zero on static content,
+    approaching full-rate on content that changes every frame — which is
+    exactly when full-rate is the right answer. ``stats``, if given,
+    receives ``gaps`` / ``refined_gaps`` / ``refined_frames`` /
+    ``novelty_p50`` / ``novelty_max`` for cost accounting.
+
     Returns (N, D) embeddings aligned with ``paths``.
     """
     if stride <= 0:
         raise ValueError(f"stride must be positive, got {stride}")
+    if refine_radius < 0:
+        raise ValueError(f"refine_radius must be >= 0, got {refine_radius}")
     n = len(paths)
     if n == 0:
         return np.zeros((0, engine.out_dim), np.float32)
@@ -351,12 +383,44 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
                                   num_workers=num_workers,
                                   use_native=use_native)
     d = key_embs.shape[1]
+
+    refined: dict[int, np.ndarray] = {}
+    if refine_threshold is not None and len(key_idx) > 1:
+        a, b = key_embs[:-1], key_embs[1:]
+        den = (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
+        novelty = 1.0 - np.sum(a * b, axis=1) / np.maximum(den, 1e-12)
+        hot = novelty > refine_threshold
+        if refine_radius and hot.any():
+            dilated = hot.copy()
+            for off in range(1, refine_radius + 1):
+                dilated[off:] |= hot[:-off]
+                dilated[:-off] |= hot[off:]
+            hot = dilated
+        refine_idx = [i for j in np.nonzero(hot)[0]
+                      for i in range(key_idx[j] + 1, key_idx[j + 1])]
+        if refine_idx:
+            exact = engine.embed_paths([paths[i] for i in refine_idx],
+                                       num_workers=num_workers,
+                                       use_native=use_native)
+            refined = dict(zip(refine_idx, exact))
+        if stats is not None:
+            stats.update(
+                gaps=len(key_idx) - 1, refined_gaps=int(hot.sum()),
+                refined_frames=len(refine_idx),
+                novelty_p50=float(np.median(novelty)),
+                novelty_max=float(novelty.max()))
+    elif stats is not None:
+        stats.update(gaps=max(len(key_idx) - 1, 0), refined_gaps=0,
+                     refined_frames=0)
+
     out = np.empty((n, d), np.float32)
     if not interpolate:
         # Hold each keyframe's embedding until the next (zero-order hold).
         for j, i in enumerate(key_idx):
             end = key_idx[j + 1] if j + 1 < len(key_idx) else n
             out[i:end] = key_embs[j]
+        for i, e in refined.items():
+            out[i] = e
         return out
     for j in range(len(key_idx) - 1):
         i0, i1 = key_idx[j], key_idx[j + 1]
@@ -364,6 +428,8 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
         w = np.arange(span, dtype=np.float32)[:, None] / span
         out[i0:i1] = (1.0 - w) * key_embs[j] + w * key_embs[j + 1]
     out[n - 1] = key_embs[-1]
+    for i, e in refined.items():
+        out[i] = e
     if engine.l2_normalize:
         out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
     return out
