@@ -1,6 +1,7 @@
 """CLI smoke: the pipeline subcommands run end-to-end with VRT_TINY."""
 
 import os
+import re
 
 import numpy as np
 import pytest
@@ -716,7 +717,11 @@ def test_frame_stride_segmentation_matches_parity(tmp_path, capsys):
                       "--frame-stride", "2", "--stride-refine", "auto")
     assert refined == parity
     out = capsys.readouterr().out
-    assert "stride-refine:" in out and "gaps hot" in out
+    # the side cuts MUST register as hot gaps — a zero count means the
+    # novelty gate is dead at the CLI surface (vacuous-test guard)
+    m = re.search(r"stride-refine: (\d+)/(\d+) gaps hot", out)
+    assert m, out
+    assert int(m.group(1)) > 0
     with pytest.raises(SystemExit, match="frame-stride"):
         cli.main(["segment", frames_dir, "--method", "knn-hmm",
                   "--out", str(tmp_path / "x"), "--vid", "1", "--follow",
@@ -739,6 +744,15 @@ def test_frame_stride_segmentation_matches_parity(tmp_path, capsys):
         cli.main(["segment", frames_dir, "--manual-csv", csv_path,
                   "--out", str(tmp_path / "y"), "--vid", "1",
                   "--frame-stride", "2", "--stride-refine", "3.5"])
+    with pytest.raises(SystemExit, match="stride-refine-radius"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "y"), "--vid", "1",
+                  "--frame-stride", "2", "--stride-refine", "auto",
+                  "--stride-refine-radius", "-1"])
+    with pytest.raises(SystemExit, match="stride-refine-radius"):
+        cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+                  "--out", str(tmp_path / "y"), "--vid", "1",
+                  "--frame-stride", "2", "--stride-refine-radius", "1"])
 
 
 def test_metrics_command(tmp_path, capsys):

@@ -184,6 +184,21 @@ def test_refine_threshold_zero_recovers_full_rate():
     np.testing.assert_allclose(out, want, atol=1e-6)
 
 
+def test_refine_blind_to_sub_stride_interior_event():
+    """Documented LIMIT: an event shorter than the stride that starts
+    and ends strictly inside one gap touches no keyframe, so the gate
+    cannot see it — pins the docstring's 'choose stride <= shortest
+    event' deployment rule."""
+    e1, ev = [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]
+    paths = [f"p{i}" for i in range(12)]
+    emb = {p: (ev if i in (5, 6) else e1) for i, p in enumerate(paths)}
+    eng = _ScriptedEngine(emb)
+    stats = {}
+    embed_video_strided(eng, paths, stride=4, refine_threshold=0.05,
+                        refine_radius=2, stats=stats)
+    assert stats["refined_frames"] == 0  # keys p0/p4/p8/p11 all agree
+
+
 def test_refine_rejects_negative_radius():
     import pytest as _pytest
 

@@ -42,6 +42,12 @@ def cmd_segment(args):
             "every N rows are interpolations, not embeddings, and "
             "write-back would persist them into the corpus")
     refine_threshold = None
+    if args.stride_refine_radius < 0:
+        raise SystemExit("--stride-refine-radius must be >= 0")
+    if args.stride_refine_radius > 0 and args.stride_refine is None:
+        # a silent ignore would report unrefined numbers as refined
+        raise SystemExit("--stride-refine-radius only applies with "
+                         "--stride-refine")
     if args.stride_refine is not None:
         if args.frame_stride <= 1:
             raise SystemExit("--stride-refine only applies with "
@@ -999,7 +1005,10 @@ def register(sub):
                          "on the adversarial dossier world) at a "
                          "data-dependent cost: near-free on static "
                          "footage, approaching full-rate when every "
-                         "frame changes")
+                         "frame changes. The gate only sees keyframes: "
+                         "keep the stride <= the shortest event you "
+                         "need localized (a sub-stride event strictly "
+                         "inside one gap is invisible)")
     sg.add_argument("--stride-refine-radius", type=int, default=0,
                     help="also refine this many neighbouring gaps on "
                          "each side of every hot gap (--stride-refine)")

@@ -361,7 +361,17 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
     forward; quiet gaps keep the stride speedup. ``refine_radius``
     additionally refines that many neighbouring gaps on each side (an
     event straddling a keyframe can leave one adjacent gap looking
-    quiet). The cost is data-dependent: near-zero on static content,
+    quiet).
+
+    LIMIT — the gate only sees what keyframes see: an event SHORTER
+    than ``stride`` that starts and ends strictly inside one gap
+    touches no keyframe, so no key embedding changes and the gap stays
+    quiet — invisible to refinement (and equally smeared by plain
+    strided mode). Any event of length >= ``stride`` necessarily
+    contains a keyframe, so the deployment rule is: choose ``stride``
+    <= the shortest event you need localized.
+
+    The cost is data-dependent: near-zero on static content,
     approaching full-rate on content that changes every frame — which is
     exactly when full-rate is the right answer. ``stats``, if given,
     receives ``gaps`` / ``refined_gaps`` / ``refined_frames`` /

@@ -348,7 +348,10 @@ def preset(name: str) -> ExperimentConfig:
         # top-8 overlap 1.0 / event hit@1 == parity on the dossier
         # world; pair with `cli segment --frame-stride 4` (5,992
         # effective f/s, F1 1.0, ~1 frame boundary drift, 0.95
-        # retrieval overlap). NON-PARITY: merged-token embeddings drift
+        # retrieval overlap) — add `--stride-refine auto` when the run
+        # scores events on fast-changing content (novelty-gated exact
+        # re-embedding of hot gaps; BENCH_NOTES.md "Novelty-gated
+        # strided refinement"). NON-PARITY: merged-token embeddings drift
         # from the reference outputs — every embedding one pipeline
         # compares must come from the same profile. NOTE the `vit` field
         # documents the profile (like every preset's — training flows
