@@ -440,12 +440,14 @@ def main():
         if refine is not None:
             refine_stats[name] = {
                 "gaps": st[1].get("gaps", 0) + st[2].get("gaps", 0),
+                "keys": st[1].get("keys", 0) + st[2].get("keys", 0),
                 "refined_gaps": (st[1].get("refined_gaps", 0)
                                  + st[2].get("refined_gaps", 0)),
                 "refined_frames": (st[1].get("refined_frames", 0)
                                    + st[2].get("refined_frames", 0))}
         mark(f"embedded {name} in {time.monotonic() - t0:.0f}s"
-             + (f" (refine: {refine_stats[name]})" if refine else ""))
+             + (f" (refine: {refine_stats[name]})"
+                if refine is not None else ""))
     lookup = {name: {os.path.basename(p): embs[name][v][i]
                      for v in (1, 2)
                      for i, p in enumerate(world["frames"][v])}
@@ -542,11 +544,12 @@ def main():
                 rs.get("refined_frames", 0)
                 / max(sum(len(world["frames"][v]) for v in (1, 2)), 1), 3)
             row.update({f"refine_{k}": v for k, v in rs.items()})
-            # exact forwards paid / total frames: keyframes (gaps+1 per
-            # vid, 2 vids) plus refined interiors — the throughput story
+            # exact forwards paid / total frames: per-video keyframe
+            # counts summed (stats['keys'] from embed_video_strided)
+            # plus refined interiors — the throughput story
             n_total = sum(len(world["frames"][v]) for v in (1, 2))
             row["exact_embed_frac"] = round(
-                (rs.get("gaps", 0) + 2 + rs.get("refined_frames", 0))
+                (rs.get("keys", 0) + rs.get("refined_frames", 0))
                 / max(n_total, 1), 3)
         # fidelity vs parity
         cos = np.sum(embs[name][2] * embs["parity"][2], axis=1)

@@ -127,6 +127,7 @@ def test_refine_quiet_content_is_free():
     out = embed_video_strided(eng, paths, stride=4, refine_threshold=0.05,
                               stats=stats)
     assert stats == {"gaps": 2, "refined_gaps": 0, "refined_frames": 0,
+                     "keys": 3,
                      "novelty_p50": stats["novelty_p50"],
                      "novelty_max": stats["novelty_max"]}
     assert stats["novelty_max"] < 1e-6
@@ -255,3 +256,17 @@ def test_device_interp_validates_shapes():
         strided_interp_device(np.zeros((5, 4), np.float32), 3, 16)
     with _pytest.raises(ValueError, match="keys"):
         strided_interp_device(np.zeros((3, 4), np.float32), 4, 16)
+
+
+def test_refine_single_frame_input_still_populates_stats():
+    """ADVICE r4: a single-frame input (one key, zero gaps) with
+    refine_threshold set must still fill the stats dict — the dossier
+    harness and the CLI print read gaps/refined_* via .get and silently
+    reported 0/0 when stats stayed empty."""
+    eng = _ScriptedEngine({"p0": [1.0, 0.0, 0.0]})
+    stats = {}
+    out = embed_video_strided(eng, ["p0"], stride=4, refine_threshold=0.05,
+                              stats=stats)
+    assert stats == {"gaps": 0, "refined_gaps": 0, "refined_frames": 0,
+                     "keys": 1}
+    assert out.shape == (1, 3)

@@ -395,6 +395,9 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
     d = key_embs.shape[1]
 
     refined: dict[int, np.ndarray] = {}
+    novelty = None
+    refine_idx: list[int] = []
+    hot_gaps = 0
     if refine_threshold is not None and len(key_idx) > 1:
         a, b = key_embs[:-1], key_embs[1:]
         den = (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1))
@@ -406,6 +409,7 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
                 dilated[off:] |= hot[:-off]
                 dilated[:-off] |= hot[off:]
             hot = dilated
+        hot_gaps = int(hot.sum())
         refine_idx = [i for j in np.nonzero(hot)[0]
                       for i in range(key_idx[j] + 1, key_idx[j + 1])]
         if refine_idx:
@@ -413,15 +417,15 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
                                        num_workers=num_workers,
                                        use_native=use_native)
             refined = dict(zip(refine_idx, exact))
-        if stats is not None:
-            stats.update(
-                gaps=len(key_idx) - 1, refined_gaps=int(hot.sum()),
-                refined_frames=len(refine_idx),
-                novelty_p50=float(np.median(novelty)),
-                novelty_max=float(novelty.max()))
-    elif stats is not None:
-        stats.update(gaps=max(len(key_idx) - 1, 0), refined_gaps=0,
-                     refined_frames=0)
+    # Populate cost accounting whenever the caller asked for it — including
+    # degenerate single-key inputs where the refine gate has no gaps to
+    # inspect (ADVICE r4: the elif-only fallback left stats empty there).
+    if stats is not None:
+        stats.update(gaps=max(len(key_idx) - 1, 0), refined_gaps=hot_gaps,
+                     refined_frames=len(refine_idx), keys=len(key_idx))
+        if novelty is not None:
+            stats.update(novelty_p50=float(np.median(novelty)),
+                         novelty_max=float(novelty.max()))
 
     out = np.empty((n, d), np.float32)
     if not interpolate:
