@@ -410,6 +410,18 @@ def main():
                 f"--only: unknown variant(s) {sorted(unknown)} "
                 f"(have: {sorted(known)})")
         defs = [d for d in defs if d[0] in want]
+    # Sub-stride event guard (mirrors cli segment --event-template): a
+    # variant whose stride exceeds the shortest labeled event cannot
+    # localize it — by interpolation OR refinement — so its event rows
+    # would be structurally, not statistically, degraded.
+    from vit_research_tpu.evaluate.event_scoring import min_event_span
+    _span = min_event_span(world["events"])
+    for _name, _r, _stride, _q, _refine in defs:
+        if _span is not None and _stride > _span:
+            mark(f"WARNING: variant {_name} stride {_stride} exceeds the "
+                 f"shortest labeled event ({_span} frames): sub-stride "
+                 "events are invisible (deployment rule: stride <= "
+                 "shortest event)")
     engines = {}
     # Calibration frames: per vid-1 possession, its first frame (side
     # signal) AND a mid-event frame (the marker block) — the two

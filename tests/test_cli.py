@@ -755,6 +755,44 @@ def test_frame_stride_segmentation_matches_parity(tmp_path, capsys):
                   "--frame-stride", "2", "--stride-refine-radius", "1"])
 
 
+def test_frame_stride_event_template_guard(tmp_path, capsys):
+    """--event-template cross-checks --frame-stride against the shortest
+    labeled event (sub-stride events are invisible to strided embedding
+    AND to --stride-refine): blind strides are refused before the engine
+    spins up, --force-stride downgrades to a warning, compliant strides
+    pass through silently."""
+    import json as _json
+
+    tmpl_path = str(tmp_path / "events.json")
+    with open(tmpl_path, "w") as f:
+        _json.dump({"clips/vid1_clip2_left": {"event_make": [[10, 12]]}},
+                   f)  # shortest event: 3 frames
+    base = ["segment", str(tmp_path / "frames"), "--out",
+            str(tmp_path / "o"), "--vid", "1", "--method", "knn-hmm"]
+    # stride 4 > 3-frame event: refused with the deployment rule
+    with pytest.raises(SystemExit,
+                       match="shortest labeled event"):
+        cli.main(base + ["--frame-stride", "4",
+                         "--event-template", tmpl_path])
+    # --force-stride: warns, then proceeds (proven by hitting the LATER
+    # knn-hmm db validation instead of the stride guard)
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="corpus-collection"):
+        cli.main(base + ["--frame-stride", "4", "--force-stride",
+                         "--event-template", tmpl_path])
+    assert "sub-stride events WILL be missed" in capsys.readouterr().err
+    # compliant stride: passes the guard silently, hits the db check
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="corpus-collection"):
+        cli.main(base + ["--frame-stride", "3",
+                         "--event-template", tmpl_path])
+    assert "WARNING" not in capsys.readouterr().err
+    # a typo'd template path must fail loudly, not skip the guard
+    with pytest.raises(SystemExit, match="file not found"):
+        cli.main(base + ["--frame-stride", "4",
+                         "--event-template", str(tmp_path / "nope.json")])
+
+
 def test_metrics_command(tmp_path, capsys):
     from vit_research_tpu.utils.metrics import MetricsLogger
 

@@ -140,3 +140,26 @@ def test_score_events_cli(tmp_path, capsys):
     bad.write_text(json.dumps({"comment": {"event_make": [[1, 2]]}}))
     with pytest.raises(SystemExit, match="does not end in"):
         cli.main(["score-events", str(results), "--events", str(bad)])
+
+
+def test_min_event_span():
+    from vit_research_tpu.evaluate.event_scoring import min_event_span
+
+    tmpl = {
+        "clips/vid1_clip2_left": {"event_make": [[10, 14]],
+                                  "event_miss": [[30, 31]]},
+        "clips/vid1_clip3_right": {"event_make": [[5, 20]],
+                                   # none overwrites 5-17 -> span 18..20
+                                   "event_none": [[1, 17]]},
+    }
+    assert min_event_span(tmpl) == 2            # the [30,31] miss
+    assert min_event_span({}) is None
+    assert min_event_span({"c/vid1_clip1_left": {}}) is None
+    # none-subtraction shortens the surviving span
+    assert min_event_span(
+        {"c/vid1_clip1_left": {"event_make": [[5, 20]],
+                               "event_none": [[1, 17]]}}) == 3
+    # an event fully overwritten by none contributes nothing
+    assert min_event_span(
+        {"c/vid1_clip1_left": {"event_make": [[5, 8]],
+                               "event_none": [[5, 8]]}}) is None

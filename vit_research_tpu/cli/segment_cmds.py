@@ -65,6 +65,34 @@ def cmd_segment(args):
             if not 0.0 <= refine_threshold <= 2.0:
                 raise SystemExit("--stride-refine threshold must be in "
                                  "[0, 2] (cosine distance)")
+    if args.event_template and args.frame_stride > 1:
+        # Deployment rule for strided embedding: stride <= the shortest
+        # event you need localized. An event strictly inside one stride
+        # gap touches no keyframe, so plain interpolation smears it AND
+        # the novelty gate can't see it (embed_video_strided LIMIT note)
+        # — with the event template in hand, catch that before paying
+        # the embed.
+        if not os.path.exists(args.event_template):
+            raise SystemExit(
+                f"--event-template {args.event_template!r}: file not found")
+        from vit_research_tpu.data.labels import load_event_template
+        from vit_research_tpu.evaluate.event_scoring import min_event_span
+        span = min_event_span(load_event_template(args.event_template))
+        if span is not None and args.frame_stride > span:
+            msg = (f"--frame-stride {args.frame_stride} exceeds the "
+                   f"shortest labeled event in {args.event_template} "
+                   f"({span} frame{'s' if span != 1 else ''}): an event "
+                   "that fits strictly inside one stride gap touches no "
+                   "keyframe, so it is invisible to interpolation AND to "
+                   "--stride-refine; use a stride <= the shortest event")
+            if args.force_stride:
+                import sys as _sys
+                print(f"WARNING: {msg} (--force-stride given; "
+                      "sub-stride events WILL be missed)",
+                      file=_sys.stderr, flush=True)
+            else:
+                raise SystemExit(
+                    msg + " (or pass --force-stride to run anyway)")
     if args.socket:
         if not args.follow:
             raise SystemExit("--socket is the daemon-routed live mode: "
@@ -1012,6 +1040,16 @@ def register(sub):
     sg.add_argument("--stride-refine-radius", type=int, default=0,
                     help="also refine this many neighbouring gaps on "
                          "each side of every hot gap (--stride-refine)")
+    sg.add_argument("--event-template", dest="event_template", default=None,
+                    help="event-interval JSON (data/labels "
+                         "save_event_template format): with "
+                         "--frame-stride > 1, the run REFUSES a stride "
+                         "longer than the template's shortest event — "
+                         "sub-stride events are invisible to strided "
+                         "embedding and to --stride-refine")
+    sg.add_argument("--force-stride", action="store_true",
+                    help="downgrade the --event-template sub-stride "
+                         "event check from an error to a warning")
     sg.add_argument("--transitions", default=None,
                     help="JSON with a 3x3 HMM transition matrix (bare "
                     "list or tune-segment output); default is the "

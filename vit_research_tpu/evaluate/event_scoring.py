@@ -83,6 +83,32 @@ def truth_events_by_clip(event_template: dict,
     return out
 
 
+def min_event_span(event_template: dict,
+                   keys=("event_make", "event_miss")) -> int | None:
+    """Shortest labeled event span in frames (inclusive), after
+    subtracting ``event_none`` overwrites — or ``None`` when the
+    template holds no event intervals.
+
+    This is the number the strided-embedding deployment rule needs:
+    choose ``--frame-stride`` <= the shortest event you want localized
+    (parallel/embed.py::embed_video_strided LIMIT note) — an event
+    strictly inside one stride gap touches no keyframe, so neither
+    plain interpolation nor novelty-gated refinement can see it
+    (tests/test_strided_embed.py::
+    test_refine_blind_to_sub_stride_interior_event)."""
+    spans_all = []
+    for events in (event_template or {}).values():
+        spans = [(int(s), int(e)) for key in keys
+                 for s, e in (events or {}).get(key, ())]
+        spans = _subtract_spans(
+            spans, [(int(s), int(e)) for s, e
+                    in (events or {}).get("event_none", ())])
+        spans_all.extend(spans)
+    if not spans_all:
+        return None
+    return min(e - s + 1 for s, e in spans_all)
+
+
 def _overlaps(sf, ef, spans) -> bool:
     return any(sf <= e and s <= ef for s, e in spans)
 

@@ -34,7 +34,12 @@ torn file, and segment files not yet listed in the manifest are ignored
 Capacity guidance (measured at 5M x 768 f32, BENCH_NOTES.md "store
 housekeeping at capacity scale"): a 1%-delta flush is ~2 s; a
 compaction (full snapshot rewrite) is ~150 s and peaks at ~3x the
-corpus bytes of RSS. Size in-memory collections so corpus x 3 fits
+corpus bytes of RSS. NOTE flush() silently ESCALATES to that full
+rewrite when the log crosses ``compact_ratio``/``max_segments`` — but
+neither flush nor compact blocks readers while the bytes hit disk: the
+write runs outside the collection lock against a captured
+point-in-time state (measured at 1M x 768: query p50 110 ms during a
+35 s compaction vs 78 ms idle, BENCH_NOTES.md). Size in-memory collections so corpus x 3 fits
 RAM (~13M f32 768-d rows on a 125 GB host); beyond that use the
 out-of-core IVF spill (store/ivf.py) or int8 device corpora
 (``device_quant='int8'``, 1/4 the bytes).
@@ -161,6 +166,14 @@ class Collection:
         self._dirty = False
         self._mutations = 0  # bumped by _invalidate; snapshot cache key
         self._lock = threading.RLock()
+        # Serializes flush/compact against each other WITHOUT blocking
+        # readers: the disk write runs outside self._lock (see flush).
+        self._flush_serial = threading.Lock()
+        # Set while a snapshot write is in flight outside the lock: the
+        # first in-place row update copies the embedding matrix so the
+        # writer keeps a consistent view (appends/deletes already
+        # replace the array wholesale and never mutate shared memory).
+        self._cow_pending = False
         # Append-log state: ids touched / removed since the last flush,
         # the on-disk segment list, and how many logged rows the segments
         # hold (drives compaction).
@@ -368,60 +381,184 @@ class Collection:
             self._ivf = None
 
     def flush(self) -> None:
-        """Persist pending mutations: appends one log segment, or compacts
-        into a fresh snapshot when the log share crosses ``compact_ratio``
-        / ``max_segments`` (or nothing was ever snapshotted). Raises
+        """Persist pending mutations: appends one log segment, or
+        ESCALATES to a full snapshot rewrite when the log share crosses
+        ``compact_ratio`` of the corpus or ``max_segments`` (or nothing
+        was ever snapshotted). The delta append is cheap (~2 s at a 1%
+        delta of 5M x 768 rows); the escalated rewrite is the full
+        compaction cost (~2 min at that scale, BENCH_NOTES.md) — but
+        either way the disk write runs OUTSIDE the collection lock, so
+        queries/gets/upserts proceed concurrently (a point-in-time state
+        is captured under the lock first; in-place upserts that race the
+        write trigger one copy-on-write of the embedding matrix). Raises
         :class:`StaleCollectionError` instead of writing through a view
         another process has rebuilt past."""
-        with self._lock:
-            if not self._dirty or self._path is None:
-                return
-            self._check_not_stale()
-            os.makedirs(self._path, exist_ok=True)
-            _atomic_write_json(os.path.join(self._path, "config.json"),
-                               {"space": self.space, "dim": self._dim,
-                                "device_quant": self.device_quant,
-                                "embedding_profile": self.embedding_profile})
-            delta = (len(self._pending_dirty) + len(self._pending_deleted)
-                     + self._logged_rows)
-            has_snapshot = (
-                os.path.exists(os.path.join(self._path, "snapshot.npz"))
-                or os.path.exists(
-                    os.path.join(self._path, "embeddings.npy")))
-            if (has_snapshot and not self._pending_dirty
-                    and not self._pending_deleted):
-                # config-only change (e.g. a profile stamp): the
-                # config.json write above already persisted it — an
-                # empty log segment per stamp would grow the manifest
-                # toward a pointless compaction (review r4)
-                pass
-            elif (not has_snapshot
-                    or len(self._segments) >= self.max_segments
-                    or delta >= self.compact_ratio * max(len(self._ids), 1)):
-                self._write_snapshot()
-            else:
-                self._append_segment()
-            self._persisted_ids = set(self._ids)
-            self._pending_dirty.clear()
-            self._pending_deleted.clear()
-            self._dirty = False
+        self._flush_or_compact(force_snapshot=False)
 
     def compact(self) -> None:
-        """Force-merge the log into a fresh snapshot."""
-        with self._lock:
-            if self._path is None:
-                return
-            self._check_not_stale()
-            os.makedirs(self._path, exist_ok=True)
-            _atomic_write_json(os.path.join(self._path, "config.json"),
-                               {"space": self.space, "dim": self._dim,
-                                "device_quant": self.device_quant,
-                                "embedding_profile": self.embedding_profile})
-            self._write_snapshot()
-            self._persisted_ids = set(self._ids)
-            self._pending_dirty.clear()
-            self._pending_deleted.clear()
-            self._dirty = False
+        """Force-merge the log into a fresh snapshot. Like :meth:`flush`,
+        the snapshot write happens outside the collection lock: queries
+        keep answering (from the in-memory arrays) while the multi-second
+        rewrite is on disk."""
+        self._flush_or_compact(force_snapshot=True)
+
+    def _flush_or_compact(self, force_snapshot: bool) -> None:
+        # One writer at a time (flush_serial), but readers NEVER wait on
+        # the disk write: capture a consistent point-in-time state under
+        # self._lock, release it, write files, re-acquire to commit the
+        # bookkeeping. Mutations that land during the write stay pending
+        # (re-flushing an already-persisted row is idempotent; rows the
+        # snapshot captured but that were deleted mid-write get a delete
+        # record queued so the next segment removes them).
+        with self._flush_serial:
+            with self._lock:
+                if self._path is None:
+                    return
+                if not force_snapshot and not self._dirty:
+                    return
+                self._check_not_stale()
+                path = self._path
+                cfg_obj = {"space": self.space, "dim": self._dim,
+                           "device_quant": self.device_quant,
+                           "embedding_profile": self.embedding_profile}
+                delta = (len(self._pending_dirty)
+                         + len(self._pending_deleted) + self._logged_rows)
+                has_snapshot = (
+                    os.path.exists(os.path.join(path, "snapshot.npz"))
+                    or os.path.exists(
+                        os.path.join(path, "embeddings.npy")))
+                if (not force_snapshot and has_snapshot
+                        and not self._pending_dirty
+                        and not self._pending_deleted):
+                    # config-only change (e.g. a profile stamp): persist
+                    # config.json only — an empty log segment per stamp
+                    # would grow the manifest toward a pointless
+                    # compaction (review r4)
+                    kind = "config"
+                elif (force_snapshot or not has_snapshot
+                        or len(self._segments) >= self.max_segments
+                        or delta >= self.compact_ratio
+                        * max(len(self._ids), 1)):
+                    kind = "snapshot"
+                    new_gen = self._gen + 1
+                    snap_ids = list(self._ids)
+                    snap_metas = list(self._metadatas)  # dicts are only
+                    # ever REPLACED by upsert/delete, never mutated in
+                    # place, so shallow refs stay consistent
+                    snap_embs = self._embeddings  # guarded by COW below
+                    self._cow_pending = True
+                    old_segments = list(self._segments)
+                else:
+                    kind = "segment"
+                    seq = ((int(self._segments[-1][4:10]) + 1)
+                           if self._segments else 0)
+                    seg_name = f"seg_{seq:06d}.npz"
+                    cap_dirty = sorted(self._pending_dirty)
+                    cap_deleted = sorted(self._pending_deleted)
+                    seg_rows = (np.stack(
+                        [self._embeddings[self._id_to_idx[i]]
+                         for i in cap_dirty])
+                        if cap_dirty
+                        else np.zeros((0, self._dim or 0), np.float32))
+                    seg_metas = [self._metadatas[self._id_to_idx[i]]
+                                 for i in cap_dirty]
+                    new_segments = self._segments + [seg_name]
+                if kind != "config":
+                    # Take the pending sets: mutations that land during
+                    # the disk write accumulate in FRESH sets and simply
+                    # stay pending for the next flush (no re-flush
+                    # amplification of rows this write already covers).
+                    cap_dirty_set = self._pending_dirty
+                    cap_deleted_set = self._pending_deleted
+                    self._pending_dirty = set()
+                    self._pending_deleted = set()
+
+            # ---- disk IO: no collection lock held ----
+            try:
+                os.makedirs(path, exist_ok=True)
+                _atomic_write_json(os.path.join(path, "config.json"),
+                                   cfg_obj)
+                if kind == "snapshot":
+                    _atomic_write_npz(
+                        os.path.join(path, "snapshot.npz"),
+                        embeddings=snap_embs,
+                        ids=np.asarray(snap_ids, dtype=str),
+                        metadatas=np.asarray(json.dumps(snap_metas)),
+                        gen=np.asarray(new_gen))
+                    _atomic_write_json(
+                        os.path.join(path, "segments.json"),
+                        {"gen": new_gen, "segments": []})
+                    for seg in old_segments:  # racing readers retry
+                        try:                  # in _load
+                            os.unlink(os.path.join(path, seg))
+                        except OSError:
+                            pass
+                    for legacy in ("embeddings.npy", "ids.json",
+                                   "metadatas.json"):
+                        try:
+                            os.unlink(os.path.join(path, legacy))
+                        except OSError:
+                            pass
+                elif kind == "segment":
+                    _atomic_write_npz(
+                        os.path.join(path, seg_name),
+                        ids=np.asarray(cap_dirty, dtype=str),
+                        embeddings=seg_rows.astype(np.float32),
+                        metadatas=np.asarray(json.dumps(seg_metas)),
+                        deleted=np.asarray(cap_deleted, dtype=str))
+                    # Manifest last: a crash before this line leaves an
+                    # orphan segment file that load ignores.
+                    _atomic_write_json(
+                        os.path.join(path, "segments.json"),
+                        {"gen": self._gen, "segments": new_segments})
+            except BaseException:
+                # The write failed mid-way: put the captured pending-ness
+                # back (merged with anything that arrived meanwhile) so a
+                # retry re-persists it; filter ids deleted/re-added during
+                # the window to keep the pending invariants (pending_dirty
+                # ids must be resolvable, pending_deleted ids absent).
+                with self._lock:
+                    if kind != "config":
+                        self._pending_dirty |= {
+                            i for i in cap_dirty_set
+                            if i in self._id_to_idx}
+                        self._pending_deleted |= {
+                            i for i in cap_deleted_set
+                            if i not in self._id_to_idx}
+                    if kind == "snapshot":
+                        self._cow_pending = False
+                    self._dirty = True
+                raise
+
+            # ---- commit bookkeeping ----
+            with self._lock:
+                if kind == "snapshot":
+                    self._gen = new_gen
+                    self._segments = []
+                    self._logged_rows = 0
+                    self._persisted_ids = set(snap_ids)
+                    self._cow_pending = False
+                    persisted = self._persisted_ids
+                elif kind == "segment":
+                    self._segments = new_segments
+                    self._logged_rows += len(cap_dirty) + len(cap_deleted)
+                    self._persisted_ids |= cap_dirty_set
+                    self._persisted_ids -= cap_deleted_set
+                    persisted = cap_dirty_set
+                else:
+                    persisted = set()
+                # Any id this write persisted that was deleted while it
+                # was on disk needs a delete record queued, or the next
+                # load would resurrect it (delete() only records ids in
+                # the OLD persisted set).
+                self._pending_deleted.update(
+                    i for i in persisted if i not in self._id_to_idx)
+                current_cfg = {"space": self.space, "dim": self._dim,
+                               "device_quant": self.device_quant,
+                               "embedding_profile": self.embedding_profile}
+                self._dirty = bool(self._pending_dirty
+                                   or self._pending_deleted
+                                   or current_cfg != cfg_obj)
 
     def stamp_embedding_profile(self, profile: str) -> None:
         """Record which embedding settings produced this collection's
@@ -445,58 +582,6 @@ class Collection:
                     "spaces in one collection corrupts every ranking "
                     "against it; rebuild into a fresh collection (or "
                     "delete this one) to switch profiles")
-
-    def _write_snapshot(self) -> None:
-        # One file, one os.replace: concurrent readers see the whole
-        # snapshot or none of it. The generation stamp makes the
-        # snapshot+manifest PAIR crash-safe: a crash after the snapshot
-        # lands but before the manifest truncates leaves an older-gen
-        # manifest, which loaders ignore (those segments are baked in).
-        p = self._path
-        self._gen += 1
-        _atomic_write_npz(
-            os.path.join(p, "snapshot.npz"),
-            embeddings=self._embeddings,
-            ids=np.asarray(self._ids, dtype=str),
-            metadatas=np.asarray(json.dumps(self._metadatas)),
-            gen=np.asarray(self._gen))
-        old = self._segments
-        self._segments = []
-        self._logged_rows = 0
-        _atomic_write_json(os.path.join(p, "segments.json"),
-                           {"gen": self._gen, "segments": []})
-        for seg in old:  # readers that raced the swap retry in _load
-            try:
-                os.unlink(os.path.join(p, seg))
-            except OSError:
-                pass
-        for legacy in ("embeddings.npy", "ids.json", "metadatas.json"):
-            try:
-                os.unlink(os.path.join(p, legacy))
-            except OSError:
-                pass
-
-    def _append_segment(self) -> None:
-        p = self._path
-        seq = (int(self._segments[-1][4:10]) + 1) if self._segments else 0
-        name = f"seg_{seq:06d}.npz"
-        dirty = sorted(self._pending_dirty)
-        rows = (np.stack([self._embeddings[self._id_to_idx[i]]
-                          for i in dirty])
-                if dirty else np.zeros((0, self._dim or 0), np.float32))
-        metas = [self._metadatas[self._id_to_idx[i]] for i in dirty]
-        _atomic_write_npz(
-            os.path.join(p, name),
-            ids=np.asarray(dirty, dtype=str),
-            embeddings=rows.astype(np.float32),
-            metadatas=np.asarray(json.dumps(metas)),
-            deleted=np.asarray(sorted(self._pending_deleted), dtype=str))
-        self._segments.append(name)
-        self._logged_rows += len(dirty) + len(self._pending_deleted)
-        # Manifest last: a crash before this line leaves an orphan segment
-        # file that load ignores.
-        _atomic_write_json(os.path.join(p, "segments.json"),
-                           {"gen": self._gen, "segments": self._segments})
 
     # ------------------------------------------------------------ mutation
 
@@ -530,6 +615,13 @@ class Collection:
                         new_rows[pos] = embeddings[i]
                         new_metas[pos] = dict(metadatas[i] or {})
                 else:
+                    if self._cow_pending:
+                        # A snapshot write is reading this array outside
+                        # the lock: replace it before mutating in place
+                        # so the on-disk snapshot stays a consistent
+                        # point-in-time state.
+                        self._embeddings = self._embeddings.copy()
+                        self._cow_pending = False
                     self._embeddings[idx] = embeddings[i]
                     self._metadatas[idx] = dict(metadatas[i] or {})
                     if self._ivf is not None:
