@@ -139,6 +139,193 @@ def _ensure_frames(frames_dir: str, n: int, src_hw: tuple) -> list:
     return paths
 
 
+def _ensure_content_frames(frames_dir: str, n: int, cut_every: int,
+                           hw: int, jitter: int = 4) -> list:
+    """n JPEGs with SCENE structure — the refine gate is content-driven,
+    so unlike _ensure_frames these carry controlled novelty: scene
+    ``i // cut_every`` gets its own low-frequency base image; frames
+    inside a scene add only a tiny brightness jitter (novelty ~0 between
+    neighbouring keyframes), while a scene cut inside a stride gap makes
+    its bounding keyframes disagree (novelty >> threshold)."""
+    os.makedirs(frames_dir, exist_ok=True)
+    paths = [os.path.join(frames_dir, f"vid1_frame_{i}.jpg")
+             for i in range(n)]
+    if all(os.path.exists(p) for p in paths):
+        return paths
+    from PIL import Image
+
+    t0 = time.time()
+    base, base_scene = None, -1
+    for i, p in enumerate(paths):
+        if os.path.exists(p):
+            continue
+        s = i // cut_every
+        if s != base_scene:
+            rng = np.random.default_rng(1_000_003 + s)
+            small = rng.integers(0, 256, size=(hw // 8, hw // 8, 3),
+                                 dtype=np.uint8)
+            base = np.asarray(Image.fromarray(small).resize(
+                (hw, hw), Image.BILINEAR), dtype=np.int32)
+            base_scene = s
+        shift = int(np.random.default_rng(i).integers(-jitter, jitter + 1))
+        img = np.clip(base + shift, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(p, format="JPEG", quality=90)
+    print(json.dumps({"setup": "wrote_content_jpegs", "n": n,
+                      "cut_every": cut_every,
+                      "seconds": round(time.time() - t0, 1)}),
+          file=sys.stderr, flush=True)
+    return paths
+
+
+def run_refine_mode(args):
+    """The REFINED fast stack, measured (VERDICT r4 item 1): ToMe r=16 +
+    static-int8 GEMMs + strided-4 embedding + novelty-gated refinement
+    (`--stride-refine auto`, parallel/embed.embed_video_strided) on two
+    content regimes in ONE process — a quiet dossier-like sequence
+    (scene cuts rarer than the stride window: refinement ~free) and a
+    cut-dense one (a cut in every other stride gap: the gate fires
+    often, approaching full-rate cost by design). Decode-included (the
+    refine pass re-decodes interior frames of hot gaps from disk, so a
+    device-resident variant would misprice it); a same-engine full-rate
+    run gives the retained-speedup denominator."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_research_tpu.ops.topk import masked_topk
+    from vit_research_tpu.parallel.embed import (REFINE_THRESHOLD_DEFAULT,
+                                                 embed_video_strided)
+    from vit_research_tpu.segment import knn as knn_mod
+    from vit_research_tpu.segment.clips import clip_intervals_from_decoded
+    from vit_research_tpu.segment.hmm import STATES, smooth_probabilities
+
+    def _phase(msg):
+        print(f"[e2e-refine] {msg}", file=sys.stderr, flush=True)
+
+    n, b = args.frames, args.batch
+    hw = 32 if args.tiny else 224
+    _phase(f"building FAST engine (tome+int8-static, B={b})")
+    eng = build_engine("fast", b, tiny=args.tiny)
+    _ = float(jnp.asarray(1.0) + 1.0)
+    _window.checkpoint("post-init", 600.0)
+
+    # Two content regimes: scene cuts far apart (quiet) vs a cut inside
+    # every other stride gap (cut-dense). Cut period 2*stride lands one
+    # cut per two gaps -> ~50% hot.
+    worlds = [("quiet", max(n // 8, 512)), ("cutdense", 2 * args.stride)]
+    world_paths = {
+        name: _ensure_content_frames(
+            os.path.join(args.frames_dir or "/tmp",
+                         f"vrt_refine_frames_{hw}_{n}_{name}"),
+            n, cut_every, hw)
+        for name, cut_every in worlds}
+
+    _phase("warming jits (pad buckets + topk + viterbi)")
+    t0 = time.time()
+    eng.warmup()
+    d = eng.out_dim
+    rng = np.random.default_rng(0)
+    topk_jit = jax.jit(lambda q, c: masked_topk(q, c, None, k=args.k,
+                                                metric="l2"))
+    wq = jax.device_put(rng.normal(size=(n, d)).astype(np.float32))
+    _, wi = topk_jit(wq, wq)
+    _ = int(jnp.asarray(wi)[0, 0])
+    del wq, wi
+    warm_probs = np.abs(rng.normal(size=(n, 3))).astype(np.float32) + 1e-3
+    smooth_probabilities(warm_probs / warm_probs.sum(1, keepdims=True))
+    warm_s = round(time.time() - t0, 1)
+    _window.checkpoint("post-warm", 600.0)
+    _phase(f"warm in {warm_s}s; measuring")
+
+    corpus_labels = rng.integers(0, 3, size=n)
+    corpus_probs = np.eye(3, dtype=np.float32)[corpus_labels]
+
+    def segment_from(embs_h):
+        t0 = time.time()
+        embs = jax.device_put(embs_h.astype(np.float32))
+        scores, idx = topk_jit(embs, embs)
+        idx_h = np.asarray(idx)
+        valid = np.asarray(scores) > -1e29
+        nl = np.where(valid, corpus_labels[idx_h], -1)
+        fused = knn_mod.fused_confidence(nl, corpus_probs[idx_h],
+                                         top_n=args.k,
+                                         confidence_threshold=0.7)
+        path = smooth_probabilities(fused["emissions"])
+        decoded = [STATES[i] for i in path]
+        intervals = clip_intervals_from_decoded(decoded, min_len=100,
+                                                pad=100)
+        return time.time() - t0, len(intervals)
+
+    def row(world, variant, embed_s, seg_s, clips, stats=None):
+        total = embed_s + seg_s
+        out = {
+            "metric": "e2e_refined_fast_stack",
+            "world": world, "variant": variant, "frames": n,
+            "value": round(total, 2), "unit": "seconds",
+            "phases": {"decode_embed_s": round(embed_s, 2),
+                       "segment_s": round(seg_s, 2)},
+            "clips": clips,
+            "fps_effective": round(n / total, 1),
+        }
+        if stats is not None:
+            gaps = max(stats.get("gaps", 0), 1)
+            out["refine"] = {
+                "hot_gap_frac": round(stats.get("refined_gaps", 0)
+                                      / gaps, 3),
+                "refined_frames": stats.get("refined_frames", 0),
+                "exact_embed_frac": round(
+                    (stats.get("keys", 0)
+                     + stats.get("refined_frames", 0)) / n, 3),
+                "novelty_p50": round(stats.get("novelty_p50", 0.0), 4),
+                "novelty_max": round(stats.get("novelty_max", 0.0), 4),
+            }
+        print(json.dumps(out), flush=True)
+        return total
+
+    # Full-rate denominator (one world: content doesn't change its cost
+    # — every frame decodes + embeds regardless).
+    _phase(f"full-rate fast engine on quiet ({n} frames)")
+    t0 = time.time()
+    embs_h = eng.embed_paths(world_paths["quiet"],
+                             num_workers=args.decode_workers, prefetch=3,
+                             use_native=args.native_decode)
+    full_embed_s = time.time() - t0
+    seg_s, clips = segment_from(embs_h)
+    full_total = row("quiet", "fullrate", full_embed_s, seg_s, clips)
+    _window.checkpoint("post-fullrate", 600.0)
+
+    results = {}
+    for world in ("quiet", "cutdense"):
+        for variant in ("strided", "refined"):
+            _phase(f"{variant} on {world}")
+            stats = {} if variant == "refined" else None
+            thresh = (REFINE_THRESHOLD_DEFAULT if variant == "refined"
+                      else None)
+            t0 = time.time()
+            embs_h = embed_video_strided(
+                eng, world_paths[world], stride=args.stride,
+                refine_threshold=thresh, stats=stats,
+                num_workers=args.decode_workers,
+                use_native=args.native_decode)
+            embed_s = time.time() - t0
+            seg_s, clips = segment_from(embs_h)
+            results[(world, variant)] = row(world, variant, embed_s,
+                                            seg_s, clips, stats)
+            _window.checkpoint(f"post-{world}-{variant}", 600.0)
+
+    print(json.dumps({
+        "metric": "e2e_refined_fast_stack_summary",
+        "frames": n,
+        "fullrate_s": round(full_total, 2),
+        "retained_speedup": {
+            w: round(full_total / results[(w, "refined")], 2)
+            for w in ("quiet", "cutdense")},
+        "strided_speedup": {
+            w: round(full_total / results[(w, "strided")], 2)
+            for w in ("quiet", "cutdense")},
+        "warm_s": warm_s,
+    }), flush=True)
+
+
 def run_decode_mode(args):
     """Full path WITH host JPEG decode (VERDICT r2 item 1): decode
     overlapped under device dispatch via the engine prefetch path."""
@@ -294,13 +481,17 @@ def run_decode_mode(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=["parity", "strided", "tome", "fast", "both"],
+                    choices=["parity", "strided", "tome", "fast", "both",
+                             "refine"],
                     default="parity",
                     help="'both' (only with --decode) measures parity AND "
                          "strided in one process (one backend-init); "
                          "'fast' = ToMe r=16 + static-int8 GEMMs + "
                          "strided embed, device-resident only (no "
-                         "--decode)")
+                         "--decode); 'refine' = the refined fast stack "
+                         "(fast + --stride-refine auto) on a quiet AND a "
+                         "cut-dense content sequence, decode-included, "
+                         "plus a same-engine full-rate denominator")
     ap.add_argument("--frames", type=int, default=18432,
                     help="video length (default ~10 min @30fps, 36 batches)")
     ap.add_argument("--batch", type=int, default=512)
@@ -336,9 +527,12 @@ def main():
 
     if args.mode == "both" and not args.decode:
         ap.error("--mode both is only meaningful with --decode")
-    if args.decode and args.mode == "fast":
-        ap.error("--mode fast is the device-resident fast stack; the "
-                 "decode-included path supports parity/strided/both")
+    if args.decode and args.mode in ("fast", "refine"):
+        ap.error("--mode fast is the device-resident fast stack and "
+                 "--mode refine is decode-included by construction; the "
+                 "--decode flag applies to parity/strided/both")
+    if args.mode == "refine":
+        return run_refine_mode(args)
     if args.decode:
         return run_decode_mode(args)
 
