@@ -241,6 +241,11 @@ def main():
                     "device_batches": delta["device_batches"],
                     "frames_embedded": delta["frames_embedded"],
                     "warmup_s": round(warmup_s, 1),
+                    # which embedding profile the daemon served with
+                    # (tome/quant/grayscale — cli/common.engine_profile);
+                    # the fast-profile rows are only meaningful if this
+                    # confirms the env actually reached the engine
+                    "engine_profile": stats.get("engine_profile"),
                 }), flush=True)
         finally:
             # Always try the graceful shutdown op first: on an error path
