@@ -755,6 +755,33 @@ def test_frame_stride_segmentation_matches_parity(tmp_path, capsys):
                   "--frame-stride", "2", "--stride-refine-radius", "1"])
 
 
+def test_stride_refine_full_rate_advisory(tmp_path, capsys):
+    """When the novelty gate ends up re-embedding most frames exactly,
+    the CLI says so — measured on-chip, past ~50-60% exact-embed the
+    two-pass refined stride costs more than full-rate (BENCH_NOTES
+    'Refined fast stack measured ON-CHIP'). Threshold 0.0 refines every
+    gap, so the advisory must fire."""
+    frames_dir = str(tmp_path / "frames")
+    synthetic.write_video_frames(
+        frames_dir, 1, [("none", 4), ("left", 30), ("none", 4),
+                        ("right", 30), ("none", 4)], size=(32, 32))
+    mi = labels_mod.ManualIntervals()
+    for side, a, b in (("none", 1, 4), ("left", 5, 34), ("none", 35, 38),
+                       ("right", 39, 68), ("none", 69, 72)):
+        mi.intervals[side].append((1, a, b))
+    csv_path = str(tmp_path / "manual_intervals.csv")
+    mi.to_csv(csv_path)
+    capsys.readouterr()
+    cli.main(["segment", frames_dir, "--manual-csv", csv_path,
+              "--out", str(tmp_path / "clips"), "--vid", "1",
+              "--epochs", "150", "--batch-size", "16", "--min-len", "20",
+              "--pad", "2", "--frame-stride", "2",
+              "--stride-refine", "0.0"])
+    captured = capsys.readouterr()
+    assert "gaps hot" in captured.out
+    assert "drop --frame-stride" in captured.err
+
+
 def test_frame_stride_event_template_guard(tmp_path, capsys):
     """--event-template cross-checks --frame-stride against the shortest
     labeled event (sub-stride events are invisible to strided embedding

@@ -192,6 +192,22 @@ def cmd_segment(args):
                   f"re-embedded exactly; novelty p50 "
                   f"{refine_stats.get('novelty_p50', 0.0):.4f} max "
                   f"{refine_stats.get('novelty_max', 0.0):.4f})")
+            n_exact = (refine_stats.get('keys', 0)
+                       + refine_stats.get('refined_frames', 0))
+            if n_exact > 0.6 * max(len(frame_paths), 1):
+                # Measured on-chip (BENCH_NOTES "Refined fast stack
+                # measured ON-CHIP"): past ~50-60% exact-embed the
+                # two-pass refine costs MORE than embedding every frame
+                # once — the gate did its job, but this content wants
+                # full rate.
+                import sys as _sys
+                print(
+                    f"NOTE: refinement embedded {n_exact}/"
+                    f"{len(frame_paths)} frames exactly — at this "
+                    "hot-gap density the two-pass refined stride costs "
+                    "about as much as (or more than) full-rate "
+                    "embedding; drop --frame-stride for this content",
+                    file=_sys.stderr, flush=True)
     else:
         embs = eng.embed_paths(frame_paths)
     if scorer is not None:
