@@ -212,10 +212,13 @@ def run_refine_mode(args):
     # every other stride gap (cut-dense). Cut period 2*stride lands one
     # cut per two gaps -> ~50% hot.
     worlds = [("quiet", max(n // 8, 512)), ("cutdense", 2 * args.stride)]
+    # cut_every is part of the cache key: the cutdense world's period is
+    # 2*stride, so a rerun with a different --stride must not silently
+    # reuse frames with the wrong scene-cut density.
     world_paths = {
         name: _ensure_content_frames(
             os.path.join(args.frames_dir or "/tmp",
-                         f"vrt_refine_frames_{hw}_{n}_{name}"),
+                         f"vrt_refine_frames_{hw}_{n}_{name}_c{cut_every}"),
             n, cut_every, hw)
         for name, cut_every in worlds}
 

@@ -132,9 +132,12 @@ def main():
     ct.join()
     timings["compact_s"] = round(time.monotonic() - t0, 1)
     timings["query_p50_idle_ms"] = _p50(idle_lat)
-    timings["query_p50_during_compact_ms"] = _p50(compact_lat)
-    timings["query_max_during_compact_ms"] = round(
-        max(compact_lat) * 1e3, 1)
+    # A fast compact (tiny --rows smoke) can finish before any query
+    # lands — report null rather than crash on an empty percentile.
+    timings["query_p50_during_compact_ms"] = (
+        _p50(compact_lat) if compact_lat else None)
+    timings["query_max_during_compact_ms"] = (
+        round(max(compact_lat) * 1e3, 1) if compact_lat else None)
     timings["queries_during_compact"] = len(compact_lat)
 
     mark("reload from disk")

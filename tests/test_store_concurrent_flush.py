@@ -204,3 +204,63 @@ def test_concurrent_flush_calls_serialize(tmp_path):
     col.flush()
     reopened = Collection._load("h", col._path)
     assert reopened.count() == 64 + 32
+
+
+def test_partial_snapshot_failure_adopts_landed_generation(tmp_path,
+                                                           monkeypatch):
+    """Review r5 finding: if snapshot.npz lands but the manifest write
+    fails, the object must adopt the on-disk generation — otherwise
+    every retry raises StaleCollectionError against its OWN write — and
+    a row deleted mid-write must still get its delete record."""
+    col = Collection("p", space="l2", path=str(tmp_path / "p"))
+    col.upsert(["a", "b", "c"], np.eye(3, 4, dtype=np.float32))
+
+    orig_json = vector_store._atomic_write_json
+
+    def failing_manifest(path, obj):
+        if os.path.basename(path) == "segments.json":
+            raise OSError("disk full")
+        orig_json(path, obj)
+
+    monkeypatch.setattr(vector_store, "_atomic_write_json",
+                        failing_manifest)
+    with pytest.raises(OSError):
+        col.flush()  # first flush = snapshot kind; manifest write fails
+    monkeypatch.setattr(vector_store, "_atomic_write_json", orig_json)
+    # "c" was never persisted before the snapshot; delete it now — the
+    # landed snapshot contains it, so a delete record must be queued.
+    col.delete(ids=["c"])
+    col.flush()  # must NOT raise StaleCollectionError
+    reopened = Collection._load("p", col._path)
+    assert sorted(reopened.get()["ids"]) == ["a", "b"]
+
+
+def test_detach_waits_for_inflight_write(tmp_path, monkeypatch):
+    """detach()'s contract ('later flushes never reach disk') requires
+    serializing on the writer: a detach during an in-flight snapshot
+    write completes only after the write does."""
+    col = Collection("d", space="l2", path=str(tmp_path / "d"))
+    col.upsert(["a"], np.ones((1, 4), np.float32))
+    gate = _GatedNpz()
+    monkeypatch.setattr(vector_store, "_atomic_write_npz", gate)
+    ft = threading.Thread(target=col.flush)
+    ft.start()
+    try:
+        assert gate.in_write.wait(30)
+        detached = threading.Event()
+
+        def do_detach():
+            col.detach()
+            detached.set()
+
+        dt = threading.Thread(target=do_detach)
+        dt.start()
+        assert not detached.wait(0.5), \
+            "detach returned while a flush disk write was in flight"
+    finally:
+        gate.release.set()
+        ft.join(30)
+    assert detached.wait(30)
+    dt.join(30)
+    assert col._path is None
+    col.flush()  # no-op, touches nothing

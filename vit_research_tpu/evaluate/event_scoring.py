@@ -72,15 +72,24 @@ def truth_events_by_clip(event_template: dict,
             raise ValueError(
                 f"event template key {clip_path!r} does not end in a "
                 "vid{N}_clip{K}_{side} directory name")
-        spans = [(int(s), int(e)) for key in keys
-                 for s, e in (events or {}).get(key, ())]
-        if "event_none" not in keys:
-            spans = _subtract_spans(
-                spans, [(int(s), int(e)) for s, e
-                        in (events or {}).get("event_none", ())])
+        spans = _event_spans(events, keys)
         if spans:
             out.setdefault((vid, clip), []).extend(spans)
     return out
+
+
+def _event_spans(events: dict, keys) -> list:
+    """One clip's event spans under the given keys, with ``event_none``
+    overwrites subtracted (unless none itself is requested) — the shared
+    ground-truth extraction for truth_events_by_clip and
+    min_event_span, so the make/miss-minus-none semantics live once."""
+    spans = [(int(s), int(e)) for key in keys
+             for s, e in (events or {}).get(key, ())]
+    if "event_none" not in keys:
+        spans = _subtract_spans(
+            spans, [(int(s), int(e)) for s, e
+                    in (events or {}).get("event_none", ())])
+    return spans
 
 
 def min_event_span(event_template: dict,
@@ -96,14 +105,8 @@ def min_event_span(event_template: dict,
     plain interpolation nor novelty-gated refinement can see it
     (tests/test_strided_embed.py::
     test_refine_blind_to_sub_stride_interior_event)."""
-    spans_all = []
-    for events in (event_template or {}).values():
-        spans = [(int(s), int(e)) for key in keys
-                 for s, e in (events or {}).get(key, ())]
-        spans = _subtract_spans(
-            spans, [(int(s), int(e)) for s, e
-                    in (events or {}).get("event_none", ())])
-        spans_all.extend(spans)
+    spans_all = [span for events in (event_template or {}).values()
+                 for span in _event_spans(events, keys)]
     if not spans_all:
         return None
     return min(e - s + 1 for s, e in spans_all)

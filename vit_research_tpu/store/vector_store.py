@@ -174,6 +174,11 @@ class Collection:
         # writer keeps a consistent view (appends/deletes already
         # replace the array wholesale and never mutate shared memory).
         self._cow_pending = False
+        # Set across a flush/compact disk write; delete() records ids it
+        # drops in that window so the commit phase can queue delete
+        # records for just-persisted rows without scanning the corpus.
+        self._writer_active = False
+        self._deleted_during_write: set[str] = set()
         # Append-log state: ids touched / removed since the last flush,
         # the on-disk segment list, and how many logged rows the segments
         # hold (drives compaction).
@@ -371,8 +376,13 @@ class Collection:
         generations (serve.py hot reload): the old object's view is stale
         the moment a reload re-opens the directory, so any later flush —
         including a client's atexit autoflush — must never reach disk.
-        Host arrays stay intact for readers mid-query."""
-        with self._lock:
+        Host arrays stay intact for readers mid-query.
+
+        Serializes on the writer lock: a flush/compact whose disk write
+        is already in flight completes before the detach takes effect
+        (otherwise its post-detach os.replace could clobber whatever a
+        reload wrote into the directory meanwhile)."""
+        with self._flush_serial, self._lock:
             self._path = None
             self._dirty = False
             self._pending_dirty.clear()
@@ -472,8 +482,14 @@ class Collection:
                     cap_deleted_set = self._pending_deleted
                     self._pending_dirty = set()
                     self._pending_deleted = set()
+                # delete() records ids dropped while the write is on
+                # disk into this small set, so the commit phase doesn't
+                # have to scan every persisted id under the lock.
+                self._writer_active = True
+                self._deleted_during_write = set()
 
             # ---- disk IO: no collection lock held ----
+            snap_landed = False
             try:
                 os.makedirs(path, exist_ok=True)
                 _atomic_write_json(os.path.join(path, "config.json"),
@@ -485,6 +501,10 @@ class Collection:
                         ids=np.asarray(snap_ids, dtype=str),
                         metadatas=np.asarray(json.dumps(snap_metas)),
                         gen=np.asarray(new_gen))
+                    # The atomic snapshot replace IS the commit point:
+                    # everything after (manifest truncate, unlinks) is
+                    # cleanup that generation fencing makes optional.
+                    snap_landed = True
                     _atomic_write_json(
                         os.path.join(path, "segments.json"),
                         {"gen": new_gen, "segments": []})
@@ -512,53 +532,87 @@ class Collection:
                         os.path.join(path, "segments.json"),
                         {"gen": self._gen, "segments": new_segments})
             except BaseException:
-                # The write failed mid-way: put the captured pending-ness
-                # back (merged with anything that arrived meanwhile) so a
-                # retry re-persists it; filter ids deleted/re-added during
-                # the window to keep the pending invariants (pending_dirty
-                # ids must be resolvable, pending_deleted ids absent).
-                with self._lock:
-                    if kind != "config":
-                        self._pending_dirty |= {
-                            i for i in cap_dirty_set
-                            if i in self._id_to_idx}
-                        self._pending_deleted |= {
-                            i for i in cap_deleted_set
-                            if i not in self._id_to_idx}
-                    if kind == "snapshot":
+                if snap_landed:
+                    # snapshot.npz is on disk at new_gen with the full
+                    # capture; only cleanup failed. Without adopting the
+                    # new generation, every retry would raise
+                    # StaleCollectionError against our OWN write (disk
+                    # gen > self._gen) — commit the bookkeeping, then
+                    # surface the IO error.
+                    self._commit_after_write(
+                        "snapshot", cfg_obj, new_gen=new_gen,
+                        snap_id_set=set(snap_ids))
+                else:
+                    # Nothing durable landed: put the captured
+                    # pending-ness back (merged with whatever arrived
+                    # meanwhile) so a retry re-persists it; filter ids
+                    # deleted/re-added during the window to keep the
+                    # pending invariants (pending_dirty ids must be
+                    # resolvable, pending_deleted ids absent).
+                    with self._lock:
+                        if kind != "config":
+                            self._pending_dirty |= {
+                                i for i in cap_dirty_set
+                                if i in self._id_to_idx}
+                            self._pending_deleted |= {
+                                i for i in cap_deleted_set
+                                if i not in self._id_to_idx}
                         self._cow_pending = False
-                    self._dirty = True
+                        self._writer_active = False
+                        self._dirty = True
                 raise
 
-            # ---- commit bookkeeping ----
-            with self._lock:
-                if kind == "snapshot":
-                    self._gen = new_gen
-                    self._segments = []
-                    self._logged_rows = 0
-                    self._persisted_ids = set(snap_ids)
-                    self._cow_pending = False
-                    persisted = self._persisted_ids
-                elif kind == "segment":
-                    self._segments = new_segments
-                    self._logged_rows += len(cap_dirty) + len(cap_deleted)
-                    self._persisted_ids |= cap_dirty_set
-                    self._persisted_ids -= cap_deleted_set
-                    persisted = cap_dirty_set
-                else:
-                    persisted = set()
-                # Any id this write persisted that was deleted while it
-                # was on disk needs a delete record queued, or the next
-                # load would resurrect it (delete() only records ids in
-                # the OLD persisted set).
-                self._pending_deleted.update(
-                    i for i in persisted if i not in self._id_to_idx)
-                current_cfg = {"space": self.space, "dim": self._dim,
-                               "device_quant": self.device_quant,
-                               "embedding_profile": self.embedding_profile}
-                self._dirty = bool(self._pending_dirty
-                                   or self._pending_deleted
-                                   or current_cfg != cfg_obj)
+            if kind == "snapshot":
+                # O(N) set build happens OUTSIDE the lock (commit-time
+                # reader stall stays O(mutations-during-write)).
+                self._commit_after_write("snapshot", cfg_obj,
+                                         new_gen=new_gen,
+                                         snap_id_set=set(snap_ids))
+            elif kind == "segment":
+                self._commit_after_write(
+                    "segment", cfg_obj, new_segments=new_segments,
+                    cap_dirty_set=cap_dirty_set,
+                    cap_deleted_set=cap_deleted_set,
+                    logged=len(cap_dirty) + len(cap_deleted))
+            else:
+                self._commit_after_write("config", cfg_obj)
+
+    def _commit_after_write(self, kind, cfg_obj, *, new_gen=None,
+                            snap_id_set=None, new_segments=None,
+                            cap_dirty_set=None, cap_deleted_set=None,
+                            logged=0) -> None:
+        with self._lock:
+            if kind == "snapshot":
+                self._gen = new_gen
+                self._segments = []
+                self._logged_rows = 0
+                self._persisted_ids = snap_id_set
+                persisted = snap_id_set
+            elif kind == "segment":
+                self._segments = new_segments
+                self._logged_rows += logged
+                self._persisted_ids |= cap_dirty_set
+                self._persisted_ids -= cap_deleted_set
+                persisted = cap_dirty_set
+            else:
+                persisted = set()
+            # Any id this write persisted that was deleted while it was
+            # on disk needs a delete record queued, or the next load
+            # would resurrect it (delete() only records ids in the OLD
+            # persisted set). delete() tracked the candidates, so this
+            # scan is O(deletes-during-write), not O(corpus).
+            self._pending_deleted.update(
+                i for i in self._deleted_during_write
+                if i in persisted and i not in self._id_to_idx)
+            self._cow_pending = False
+            self._writer_active = False
+            self._deleted_during_write = set()
+            current_cfg = {"space": self.space, "dim": self._dim,
+                           "device_quant": self.device_quant,
+                           "embedding_profile": self.embedding_profile}
+            self._dirty = bool(self._pending_dirty
+                               or self._pending_deleted
+                               or current_cfg != cfg_obj)
 
     def stamp_embedding_profile(self, profile: str) -> None:
         """Record which embedding settings produced this collection's
@@ -635,6 +689,10 @@ class Collection:
                     self._id_to_idx[_id] = base + n
                 self._embeddings = np.concatenate(
                     [self._embeddings, np.stack(new_rows)], axis=0)
+                # concatenate rebound the matrix: it no longer aliases an
+                # in-flight snapshot writer's captured array, so a later
+                # in-place update needn't pay the defensive copy.
+                self._cow_pending = False
                 self._metadatas.extend(new_metas)
                 if self._ivf is not None:
                     self._ivf_extra.update(range(base, base + len(new_ids)))
@@ -663,9 +721,15 @@ class Collection:
                     self._pending_dirty.discard(_id)
                     if _id in self._persisted_ids:
                         self._pending_deleted.add(_id)
+                    if self._writer_active:
+                        # an in-flight flush may be persisting this very
+                        # id; its commit phase checks this set and queues
+                        # a delete record so the row can't resurrect
+                        self._deleted_during_write.add(_id)
             self._ids = [i for i, k in zip(self._ids, keep) if k]
             self._metadatas = [m for m, k in zip(self._metadatas, keep) if k]
             self._embeddings = self._embeddings[keep]
+            self._cow_pending = False  # boolean indexing rebound the matrix
             self._id_to_idx = {i: n for n, i in enumerate(self._ids)}
             self._ivf, self._ivf_extra = None, set()  # rows reindexed
             self._invalidate()
