@@ -157,7 +157,11 @@ def main():
             json.dump({"pid": proc.pid, "started_unix": time.time(),
                        "argv": "vit_research_tpu.cli serve"}, f)
         try:
-            deadline = time.monotonic() + 600
+            # Generous: the daemon binds its socket only AFTER the engine
+            # builds, and a backend-init handshake alone has measured
+            # 677-1883 s in degraded tunnel windows (CLAUDE.md) — a tight
+            # deadline here orphans a daemon mid-init and loses the run.
+            deadline = time.monotonic() + 2400
             while not os.path.exists(sock):
                 if proc.poll() is not None:
                     raise SystemExit("daemon died during startup")
