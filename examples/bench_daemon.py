@@ -168,6 +168,24 @@ def main():
                 if time.monotonic() > deadline:
                     raise SystemExit("daemon socket never appeared")
                 time.sleep(0.2)
+            # The socket may be the WARMING placeholder (serve.py binds
+            # it before the engine builds): poll ping until the real
+            # server answers. The sub-second rebind gap between the two
+            # surfaces as a transient connect error — retry through it.
+            while True:
+                if proc.poll() is not None:
+                    raise SystemExit("daemon died while warming")
+                if time.monotonic() > deadline:
+                    raise SystemExit("daemon never finished warming "
+                                     "(still initializing at deadline)")
+                try:
+                    r = request(sock, {"op": "ping"}, timeout=10.0)
+                except (OSError, ConnectionError):
+                    time.sleep(0.5)
+                    continue
+                if r.get("ok") and not r.get("warming"):
+                    break
+                time.sleep(2.0)
 
             # Warmup: one full-engine-batch request compiles the single
             # jit shape (and a second tiny one exercises the padded path)

@@ -2295,3 +2295,47 @@ def test_daemon_write_back_refused_cross_profile(engine, seg_world):
     assert srv2.handle({"op": "segment_start", "k": 5, "write_back": True,
                         "vid": 1}, s2)["ok"]
     srv2.handle({"op": "segment_finish"}, s2)
+
+
+def test_warming_server_lifecycle(engine, tmp_path):
+    """The warming placeholder (serve.WarmingServer) makes daemon startup
+    observable: ping/stats answer with warming/phase/elapsed, engine ops
+    get a warming_up error, a shutdown is queued for the phase boundary,
+    and close() releases the path for the real server's bind."""
+    from vit_research_tpu.serve import SessionClient, WarmingServer
+
+    sock = str(tmp_path / "warm.sock")
+    warm = WarmingServer(sock)
+    try:
+        warm.phase = "engine build"
+        r = request(sock, {"op": "ping"}, timeout=10.0)
+        assert r["ok"] and r["warming"] and not r["ready"]
+        assert r["phase"] == "engine build" and r["elapsed_s"] >= 0
+        r = request(sock, {"op": "stats"}, timeout=10.0)
+        assert r["ok"] and r["warming"]
+        r = request(sock, {"op": "embed", "frames_b64": []}, timeout=10.0)
+        assert not r["ok"] and "warming up" in r["error"]
+        # binary framing has no early error channel: connection closes
+        with SessionClient(sock, timeout=10.0) as c:
+            frames = np.zeros((1, 32, 32, 3), np.uint8)
+            with pytest.raises((OSError, ConnectionError)):
+                c.request_binary({"op": "embed"}, frames=frames)
+        assert not warm.shutdown_requested
+        r = request(sock, {"op": "shutdown"}, timeout=10.0)
+        assert r["ok"] and warm.shutdown_requested
+    finally:
+        warm.close()
+    assert not os.path.exists(sock)
+    # the real server can now bind the same path
+    srv = EmbedServer(engine)
+    ready = threading.Event()
+    t = threading.Thread(target=srv.serve, args=(sock,),
+                         kwargs={"ready_event": ready}, daemon=True)
+    t.start()
+    assert ready.wait(30)
+    try:
+        r = request(sock, {"op": "ping"}, timeout=30.0)
+        assert r["ok"] and "warming" not in r
+    finally:
+        srv.stop()
+        t.join(10)

@@ -12,10 +12,17 @@ def cmd_serve(args):
     """Warm embedding/retrieval daemon (serve.py): one jitted engine,
     no per-script model reload (the reference re-created the HF
     embedder in 8 separate scripts)."""
-    from vit_research_tpu.serve import EmbedServer
+    from vit_research_tpu.serve import EmbedServer, WarmingServer
 
+    # Bind the socket IMMEDIATELY with a warming placeholder: engine
+    # build (backend init + compiles) can take many minutes over a
+    # degraded tunnel, and without a socket an operator cannot tell
+    # "initializing" from "dead". ping/stats answer with
+    # warming/phase/elapsed; engine ops get a warming_up error.
+    warm = WarmingServer(args.socket)
     coll, mesh = None, None
     if args.db:
+        warm.phase = "loading collection"
         if not args.collection:
             raise SystemExit("--collection is required with --db")
         from vit_research_tpu.store.vector_store import PersistentClient
@@ -32,13 +39,24 @@ def cmd_serve(args):
             coll.shard_device(mesh)
             print(f"collection {args.collection} sharded over "
                   f"{mesh.devices.size} device(s)", flush=True)
+    if warm.shutdown_requested:
+        warm.close()
+        print("shutdown requested while warming; exiting before engine "
+              "build", flush=True)
+        return
+    warm.phase = "engine build (backend init + first compile)"
     engine = common._engine(batch_size=args.batch_size)
+    if warm.shutdown_requested:
+        warm.close()
+        print("shutdown requested while warming; exiting", flush=True)
+        return
     if args.warmup:
         # Compile the forward jit + the small-request pad buckets BEFORE
         # accepting connections, so no client ever pays a cold compile
         # (ADVICE r2: each distinct bucket shape adds a one-time trace).
         import time as _time
 
+        warm.phase = "engine warmup (pad-bucket compiles)"
         t0 = _time.monotonic()
         engine.warmup()
         print(f"engine warmed in {_time.monotonic() - t0:.1f}s "
@@ -51,6 +69,7 @@ def cmd_serve(args):
                          collection_source=((args.db, args.collection)
                                             if args.db else None),
                          shard_mesh=mesh)
+    warm.close()  # release the path for the real bind (sub-second gap)
     print(f"serving on {args.socket}"
           + (f" (collection {args.collection})" if coll else ""),
           flush=True)

@@ -1288,21 +1288,7 @@ class EmbedServer:
             # EAGAIN (unix sockets don't queue past the backlog).
             request_queue_size = 128
 
-        if os.path.exists(socket_path):
-            # Only reclaim the path from a DEAD server: if something
-            # still answers on it, binding here would silently orphan
-            # that daemon (warm engine and all) with no error anywhere.
-            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            try:
-                probe.settimeout(1.0)
-                probe.connect(socket_path)
-            except OSError:
-                os.unlink(socket_path)  # stale socket from a dead server
-            else:
-                raise RuntimeError(
-                    f"a live server already owns {socket_path}")
-            finally:
-                probe.close()
+        _reclaim_socket_path(socket_path)
         self._server = Server(socket_path, Handler)
         if ready_event is not None:
             ready_event.set()
@@ -1332,6 +1318,128 @@ class EmbedServer:
             self._server.shutdown()
         if self._coalescer is not None:
             self._coalescer.close()
+
+
+def _reclaim_socket_path(socket_path: str) -> None:
+    """Unlink ``socket_path`` only if no live server answers on it: if
+    something still accepts, binding here would silently orphan that
+    daemon (warm engine and all) with no error anywhere."""
+    if not os.path.exists(socket_path):
+        return
+    probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        probe.settimeout(1.0)
+        probe.connect(socket_path)
+    except OSError:
+        os.unlink(socket_path)  # stale socket from a dead server
+    else:
+        raise RuntimeError(f"a live server already owns {socket_path}")
+    finally:
+        probe.close()
+
+
+class WarmingServer:
+    """Placeholder listener bound on the daemon socket while the real
+    engine initializes.
+
+    Why: `cli serve` builds its engine BEFORE it can serve, and over a
+    degraded tunnel the backend-init handshake alone has measured
+    677-1883 s (CLAUDE.md) — during which there used to be NO socket at
+    all, so an operator (or bench harness) could not distinguish
+    "daemon initializing, be patient" from "daemon dead". This listener
+    answers immediately: ``ping``/``stats`` get ``{"ok": true,
+    "warming": true, "ready": false, "phase": ..., "elapsed_s": ...}``;
+    every other JSON op gets a ``warming_up`` error telling the caller
+    to retry; a binary-framed request gets its connection closed (EOF —
+    the binary protocol has no out-of-band error channel this early).
+
+    Usage (cmd_serve)::
+
+        warm = WarmingServer(socket_path)     # binds + serves in a thread
+        warm.phase = "engine build"           # update as startup advances
+        ...build engine...
+        warm.close()                          # unbinds; then EmbedServer
+        server.serve(socket_path)             # binds the same path
+
+    There is a sub-second window between ``close()`` and the real bind
+    where connects fail with FileNotFoundError; pollers should treat
+    that as "still starting" until the ping reply loses ``warming``."""
+
+    def __init__(self, socket_path: str):
+        self.phase = "starting"
+        #: set when a client sent ``shutdown`` while warming: the engine
+        #: build cannot be aborted mid-device-call, but cmd_serve checks
+        #: this between startup phases and exits instead of serving —
+        #: without it a warming daemon was un-stoppable except by kill.
+        self.shutdown_requested = False
+        self._t0 = time.monotonic()
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                try:
+                    while True:
+                        first = self.rfile.read(1)
+                        if not first:
+                            return
+                        if first == BIN_MAGIC[:1]:
+                            return  # binary client: close -> EOF error
+                        line = first + self.rfile.readline()
+                        try:
+                            req = json.loads(line)
+                            op = (req or {}).get("op")
+                        except (ValueError, AttributeError):
+                            op = None
+                        elapsed = round(time.monotonic() - outer._t0, 1)
+                        if op in ("ping", "stats"):
+                            resp = {"ok": True, "warming": True,
+                                    "ready": False, "phase": outer.phase,
+                                    "elapsed_s": elapsed}
+                        elif op == "shutdown":
+                            outer.shutdown_requested = True
+                            resp = {"ok": True, "warming": True,
+                                    "note": ("shutdown queued: the "
+                                             "daemon exits at the next "
+                                             "startup-phase boundary "
+                                             "(an in-flight engine "
+                                             "build cannot be "
+                                             "interrupted safely)")}
+                        else:
+                            resp = {"ok": False, "warming": True,
+                                    "error": (
+                                        "daemon warming up "
+                                        f"({outer.phase}, {elapsed}s in);"
+                                        " poll ping until it stops "
+                                        "reporting warming, then retry")}
+                        self.wfile.write(
+                            (json.dumps(resp) + "\n").encode())
+                        self.wfile.flush()
+                except OSError:
+                    pass
+
+        class Server(socketserver.ThreadingUnixStreamServer):
+            daemon_threads = True
+            allow_reuse_address = True
+            request_queue_size = 128
+
+        _reclaim_socket_path(socket_path)
+        self._socket_path = socket_path
+        self._server = Server(socket_path, Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever,
+            kwargs={"poll_interval": 0.1}, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        """Stop answering and release the socket path for the real
+        server's bind."""
+        self._server.shutdown()
+        self._server.server_close()
+        self._thread.join(5.0)
+        try:
+            os.unlink(self._socket_path)
+        except OSError:
+            pass
 
 
 def _connect_with_retry(s, socket_path: str, timeout: float) -> None:
