@@ -157,10 +157,12 @@ def main():
             json.dump({"pid": proc.pid, "started_unix": time.time(),
                        "argv": "vit_research_tpu.cli serve"}, f)
         try:
-            # Generous: the daemon binds its socket only AFTER the engine
-            # builds, and a backend-init handshake alone has measured
-            # 677-1883 s in degraded tunnel windows (CLAUDE.md) — a tight
-            # deadline here orphans a daemon mid-init and loses the run.
+            # Generous: the socket appears immediately (the warming
+            # placeholder binds before engine build), but READINESS
+            # waits on the engine — and a backend-init handshake alone
+            # has measured 677-1883 s in degraded tunnel windows
+            # (CLAUDE.md). A tight deadline orphans a daemon mid-init
+            # and loses the run; this bound covers both loops below.
             deadline = time.monotonic() + 2400
             while not os.path.exists(sock):
                 if proc.poll() is not None:

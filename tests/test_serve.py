@@ -2339,3 +2339,25 @@ def test_warming_server_lifecycle(engine, tmp_path):
     finally:
         srv.stop()
         t.join(10)
+
+
+def test_warming_close_severs_established_connections(tmp_path):
+    """Review r5: close() must sever live handler connections — a
+    persistent-connection poller would otherwise keep receiving
+    'warming: true' from the placeholder forever after the real server
+    takes over (the EmbedServer.stop() socketserver trap)."""
+    from vit_research_tpu.serve import SessionClient, WarmingServer
+
+    sock = str(tmp_path / "w2.sock")
+    warm = WarmingServer(sock)
+    c = SessionClient(sock, timeout=10.0)
+    try:
+        r = c.request({"op": "ping"})
+        assert r["warming"]
+        warm.close()
+        warm.close()  # idempotent
+        with pytest.raises((OSError, ConnectionError)):
+            c.request({"op": "ping"})
+    finally:
+        c.close()
+    assert not os.path.exists(sock)

@@ -20,56 +20,66 @@ def cmd_serve(args):
     # "initializing" from "dead". ping/stats answer with
     # warming/phase/elapsed; engine ops get a warming_up error.
     warm = WarmingServer(args.socket)
-    coll, mesh = None, None
-    if args.db:
-        warm.phase = "loading collection"
-        if not args.collection:
-            raise SystemExit("--collection is required with --db")
-        from vit_research_tpu.store.vector_store import PersistentClient
+    try:
+        coll, mesh = None, None
+        if args.db:
+            warm.phase = "loading collection"
+            if not args.collection:
+                raise SystemExit("--collection is required with --db")
+            from vit_research_tpu.store.vector_store import PersistentClient
 
-        coll = PersistentClient(args.db).get_collection(args.collection)
-        # the daemon embeds live queries/pushes against this corpus for
-        # its whole lifetime: a cross-profile mismatch deserves a loud
-        # startup warning (fast-profile guard)
-        common.check_embedding_profile(coll, what="daemon collection")
-        if args.shard_device:
-            from vit_research_tpu.parallel.mesh import make_mesh
+            coll = PersistentClient(args.db).get_collection(args.collection)
+            # the daemon embeds live queries/pushes against this corpus
+            # for its whole lifetime: a cross-profile mismatch deserves
+            # a loud startup warning (fast-profile guard)
+            common.check_embedding_profile(coll, what="daemon collection")
+            if args.shard_device:
+                from vit_research_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh()
-            coll.shard_device(mesh)
-            print(f"collection {args.collection} sharded over "
-                  f"{mesh.devices.size} device(s)", flush=True)
-    if warm.shutdown_requested:
+                mesh = make_mesh()
+                coll.shard_device(mesh)
+                print(f"collection {args.collection} sharded over "
+                      f"{mesh.devices.size} device(s)", flush=True)
+        if warm.shutdown_requested:
+            print("shutdown requested while warming; exiting before "
+                  "engine build", flush=True)
+            return
+        warm.phase = "engine build (backend init + first compile)"
+        engine = common._engine(batch_size=args.batch_size)
+        if args.warmup and not warm.shutdown_requested:
+            # Compile the forward jit + the small-request pad buckets
+            # BEFORE accepting connections, so no client ever pays a
+            # cold compile (ADVICE r2: each distinct bucket shape adds
+            # a one-time trace).
+            import time as _time
+
+            warm.phase = "engine warmup (pad-bucket compiles)"
+            t0 = _time.monotonic()
+            engine.warmup()
+            print(f"engine warmed in {_time.monotonic() - t0:.1f}s "
+                  f"(batch {engine.batch_size} + pad buckets)",
+                  flush=True)
+        # Honor a shutdown queued during ANY warming phase (engine
+        # build or warmup compiles) before binding the real server.
+        if warm.shutdown_requested:
+            print("shutdown requested while warming; exiting",
+                  flush=True)
+            return
+        server = EmbedServer(engine,
+                             engine_profile=common.engine_profile(),
+                             collection=coll,
+                             coalesce_ms=args.coalesce_ms,
+                             # the reload op's defaults (+ re-shard
+                             # target): serve-ctl reload / rebuild-db
+                             # --notify-socket
+                             collection_source=((args.db, args.collection)
+                                                if args.db else None),
+                             shard_mesh=mesh)
+    finally:
+        # idempotent; also runs on startup failure (backend UNAVAILABLE,
+        # bad collection, SystemExit) so the placeholder never outlives
+        # the startup that bound it
         warm.close()
-        print("shutdown requested while warming; exiting before engine "
-              "build", flush=True)
-        return
-    warm.phase = "engine build (backend init + first compile)"
-    engine = common._engine(batch_size=args.batch_size)
-    if warm.shutdown_requested:
-        warm.close()
-        print("shutdown requested while warming; exiting", flush=True)
-        return
-    if args.warmup:
-        # Compile the forward jit + the small-request pad buckets BEFORE
-        # accepting connections, so no client ever pays a cold compile
-        # (ADVICE r2: each distinct bucket shape adds a one-time trace).
-        import time as _time
-
-        warm.phase = "engine warmup (pad-bucket compiles)"
-        t0 = _time.monotonic()
-        engine.warmup()
-        print(f"engine warmed in {_time.monotonic() - t0:.1f}s "
-              f"(batch {engine.batch_size} + pad buckets)", flush=True)
-    server = EmbedServer(engine,
-                         engine_profile=common.engine_profile(),
-                         collection=coll, coalesce_ms=args.coalesce_ms,
-                         # the reload op's defaults (+ re-shard target):
-                         # serve-ctl reload / rebuild-db --notify-socket
-                         collection_source=((args.db, args.collection)
-                                            if args.db else None),
-                         shard_mesh=mesh)
-    warm.close()  # release the path for the real bind (sub-second gap)
     print(f"serving on {args.socket}"
           + (f" (collection {args.collection})" if coll else ""),
           flush=True)

@@ -1280,16 +1280,8 @@ class EmbedServer:
                     # an open segment session dies with its connection
                     handler_self._connection_closed(session)
 
-        class Server(socketserver.ThreadingUnixStreamServer):
-            daemon_threads = True
-            allow_reuse_address = True
-            # Default backlog is 5: a burst of concurrent clients on a
-            # busy host overflows it and their connect() fails with
-            # EAGAIN (unix sockets don't queue past the backlog).
-            request_queue_size = 128
-
         _reclaim_socket_path(socket_path)
-        self._server = Server(socket_path, Handler)
+        self._server = _UnixServer(socket_path, Handler)
         if ready_event is not None:
             ready_event.set()
         try:
@@ -1318,6 +1310,17 @@ class EmbedServer:
             self._server.shutdown()
         if self._coalescer is not None:
             self._coalescer.close()
+
+
+class _UnixServer(socketserver.ThreadingUnixStreamServer):
+    """Shared server config for the daemon and its warming placeholder.
+
+    Default backlog is 5: a burst of concurrent clients on a busy host
+    overflows it and their connect() fails with EAGAIN (unix sockets
+    don't queue past the backlog)."""
+    daemon_threads = True
+    allow_reuse_address = True
+    request_queue_size = 128
 
 
 def _reclaim_socket_path(socket_path: str) -> None:
@@ -1373,14 +1376,35 @@ class WarmingServer:
         #: without it a warming daemon was un-stoppable except by kill.
         self.shutdown_requested = False
         self._t0 = time.monotonic()
+        self._closed = False
+        # live handler connections: close() severs them, or a
+        # persistent-connection poller would keep getting 'warming'
+        # answers from this placeholder FOREVER after the real server
+        # takes over (the EmbedServer.stop() socketserver trap —
+        # CLAUDE.md: stopping the listener leaves handler threads
+        # serving established sockets).
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
+            def setup(self):
+                super().setup()
+                with outer._conns_lock:
+                    outer._conns.add(self.connection)
+
+            def finish(self):
+                with outer._conns_lock:
+                    outer._conns.discard(self.connection)
+                super().finish()
+
             def handle(self):
                 try:
                     while True:
+                        if outer._closed:
+                            return
                         first = self.rfile.read(1)
-                        if not first:
+                        if not first or outer._closed:
                             return
                         if first == BIN_MAGIC[:1]:
                             return  # binary client: close -> EOF error
@@ -1417,24 +1441,29 @@ class WarmingServer:
                 except OSError:
                     pass
 
-        class Server(socketserver.ThreadingUnixStreamServer):
-            daemon_threads = True
-            allow_reuse_address = True
-            request_queue_size = 128
-
         _reclaim_socket_path(socket_path)
         self._socket_path = socket_path
-        self._server = Server(socket_path, Handler)
+        self._server = _UnixServer(socket_path, Handler)
         self._thread = threading.Thread(
             target=self._server.serve_forever,
             kwargs={"poll_interval": 0.1}, daemon=True)
         self._thread.start()
 
     def close(self) -> None:
-        """Stop answering and release the socket path for the real
-        server's bind."""
+        """Stop answering, sever established connections, and release
+        the socket path for the real server's bind. Idempotent."""
+        if self._closed:
+            return
+        self._closed = True
         self._server.shutdown()
         self._server.server_close()
+        with self._conns_lock:
+            conns = list(self._conns)
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
         self._thread.join(5.0)
         try:
             os.unlink(self._socket_path)
