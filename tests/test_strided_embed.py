@@ -127,7 +127,7 @@ def test_refine_quiet_content_is_free():
     out = embed_video_strided(eng, paths, stride=4, refine_threshold=0.05,
                               stats=stats)
     assert stats == {"gaps": 2, "refined_gaps": 0, "refined_frames": 0,
-                     "keys": 3,
+                     "keys": 3, "keys_s": stats["keys_s"],
                      "novelty_p50": stats["novelty_p50"],
                      "novelty_max": stats["novelty_max"]}
     assert stats["novelty_max"] < 1e-6
@@ -268,5 +268,5 @@ def test_refine_single_frame_input_still_populates_stats():
     out = embed_video_strided(eng, ["p0"], stride=4, refine_threshold=0.05,
                               stats=stats)
     assert stats == {"gaps": 0, "refined_gaps": 0, "refined_frames": 0,
-                     "keys": 1}
+                     "keys": 1, "keys_s": stats["keys_s"]}
     assert out.shape == (1, 3)

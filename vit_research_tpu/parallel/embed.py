@@ -379,6 +379,8 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
 
     Returns (N, D) embeddings aligned with ``paths``.
     """
+    import time as _time
+
     if stride <= 0:
         raise ValueError(f"stride must be positive, got {stride}")
     if refine_radius < 0:
@@ -389,9 +391,11 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
     key_idx = list(range(0, n, stride))
     if key_idx[-1] != n - 1:
         key_idx.append(n - 1)
+    t0 = _time.monotonic()
     key_embs = engine.embed_paths([paths[i] for i in key_idx],
                                   num_workers=num_workers,
                                   use_native=use_native)
+    t_keys = _time.monotonic() - t0
     d = key_embs.shape[1]
 
     refined: dict[int, np.ndarray] = {}
@@ -413,16 +417,21 @@ def embed_video_strided(engine: "EmbeddingEngine", paths, *, stride: int = 2,
         refine_idx = [i for j in np.nonzero(hot)[0]
                       for i in range(key_idx[j] + 1, key_idx[j + 1])]
         if refine_idx:
+            t0 = _time.monotonic()
             exact = engine.embed_paths([paths[i] for i in refine_idx],
                                        num_workers=num_workers,
                                        use_native=use_native)
+            t_refine = _time.monotonic() - t0
             refined = dict(zip(refine_idx, exact))
     # Populate cost accounting whenever the caller asked for it — including
     # degenerate single-key inputs where the refine gate has no gaps to
     # inspect (ADVICE r4: the elif-only fallback left stats empty there).
     if stats is not None:
         stats.update(gaps=max(len(key_idx) - 1, 0), refined_gaps=hot_gaps,
-                     refined_frames=len(refine_idx), keys=len(key_idx))
+                     refined_frames=len(refine_idx), keys=len(key_idx),
+                     keys_s=round(t_keys, 3))
+        if refined:
+            stats["refine_embed_s"] = round(t_refine, 3)
         if novelty is not None:
             stats.update(novelty_p50=float(np.median(novelty)),
                          novelty_max=float(novelty.max()))
