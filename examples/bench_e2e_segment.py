@@ -280,6 +280,10 @@ def run_refine_mode(args):
                      + stats.get("refined_frames", 0)) / n, 3),
                 "novelty_p50": round(stats.get("novelty_p50", 0.0), 4),
                 "novelty_max": round(stats.get("novelty_max", 0.0), 4),
+                # phase attribution (embed_video_strided stats): where
+                # the refined path's time goes beyond raw upload
+                "keys_s": stats.get("keys_s"),
+                "refine_embed_s": stats.get("refine_embed_s"),
             }
         print(json.dumps(out), flush=True)
         return total
