@@ -2361,3 +2361,43 @@ def test_warming_close_severs_established_connections(tmp_path):
     finally:
         c.close()
     assert not os.path.exists(sock)
+
+
+def test_daemon_backend_waits_through_warming(monkeypatch):
+    """A segment_start answered by the warming placeholder is patience,
+    not refusal: the backend polls until the real server takes over —
+    including across the severed connection at the warming->ready swap
+    — then starts the session."""
+    import argparse
+
+    from vit_research_tpu import cli, serve
+
+    events = []
+
+    class _FakeClient:
+        def __init__(self, *a, **kw):
+            events.append("connect")
+
+        def request(self, req):
+            events.append("request")
+            n = events.count("request")
+            if n == 1:
+                return {"ok": False, "warming": True,
+                        "error": "daemon warming up"}
+            if n == 2:  # the swap severs the connection
+                raise ConnectionError("severed by warming close()")
+            return {"ok": True, "scoring": False}
+
+        def close(self):
+            events.append("close")
+
+    monkeypatch.setattr(serve, "SessionClient", _FakeClient)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    args = argparse.Namespace(
+        socket="/tmp/x.sock", k=5, confidence_threshold=0.7, min_len=20,
+        pad=2, max_lag=64, write_back=False, vid=1, score_events=False)
+    backend = cli._DaemonFollowBackend(args)
+    assert backend.client is not None
+    # warming reply -> severed retry -> reconnect -> successful start
+    assert events.count("request") == 3
+    assert events.count("connect") == 2

@@ -414,6 +414,12 @@ class _DaemonFollowBackend:
                 "future_step": args.future_step,
                 "emb_cache_cap": 16384}
         resp = self.client.request(req)
+        if not resp.get("ok") and resp.get("warming"):
+            # The daemon answered from its warming placeholder (serve.py
+            # WarmingServer — engine still initializing). That's
+            # patience, not refusal: poll until the real server takes
+            # over instead of failing a session that only needs to wait.
+            resp = self._await_ready_and_retry(req)
         if not resp.get("ok"):
             # only the FIRST connect turns a refusal into a clean exit
             # (bad user config); a refusal after a reconnect is a
@@ -423,6 +429,41 @@ class _DaemonFollowBackend:
                 raise SystemExit(err)
             raise RuntimeError(err)
         self.scoring = bool(resp.get("scoring"))
+
+    def _await_ready_and_retry(self, req) -> dict:
+        """Poll a WARMING daemon until the real server takes over, then
+        retry the session start. The warming->ready swap severs
+        established connections (serve.py WarmingServer.close), so a
+        dropped connection here means progress, not failure — reopen
+        and keep polling until the reconnect deadline."""
+        import time as time_mod
+
+        from vit_research_tpu.serve import SessionClient
+
+        deadline = time_mod.monotonic() + self.RECONNECT_DEADLINE_S
+        while True:
+            if time_mod.monotonic() > deadline:
+                return {"ok": False, "error": (
+                    "daemon still warming up at the "
+                    f"{self.RECONNECT_DEADLINE_S:.0f}s deadline — its "
+                    "engine init/compile is slow; retry once serve-ctl "
+                    "ping stops reporting warming")}
+            time_mod.sleep(1.0)
+            try:
+                resp = self.client.request(req)
+            except (OSError, ConnectionError):
+                try:
+                    self.client.close()
+                except Exception:  # noqa: BLE001 - already broken
+                    pass
+                try:
+                    self.client = SessionClient(self._args.socket,
+                                                timeout=600.0)
+                except (OSError, ConnectionError):
+                    continue  # rebind gap between warming and real bind
+                continue
+            if resp.get("ok") or not resp.get("warming"):
+                return resp
 
     @staticmethod
     def _ivs(clips):
