@@ -2401,3 +2401,73 @@ def test_daemon_backend_waits_through_warming(monkeypatch):
     # warming reply -> severed retry -> reconnect -> successful start
     assert events.count("request") == 3
     assert events.count("connect") == 2
+
+
+def test_daemon_backend_initial_request_severed_by_swap(monkeypatch):
+    """The warming->ready swap can sever the connection while the FIRST
+    segment_start is in flight: the backend must ride through it, not
+    crash __init__ with a raw ConnectionError."""
+    import argparse
+
+    from vit_research_tpu import cli, serve
+
+    n = {"req": 0}
+
+    class _FakeClient:
+        def __init__(self, *a, **kw):
+            pass
+
+        def request(self, req):
+            n["req"] += 1
+            if n["req"] == 1:
+                raise ConnectionError("severed mid-request")
+            return {"ok": True, "scoring": False}
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(serve, "SessionClient", _FakeClient)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    args = argparse.Namespace(
+        socket="/tmp/x.sock", k=5, confidence_threshold=0.7, min_len=20,
+        pad=2, max_lag=64, write_back=False, vid=1, score_events=False)
+    backend = cli._DaemonFollowBackend(args)
+    assert backend.client is not None and n["req"] == 2
+
+
+def test_daemon_backend_bounds_dead_daemon_during_warming(monkeypatch):
+    """A daemon that dies mid-warming must surface within the reconnect
+    deadline, not consume the full 2400s warming budget: the wait
+    tracks time-without-any-answer separately."""
+    import argparse
+
+    from vit_research_tpu import cli, serve
+
+    made = {"n": 0}
+
+    class _FakeClient:
+        def __init__(self, *a, **kw):
+            made["n"] += 1
+            if made["n"] > 1:  # daemon gone: reconnects fail
+                raise FileNotFoundError("no socket")
+
+        def request(self, req):
+            raise ConnectionError("daemon died")
+
+        def close(self):
+            pass
+
+    fake_t = {"t": 0.0}
+
+    def _mono():
+        fake_t["t"] += 7.0
+        return fake_t["t"]
+
+    monkeypatch.setattr(serve, "SessionClient", _FakeClient)
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    monkeypatch.setattr("time.monotonic", _mono)
+    args = argparse.Namespace(
+        socket="/tmp/x.sock", k=5, confidence_threshold=0.7, min_len=20,
+        pad=2, max_lag=64, write_back=False, vid=1, score_events=False)
+    with pytest.raises(SystemExit, match="stopped answering"):
+        cli._DaemonFollowBackend(args)

@@ -365,6 +365,13 @@ class _DaemonFollowBackend:
     than continue on misaligned state."""
 
     RECONNECT_DEADLINE_S = 120.0
+    #: how long a FIRST connect waits out a warming daemon (serve.py
+    #: WarmingServer): engine init/compile over a degraded tunnel has
+    #: measured 677-1883 s (CLAUDE.md), so the reconnect deadline is far
+    #: too short for startup patience. Reconnects mid-game keep the
+    #: 120 s budget (pre-warming semantics: a restarted daemon had that
+    #: long to come back before the session poisoned).
+    WARMING_DEADLINE_S = 2400.0
 
     def __init__(self, args, transition_matrix=None):
         self._args = args
@@ -413,13 +420,27 @@ class _DaemonFollowBackend:
                 "k_temporal": args.k_temporal,
                 "future_step": args.future_step,
                 "emb_cache_cap": 16384}
-        resp = self.client.request(req)
-        if not resp.get("ok") and resp.get("warming"):
-            # The daemon answered from its warming placeholder (serve.py
-            # WarmingServer — engine still initializing). That's
-            # patience, not refusal: poll until the real server takes
-            # over instead of failing a session that only needs to wait.
-            resp = self._await_ready_and_retry(req)
+        wait_s = (self.WARMING_DEADLINE_S if first
+                  else self.RECONNECT_DEADLINE_S)
+        try:
+            try:
+                resp = self.client.request(req)
+            except (OSError, ConnectionError):
+                # the warming->ready swap severs established connections
+                # (WarmingServer.close) — possibly mid-first-request;
+                # ride through it like any other warming signal
+                resp = self._await_ready_and_retry(req, wait_s)
+            if not resp.get("ok") and resp.get("warming"):
+                # The daemon answered from its warming placeholder
+                # (serve.py WarmingServer — engine still initializing).
+                # That's patience, not refusal: poll until the real
+                # server takes over instead of failing a session that
+                # only needs to wait.
+                resp = self._await_ready_and_retry(req, wait_s)
+        except TimeoutError as e:
+            if first:
+                raise SystemExit(str(e))
+            raise  # TimeoutError is an OSError: reconnect loops retry it
         if not resp.get("ok"):
             # only the FIRST connect turns a refusal into a clean exit
             # (bad user config); a refusal after a reconnect is a
@@ -430,25 +451,25 @@ class _DaemonFollowBackend:
             raise RuntimeError(err)
         self.scoring = bool(resp.get("scoring"))
 
-    def _await_ready_and_retry(self, req) -> dict:
+    def _await_ready_and_retry(self, req, deadline_s: float) -> dict:
         """Poll a WARMING daemon until the real server takes over, then
         retry the session start. The warming->ready swap severs
         established connections (serve.py WarmingServer.close), so a
         dropped connection here means progress, not failure — reopen
-        and keep polling until the reconnect deadline."""
+        and retry immediately. Two independent bounds raise
+        :class:`TimeoutError` (an OSError, so reconnect loops treat it
+        as a flap): ``deadline_s`` on total warming patience, and the
+        reconnect deadline on time WITHOUT any answer at all — a daemon
+        that died mid-warming must not consume the full warming budget
+        before the caller hears about it."""
         import time as time_mod
 
         from vit_research_tpu.serve import SessionClient
 
-        deadline = time_mod.monotonic() + self.RECONNECT_DEADLINE_S
+        t0 = time_mod.monotonic()
+        deadline = t0 + deadline_s
+        last_alive = t0
         while True:
-            if time_mod.monotonic() > deadline:
-                return {"ok": False, "error": (
-                    "daemon still warming up at the "
-                    f"{self.RECONNECT_DEADLINE_S:.0f}s deadline — its "
-                    "engine init/compile is slow; retry once serve-ctl "
-                    "ping stops reporting warming")}
-            time_mod.sleep(1.0)
             try:
                 resp = self.client.request(req)
             except (OSError, ConnectionError):
@@ -460,10 +481,25 @@ class _DaemonFollowBackend:
                     self.client = SessionClient(self._args.socket,
                                                 timeout=600.0)
                 except (OSError, ConnectionError):
-                    continue  # rebind gap between warming and real bind
-                continue
-            if resp.get("ok") or not resp.get("warming"):
-                return resp
+                    pass  # rebind gap, or the daemon died — bounded below
+                else:
+                    last_alive = time_mod.monotonic()
+                    continue  # fresh connection: retry the request NOW
+            else:
+                last_alive = time_mod.monotonic()
+                if resp.get("ok") or not resp.get("warming"):
+                    return resp
+            now = time_mod.monotonic()
+            if now > deadline:
+                raise TimeoutError(
+                    f"daemon still warming up after {deadline_s:.0f}s — "
+                    "its engine init/compile is slow; retry once "
+                    "serve-ctl ping stops reporting warming")
+            if now - last_alive > self.RECONNECT_DEADLINE_S:
+                raise TimeoutError(
+                    "daemon stopped answering while warming (no live "
+                    f"socket for {self.RECONNECT_DEADLINE_S:.0f}s)")
+            time_mod.sleep(1.0)
 
     @staticmethod
     def _ivs(clips):
