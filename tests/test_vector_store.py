@@ -463,3 +463,39 @@ def test_detach_neutralizes_flush_and_drops_device_cache(tmp_path):
     # disk was never touched by the detached object
     fresh = PersistentClient(db, autoflush=False).get_collection("c")
     assert sorted(fresh.get(include=())["ids"]) == ["x0", "x1"]
+
+
+def test_prewarm_index_fits_ivf_only_when_path_engages(tmp_path):
+    """prewarm_index mirrors query()'s IVF routing condition: fit up
+    front at scale (so a serving daemon's first user query never pays
+    the one-time k-means), no-op everywhere else."""
+    rng = np.random.default_rng(0)
+    col = Collection("c", space="cosine")
+    col.ivf_threshold = 64
+    col.upsert([f"i{k}" for k in range(80)],
+               rng.normal(size=(80, 16)).astype(np.float32))
+    assert col._ivf is None
+    assert col.prewarm_index() is True
+    assert col._ivf is not None
+    fitted = col._ivf
+    assert col.prewarm_index() is True  # idempotent, no refit
+    assert col._ivf is fitted
+    # prewarmed index answers identically to a fresh collection's query
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    res = col.query(q, n_results=3)
+    assert len(res["ids"][0]) == 3
+
+    small = Collection("s", space="cosine")
+    small.ivf_threshold = 64
+    small.upsert(["a"], rng.normal(size=(1, 16)).astype(np.float32))
+    assert small.prewarm_index() is False  # below threshold
+
+    l2 = Collection("l", space="l2")
+    l2.ivf_threshold = 1
+    l2.upsert(["a"], rng.normal(size=(1, 16)).astype(np.float32))
+    assert l2.prewarm_index() is False  # IVF is cosine-only
+
+    quant = Collection("q", space="cosine", device_quant="int8")
+    quant.ivf_threshold = 1
+    quant.upsert(["a"], rng.normal(size=(1, 16)).astype(np.float32))
+    assert quant.prewarm_index() is False  # exact device path

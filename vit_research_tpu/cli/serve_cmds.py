@@ -40,6 +40,16 @@ def cmd_serve(args):
                 coll.shard_device(mesh)
                 print(f"collection {args.collection} sharded over "
                       f"{mesh.devices.size} device(s)", flush=True)
+            else:
+                # at IVF scale the first unfiltered query pays a
+                # multi-minute one-time k-means fit — do it here, while
+                # the warming socket reports the phase, not on a user's
+                # first request
+                warm.phase = (f"store index fit "
+                              f"({coll.count():,} rows)")
+                if coll.prewarm_index():
+                    print(f"IVF index fitted for {args.collection} "
+                          f"({coll.count():,} rows)", flush=True)
         if warm.shutdown_requested:
             print("shutdown requested while warming; exiting before "
                   "engine build", flush=True)

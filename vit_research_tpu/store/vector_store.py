@@ -42,7 +42,10 @@ point-in-time state (measured at 1M x 768: query p50 110 ms during a
 35 s compaction vs 78 ms idle, BENCH_NOTES.md). Size in-memory collections so corpus x 3 fits
 RAM (~13M f32 768-d rows on a 125 GB host); beyond that use the
 out-of-core IVF spill (store/ivf.py) or int8 device corpora
-(``device_quant='int8'``, 1/4 the bytes).
+(``device_quant='int8'``, 1/4 the bytes). The FIRST unfiltered cosine
+query at >= ``ivf_threshold`` rows pays a one-time in-memory IVF fit
+(measured: ~40 s at 1M rows, ~370 s at 5M on one core) — warm it at
+startup (one throwaway query) rather than on the first user request.
 """
 
 from __future__ import annotations
@@ -1020,6 +1023,28 @@ class Collection:
             metric = "ip" if self.space == "cosine" else self.space
             scores, idx = masked_topk(qd, corpus, m, k=k, metric=metric)
         return np.asarray(scores), np.asarray(idx)
+
+    def prewarm_index(self) -> bool:
+        """Fit the serving index up front when the IVF path would engage
+        (unfiltered cosine queries at >= ``ivf_threshold`` rows route
+        through store/ivf.py, whose first-query k-means fit is a
+        one-time multi-minute cost at capacity scale — ~40 s at 1M
+        rows, ~370 s at 5M on one core). Long-lived servers call this
+        during startup so no user request pays it. Returns True when a
+        fit ran (or already existed), False when this collection
+        answers queries another way."""
+        with self._lock:
+            if (self.ivf_threshold is None or self.space != "cosine"
+                    or self.device_quant is not None
+                    or self._device_mesh is not None
+                    or len(self._ids) < self.ivf_threshold):
+                return False
+            if self._ivf is None:
+                from vit_research_tpu.store.ivf import IVFIndex
+
+                self._ivf = IVFIndex().fit(self._embeddings)
+                self._ivf_extra = set()
+            return True
 
     def _query_ivf(self, q, k):
         from vit_research_tpu.store.ivf import IVFIndex
