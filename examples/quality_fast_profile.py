@@ -34,6 +34,13 @@ Runtime: ~30-45 min at the default size on the 1-core box (the ViT-B/16
 CPU forward is ~1.2 s/frame; ToMe/strided variants are cheaper).
 --tiny swaps in the 1-layer test ViT for a seconds-long smoke run
 (tests/test_quality_fast_profile.py).
+
+STATISTICAL POWER: the default 4 possessions/vid score only 4 event
+clips (hit@k quanta of 0.25 — round-4 conclusions drawn at that n did
+not survive re-measurement). The round-5 reference configuration is
+``--possessions 24`` with ``--only`` trimmed to the deployment
+variants (~60-100 min/world): 24 scored clips, hit@k quanta 1/24.
+BENCH_NOTES.md "Dossier at statistical power" carries those tables.
 """
 
 from __future__ import annotations
