@@ -1,6 +1,8 @@
 """Vector store: upsert/query/get/delete, where filters, persistence,
 distance semantics, and device/numpy path agreement."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -499,3 +501,124 @@ def test_prewarm_index_fits_ivf_only_when_path_engages(tmp_path):
     quant.ivf_threshold = 1
     quant.upsert(["a"], rng.normal(size=(1, 16)).astype(np.float32))
     assert quant.prewarm_index() is False  # exact device path
+
+
+def test_prewarm_persists_fit_and_restart_adopts_it(tmp_path, monkeypatch):
+    """A prewarmed fit is saved as ivf_meta.npz beside the snapshot;
+    a fresh process (new client) adopts it WITHOUT re-running k-means
+    (the ~370 s-at-5M startup cost this exists to remove), and the
+    adopted index answers queries identically to the fit that wrote it."""
+    from vit_research_tpu.store import ivf as ivf_mod
+
+    rng = np.random.default_rng(1)
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine"})
+    col.ivf_threshold = 64
+    col.upsert([f"i{k}" for k in range(80)],
+               rng.normal(size=(80, 16)).astype(np.float32))
+    col.flush()
+    assert col.prewarm_index() is True
+    assert os.path.exists(os.path.join(db, "c", "ivf_meta.npz"))
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    want = col.query(q, n_results=5)["ids"]
+
+    def boom(self, x):
+        raise AssertionError("restart should adopt the persisted fit, "
+                            "not refit")
+
+    monkeypatch.setattr(ivf_mod.IVFIndex, "fit", boom)
+    col2 = PersistentClient(db, autoflush=False).get_collection("c")
+    col2.ivf_threshold = 64
+    assert col2.prewarm_index() is True
+    assert col2.query(q, n_results=5)["ids"] == want
+
+
+def test_prewarm_adopted_fit_searches_appended_tail_exactly(tmp_path,
+                                                           monkeypatch):
+    """Rows appended after the persisted fit don't invalidate it (the
+    fitted prefix is unchanged): the restart adopts the fit and finds
+    the new rows through the exact-tail path, same as live upserts."""
+    from vit_research_tpu.store import ivf as ivf_mod
+
+    rng = np.random.default_rng(2)
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine"})
+    col.ivf_threshold = 64
+    col.upsert([f"i{k}" for k in range(80)],
+               rng.normal(size=(80, 16)).astype(np.float32))
+    assert col.prewarm_index() is True  # persists the 80-row fit
+    tail = rng.normal(size=(4, 16)).astype(np.float32)
+    col.upsert([f"t{k}" for k in range(4)], tail)
+    col.flush()
+
+    monkeypatch.setattr(
+        ivf_mod.IVFIndex, "fit",
+        lambda self, x: (_ for _ in ()).throw(AssertionError("refit")))
+    col2 = PersistentClient(db, autoflush=False).get_collection("c")
+    col2.ivf_threshold = 64
+    assert col2.prewarm_index() is True
+    assert col2._ivf_extra == set(range(80, 84))
+    # an appended row is its own nearest neighbor via the exact tail
+    res = col2.query(tail[2:3], n_results=1)
+    assert res["ids"][0] == ["t2"]
+
+
+def test_prewarm_stale_fit_is_refit_not_adopted(tmp_path):
+    """Changing a fitted row's CONTENT (count unchanged) fails the
+    corpus fingerprint: the restart refits rather than silently serving
+    wrong neighbors through a stale cell assignment, and re-persists."""
+    from vit_research_tpu.store import ivf as ivf_mod
+
+    rng = np.random.default_rng(3)
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine"})
+    col.ivf_threshold = 64
+    col.upsert([f"i{k}" for k in range(80)],
+               rng.normal(size=(80, 16)).astype(np.float32))
+    assert col.prewarm_index() is True
+    meta = os.path.join(db, "c", "ivf_meta.npz")
+    before = os.path.getmtime(meta)
+    col.upsert(["i0"], rng.normal(size=(1, 16)).astype(np.float32))
+    col.flush()
+
+    col2 = PersistentClient(db, autoflush=False).get_collection("c")
+    col2.ivf_threshold = 64
+    fits = []
+    orig = ivf_mod.IVFIndex.fit
+    try:
+        ivf_mod.IVFIndex.fit = (
+            lambda self, x: fits.append(1) or orig(self, x))
+        assert col2.prewarm_index() is True
+    finally:
+        ivf_mod.IVFIndex.fit = orig
+    assert fits == [1]  # refit ran
+    assert os.path.getmtime(meta) >= before  # fresh fit re-persisted
+    assert col2._ivf.matches(80)
+
+
+def test_prewarm_corrupt_meta_falls_back_to_fit(tmp_path):
+    """A torn/garbage ivf_meta.npz is treated as absent."""
+    rng = np.random.default_rng(4)
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine"})
+    col.ivf_threshold = 64
+    col.upsert([f"i{k}" for k in range(80)],
+               rng.normal(size=(80, 16)).astype(np.float32))
+    col.flush()
+    meta = os.path.join(db, "c", "ivf_meta.npz")
+    with open(meta, "wb") as f:
+        f.write(b"not an npz")
+    assert col.prewarm_index() is True
+    assert col._ivf is not None
+    # and the garbage was replaced by a valid persisted fit
+    from vit_research_tpu.store.ivf import IVFIndex
+    idx, fp = IVFIndex.load_meta(meta)
+    assert idx.matches(80) and len(fp) == 20

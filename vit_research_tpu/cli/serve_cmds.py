@@ -44,11 +44,12 @@ def cmd_serve(args):
                 # at IVF scale the first unfiltered query pays a
                 # multi-minute one-time k-means fit — do it here, while
                 # the warming socket reports the phase, not on a user's
-                # first request
-                warm.phase = (f"store index fit "
+                # first request; a restart adopts the persisted fit
+                # (ivf_meta.npz, sha1-verified) in seconds instead
+                warm.phase = (f"store index prewarm "
                               f"({coll.count():,} rows)")
                 if coll.prewarm_index():
-                    print(f"IVF index fitted for {args.collection} "
+                    print(f"IVF index ready for {args.collection} "
                           f"({coll.count():,} rows)", flush=True)
         if warm.shutdown_requested:
             print("shutdown requested while warming; exiting before "

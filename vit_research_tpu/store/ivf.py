@@ -127,6 +127,48 @@ class IVFIndex:
         RAM (the fit samples, the spill streams)."""
         return cls(**kwargs).fit(x).spill(x, prefix)
 
+    # -------------------------------------------------------- fit persist
+
+    def save_meta(self, path: str, fingerprint: bytes = b"") -> None:
+        """Persist the FIT ONLY — centroids + per-cell row indices — not
+        the corpus (contrast ``spill()``, which copies every vector).
+        ~n*8 bytes on disk (40 MB at 5M rows), so a restarting server can
+        adopt a previous k-means fit (~40 s at 1M rows, ~370 s at 5M to
+        recompute on one core) instead of refitting. ``fingerprint``
+        identifies the exact fit-time corpus bytes; ``load_meta`` hands
+        it back so the caller can verify the live corpus still matches
+        before searching. Atomic via tmp + os.replace."""
+        if self.centroids is None:
+            raise ValueError("save_meta() requires a fitted index")
+        order = (np.concatenate(self.cells) if self.cells
+                 else np.empty(0, np.int64))
+        sizes = np.array([len(c) for c in self.cells], np.int64)
+        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # file object: savez can't append .npz
+            np.savez(f, centroids=self.centroids, order=order,
+                     bounds=bounds, n=self._n, nprobe=self.nprobe,
+                     fingerprint=np.frombuffer(fingerprint, np.uint8))
+        os.replace(tmp, path)
+
+    @classmethod
+    def load_meta(cls, path: str) -> tuple["IVFIndex", bytes]:
+        """Reopen a ``save_meta()`` fit. Returns (index, fingerprint);
+        the caller MUST verify the fingerprint against the live corpus
+        before searching — the fit describes exact fit-time row contents
+        and order, and searching a changed corpus through it silently
+        returns wrong neighbors."""
+        with np.load(path) as meta:
+            order = meta["order"]
+            bounds = meta["bounds"]
+            idx = cls(n_lists=len(bounds) - 1, nprobe=int(meta["nprobe"]))
+            idx.centroids = meta["centroids"]
+            idx._n = int(meta["n"])
+            fp = meta["fingerprint"].tobytes()
+        idx.cells = [order[bounds[c]:bounds[c + 1]]
+                     for c in range(len(bounds) - 1)]
+        return idx, fp
+
     @classmethod
     def load(cls, prefix: str) -> "IVFIndex":
         """Reopen a spilled index; searches read only the probed cells
