@@ -583,7 +583,6 @@ def test_prewarm_stale_fit_is_refit_not_adopted(tmp_path):
                rng.normal(size=(80, 16)).astype(np.float32))
     assert col.prewarm_index() is True
     meta = os.path.join(db, "c", "ivf_meta.npz")
-    before = os.path.getmtime(meta)
     col.upsert(["i0"], rng.normal(size=(1, 16)).astype(np.float32))
     col.flush()
 
@@ -598,8 +597,12 @@ def test_prewarm_stale_fit_is_refit_not_adopted(tmp_path):
     finally:
         ivf_mod.IVFIndex.fit = orig
     assert fits == [1]  # refit ran
-    assert os.path.getmtime(meta) >= before  # fresh fit re-persisted
     assert col2._ivf.matches(80)
+    # the fresh fit was re-persisted: the stored fingerprint now matches
+    # the live (mutated) corpus, where the stale one could not
+    from vit_research_tpu.store.ivf import IVFIndex
+    _, fp = IVFIndex.load_meta(meta)
+    assert fp == col2._ivf_fingerprint(80)
 
 
 def test_prewarm_corrupt_meta_falls_back_to_fit(tmp_path):
@@ -622,3 +625,42 @@ def test_prewarm_corrupt_meta_falls_back_to_fit(tmp_path):
     from vit_research_tpu.store.ivf import IVFIndex
     idx, fp = IVFIndex.load_meta(meta)
     assert idx.matches(80) and len(fp) == 20
+
+
+def test_prewarm_persists_a_lazy_queryfit_and_skips_dirty_prefix(tmp_path):
+    """A fit created lazily by the query path is persisted by the NEXT
+    prewarm_index call (so a daemon bounce after heavy writes still
+    adopts), but a fit whose prefix rows were updated in-place since
+    fitting is never saved — a restart adopting it would serve those
+    rows through stale cells."""
+    rng = np.random.default_rng(5)
+    db = str(tmp_path / "db")
+    client = PersistentClient(db, autoflush=False)
+    col = client.get_or_create_collection(
+        "c", metadata={"hnsw:space": "cosine"})
+    col.ivf_threshold = 64
+    col.upsert([f"i{k}" for k in range(80)],
+               rng.normal(size=(80, 16)).astype(np.float32))
+    col.flush()
+    col.query(rng.normal(size=(1, 16)).astype(np.float32), n_results=2)
+    meta = os.path.join(db, "c", "ivf_meta.npz")
+    assert col._ivf is not None and not col._ivf_persisted
+    assert not os.path.exists(meta)  # query path never writes
+
+    # appended tail (extras >= fit n): still persistable
+    col.upsert(["t0"], rng.normal(size=(1, 16)).astype(np.float32))
+    assert col.prewarm_index() is True
+    assert col._ivf_persisted and os.path.exists(meta)
+    from vit_research_tpu.store.ivf import IVFIndex
+    idx, fp = IVFIndex.load_meta(meta)
+    assert idx.matches(80)  # describes the fitted prefix, not the tail
+    assert fp == col._ivf_fingerprint(80)
+
+    # in-place update of a FITTED row -> the (refit-free) live index is
+    # kept exact by _ivf_extra, but must not be persisted as-is
+    os.remove(meta)
+    col.upsert(["i3"], rng.normal(size=(1, 16)).astype(np.float32))
+    assert col._ivf is not None and 3 in col._ivf_extra
+    col._ivf_persisted = False
+    assert col.prewarm_index() is True
+    assert not os.path.exists(meta)

@@ -101,10 +101,7 @@ class IVFIndex:
         n, d = x.shape
         if n != self._n:
             raise ValueError(f"corpus has {n} rows, index fit on {self._n}")
-        order = (np.concatenate(self.cells) if self.cells
-                 else np.empty(0, np.int64))
-        sizes = np.array([len(c) for c in self.cells], np.int64)
-        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        order, bounds = self._cell_layout()
         dat = prefix + ".dat"
         mm = np.memmap(dat + ".tmp", mode="w+", dtype=np.float32,
                        shape=(n, d))
@@ -127,6 +124,14 @@ class IVFIndex:
         RAM (the fit samples, the spill streams)."""
         return cls(**kwargs).fit(x).spill(x, prefix)
 
+    def _cell_layout(self) -> tuple[np.ndarray, np.ndarray]:
+        """Serialized cell layout shared by spill() and save_meta():
+        (row order concatenated cell-by-cell, (L+1,) cell bounds)."""
+        order = (np.concatenate(self.cells) if self.cells
+                 else np.empty(0, np.int64))
+        sizes = np.array([len(c) for c in self.cells], np.int64)
+        return order, np.concatenate([[0], np.cumsum(sizes)])
+
     # -------------------------------------------------------- fit persist
 
     def save_meta(self, path: str, fingerprint: bytes = b"") -> None:
@@ -140,10 +145,7 @@ class IVFIndex:
         before searching. Atomic via tmp + os.replace."""
         if self.centroids is None:
             raise ValueError("save_meta() requires a fitted index")
-        order = (np.concatenate(self.cells) if self.cells
-                 else np.empty(0, np.int64))
-        sizes = np.array([len(c) for c in self.cells], np.int64)
-        bounds = np.concatenate([[0], np.cumsum(sizes)])
+        order, bounds = self._cell_layout()
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:  # file object: savez can't append .npz
             np.savez(f, centroids=self.centroids, order=order,

@@ -201,6 +201,7 @@ class Collection:
         self._device_mesh = None
         self._device_axis = "data"
         self._ivf = None  # lazily-fit IVFIndex
+        self._ivf_persisted = False  # current fit saved as ivf_meta.npz?
         # Rows added/updated since the IVF fit — searched exactly alongside
         # the probed cells, so upserts don't force a synchronous k-means
         # refit on the next query. Deletes reindex rows and DO drop the
@@ -704,7 +705,8 @@ class Collection:
                 if self._ivf is not None:
                     self._ivf_extra.update(range(base, base + len(new_ids)))
             if (self._ivf is not None
-                    and len(self._ivf_extra) > 0.2 * len(self._ids)):
+                    and len(self._ivf_extra)
+                    > self._IVF_REFIT_TAIL * len(self._ids)):
                 self._ivf, self._ivf_extra = None, set()  # refit next query
             self._invalidate()
 
@@ -1030,6 +1032,11 @@ class Collection:
 
     #: persisted-fit filename beside the snapshot (see prewarm_index)
     _IVF_META = "ivf_meta.npz"
+    #: drop the IVF fit (refit on next query) once the exactly-searched
+    #: post-fit tail exceeds this fraction of the corpus; prewarm_index
+    #: applies the same bound when deciding whether to adopt a persisted
+    #: fit, so startup and steady-state agree on index quality
+    _IVF_REFIT_TAIL = 0.2
 
     def _ivf_fingerprint(self, n_rows: int) -> bytes:
         """sha1 over the first ``n_rows`` embedding rows' raw bytes +
@@ -1071,37 +1078,59 @@ class Collection:
                     or self._device_mesh is not None
                     or len(self._ids) < self.ivf_threshold):
                 return False
-            if self._ivf is not None:
-                return True
             from vit_research_tpu.store.ivf import IVFIndex
 
             n = len(self._ids)
             meta_path = (os.path.join(self._path, self._IVF_META)
                          if self._path else None)
-            if meta_path and os.path.exists(meta_path):
+            fp_live = None  # digest reusable by the persist step below
+            if self._ivf is None:
+                if meta_path and os.path.exists(meta_path):
+                    try:
+                        idx, fp = IVFIndex.load_meta(meta_path)
+                    except Exception:
+                        idx = None  # torn/corrupt meta: refit below
+                    # Adopt when the fitted rows are an unchanged prefix
+                    # of the live corpus and the appended tail is within
+                    # the same bound that gates a runtime refit
+                    # (_IVF_REFIT_TAIL, shared with upsert()).
+                    if (idx is not None and 0 < idx._n <= n
+                            and n - idx._n <= self._IVF_REFIT_TAIL * n
+                            and idx.centroids.shape[1]
+                            == self._embeddings.shape[1]):
+                        fp_live = self._ivf_fingerprint(idx._n)
+                        if fp == fp_live:
+                            self._ivf = idx
+                            self._ivf_extra = set(range(idx._n, n))
+                            self._ivf_persisted = True
+                            return True
+                        if idx._n != n:
+                            fp_live = None  # hashed a prefix only
+                self._ivf = IVFIndex().fit(self._embeddings)
+                self._ivf_extra = set()
+                self._ivf_persisted = False
+            elif (self._ivf_persisted
+                  or any(e < self._ivf._n for e in self._ivf_extra)):
+                # Already persisted — or prefix rows were updated
+                # in-place since the fit (only the live _ivf_extra makes
+                # them exact; a restart adopting this fit would serve
+                # them through stale cells), so it must not be saved.
+                return True
+            if meta_path and not self._ivf_persisted:
+                # A lazily-refit index (query-path, never persisted)
+                # lands here too, so a bounce after heavy writes still
+                # adopts instead of refitting. Skip — never clobber —
+                # when another process rebuilt the directory past this
+                # object's generation (same rule as flush()).
                 try:
-                    idx, fp = IVFIndex.load_meta(meta_path)
-                except Exception:
-                    idx = None  # torn/corrupt meta: refit below
-                # Adopt when the fitted rows are an unchanged prefix of
-                # the live corpus and the appended tail is within the
-                # same 20% bound that gates a runtime refit
-                # (_ivf_extra handling in upsert()).
-                if (idx is not None and 0 < idx._n <= n
-                        and n - idx._n <= 0.2 * n
-                        and idx.centroids.shape[1]
-                        == self._embeddings.shape[1]
-                        and fp == self._ivf_fingerprint(idx._n)):
-                    self._ivf = idx
-                    self._ivf_extra = set(range(idx._n, n))
-                    return True
-            self._ivf = IVFIndex().fit(self._embeddings)
-            self._ivf_extra = set()
-            if meta_path:
-                try:
+                    self._check_not_stale()
                     os.makedirs(self._path, exist_ok=True)
-                    self._ivf.save_meta(meta_path, self._ivf_fingerprint(n))
-                except OSError:
+                    self._ivf.save_meta(
+                        meta_path,
+                        fp_live if fp_live is not None
+                        else self._ivf_fingerprint(self._ivf._n))
+                    self._ivf_persisted = True
+                except (OSError, StaleCollectionError):
                     pass  # persistence is an optimization, never fatal
             return True
 
@@ -1109,8 +1138,11 @@ class Collection:
         from vit_research_tpu.store.ivf import IVFIndex
 
         if self._ivf is None:
+            # Query-path fit: never writes (prewarm_index persists an
+            # unpersisted fit later, e.g. at the next daemon start).
             self._ivf = IVFIndex().fit(self._embeddings)
             self._ivf_extra = set()
+            self._ivf_persisted = False
         extra = (np.fromiter(self._ivf_extra, np.int64,
                              len(self._ivf_extra))
                  if self._ivf_extra else None)
