@@ -211,3 +211,33 @@ def test_collection_ivf_distances_are_cosine():
     res = col.query(x[:2], n_results=1, include=("distances",))
     assert res["ids"][0][0] == "0"
     assert abs(res["distances"][0][0]) < 1e-5  # self-distance ~ 0
+
+
+def test_save_meta_load_meta_roundtrip(tmp_path):
+    """save_meta persists ONLY the fit (no corpus copy); load_meta
+    reproduces identical searches against the live array and hands the
+    fingerprint back for the caller's validity check."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(600, 12)).astype(np.float32)
+    idx = IVFIndex(n_lists=8, nprobe=3, seed=1).fit(x)
+    q = rng.normal(size=(4, 12)).astype(np.float32)
+    s0, i0 = idx.search(q, x, 5)
+
+    meta = str(tmp_path / "m.npz")
+    idx.save_meta(meta, b"\x01\x02tag")
+    idx2, fp = IVFIndex.load_meta(meta)
+    assert fp == b"\x01\x02tag"
+    assert idx2.matches(600) and idx2.nprobe == 3
+    s1, i1 = idx2.search(q, x, 5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
+    # fit-only on disk: orders of magnitude smaller than the corpus
+    import os
+    assert os.path.getsize(meta) < x.nbytes / 2
+
+    unfitted = IVFIndex()
+    try:
+        unfitted.save_meta(str(tmp_path / "n.npz"))
+        assert False, "save_meta on an unfitted index must raise"
+    except ValueError:
+        pass
